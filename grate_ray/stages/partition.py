@@ -1,0 +1,97 @@
+"""Hash partitioning + salted-key skew handling.
+
+The partition column is the engine's only required wide (shuffle) key in
+steady state (SURVEY.md §7.3). The hash is deterministic crc32 so layouts
+are stable across processes/runs (resume depends on this) — the analogue of
+the reference's md5 output sharding
+(/root/reference/cmd/grate2tsv/main.go:186-188).
+
+Skew: a Zipf-hot ``conv_id`` would funnel a large share of events into one
+partition (the reference's version of this problem is "one huge file stalls
+one worker", /root/reference/cmd/grate2tsv/main.go:116-133). Salting splits
+hot conversations into ``num_salts`` sub-shards for a first partial LWW
+reduce, then a second tiny reduce per real partition — exact because LWW is
+an associative reduction (stages/merge.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def crc32_of_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized-enough deterministic hash: dictionary-encode, crc32 the
+    few unique strings in Python, scatter via take."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = arr.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    hashes = np.array(
+        [zlib.crc32(u.encode("utf-8")) if u is not None else 0 for u in uniq],
+        dtype=np.uint32,
+    )
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    return hashes[idx]
+
+
+def add_partition_column(
+    t: pa.Table, num_partitions: int, col: str = "conv_id", out: str = "part"
+) -> pa.Table:
+    part = (crc32_of_strings(t[col]) % np.uint32(num_partitions)).astype(np.int32)
+    return t.append_column(out, pa.array(part))
+
+
+def add_salted_partition_column(
+    t: pa.Table,
+    num_partitions: int,
+    num_salts: int,
+    hot_keys: frozenset[str],
+    col: str = "conv_id",
+    out: str = "spart",
+) -> pa.Table:
+    """spart = part * num_salts + salt; salt spreads only hot keys.
+
+    Salt is derived from ``lsn`` (deterministic, uniform) so re-runs place
+    the same event in the same sub-shard.
+    """
+    part = (crc32_of_strings(t[col]) % np.uint32(num_partitions)).astype(np.int64)
+    salt = np.zeros(t.num_rows, dtype=np.int64)
+    if hot_keys and num_salts > 1:
+        is_hot = pc.is_in(
+            t[col], value_set=pa.array(sorted(hot_keys))
+        ).to_numpy(zero_copy_only=False)
+        lsn = t["lsn"].to_numpy(zero_copy_only=False)
+        salt[is_hot] = lsn[is_hot] % num_salts
+    spart = part * num_salts + salt
+    return t.append_column(out, pa.array(spart.astype(np.int32)))
+
+
+def spart_to_part(t: pa.Table, num_salts: int, spart: str = "spart", out: str = "part") -> pa.Table:
+    part = (t[spart].to_numpy(zero_copy_only=False) // num_salts).astype(np.int32)
+    t = t.drop_columns([spart])
+    return t.append_column(out, pa.array(part))
+
+
+def find_hot_keys(ds, col: str = "conv_id", threshold_frac: float = 0.05, sample_limit: int = 250_000) -> frozenset[str]:
+    """Detect hot keys from per-batch partial counts (no full shuffle):
+    map_batches emits (key, partial_count) for each batch's top keys, a tiny
+    groupby-sum on the driver-side aggregates them. Keys holding more than
+    ``threshold_frac`` of sampled events are 'hot'."""
+    import pandas as pd
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vc = t[col].combine_chunks().value_counts()
+        return pa.table({col: vc.field("values"), "n": vc.field("counts")})
+
+    partials = ds.limit(sample_limit).map_batches(
+        partial_counts, batch_format="pyarrow"
+    ).to_pandas()
+    if partials.empty:
+        return frozenset()
+    totals = partials.groupby(col)["n"].sum()
+    cutoff = threshold_frac * totals.sum()
+    return frozenset(totals[totals >= cutoff].index.tolist())

@@ -1,0 +1,77 @@
+"""End-to-end CDC replay on Ray Data vs the in-memory oracle (golden-state
+tests; the analogue of the reference's golden-tsv loops,
+/root/reference/xls/simple_test.go:45-91)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from grate_ray.genlog import GenSpec, generate_binlog, oracle_final_state
+from grate_ray.pipelines.cdc import apply_binlog, read_binlog, replay
+from grate_ray.stages.partition import find_hot_keys
+
+
+def _assert_matches_oracle(ds, binlog_dir, check_tool=True):
+    got = ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    import os
+
+    tables = [
+        pq.read_table(os.path.join(binlog_dir, f))
+        for f in sorted(os.listdir(binlog_dir))
+        if f.endswith(".parquet")
+    ]
+    want = oracle_final_state(tables).to_pandas()
+    assert len(got) == len(want), (len(got), len(want))
+    for col in ["conv_id", "turn_idx", "role", "text"] + (["tool"] if check_tool else []):
+        assert got[col].tolist() == want[col].tolist(), col
+    assert got["ts"].tolist() == want["ts"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replay_matches_oracle(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("binlog1"))
+    generate_binlog(d, GenSpec(num_events=30_000, num_convs=200, seed=42, chunk_rows=7_000))
+    ds = replay(d, num_partitions=8)
+    _assert_matches_oracle(ds, d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replay_mixed_epochs(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("binlog2"))
+    generate_binlog(
+        d,
+        GenSpec(num_events=20_000, num_convs=100, seed=5, epoch0_frac=0.4, chunk_rows=6_000),
+    )
+    ds = replay(d, num_partitions=8)
+    _assert_matches_oracle(ds, d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replay_salted_hot_key(tmp_path_factory):
+    # zipf_a close to 1 → conv0 takes a large share of events
+    d = str(tmp_path_factory.mktemp("binlog3"))
+    generate_binlog(
+        d, GenSpec(num_events=25_000, num_convs=150, seed=9, zipf_a=1.05, chunk_rows=9_000)
+    )
+    ds_in = read_binlog(d)
+    hot = find_hot_keys(ds_in, threshold_frac=0.05)
+    assert "conv0" in hot  # the Zipf head must be detected
+    out = apply_binlog(read_binlog(d), num_partitions=8, hot_keys=hot, num_salts=4)
+    _assert_matches_oracle(out, d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_output_sorted_within_partition(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("binlog4"))
+    generate_binlog(d, GenSpec(num_events=5_000, num_convs=40, seed=2, chunk_rows=5_000))
+    # batches need not align with partition groups, but within any batch the
+    # rows of one conversation must be contiguous and turn-ordered (the
+    # row-major iteration contract, /root/reference/commonxl/sheet.go:111-126)
+    for batch in replay(d, num_partitions=4).iter_batches(batch_format="pyarrow"):
+        df = batch.to_pandas()
+        seen = []
+        for conv, g in df.groupby("conv_id", sort=False):
+            assert g["turn_idx"].is_monotonic_increasing, conv
+            assert (g.index.to_numpy()[1:] - g.index.to_numpy()[:-1] == 1).all(), conv
+            seen.append(conv)
+        assert len(seen) == len(set(seen))

@@ -1,0 +1,156 @@
+"""Unit tests for the LWW merge kernels (no Ray needed)."""
+
+import pyarrow as pa
+import pytest
+
+from grate_ray.genlog import GenSpec, _gen_chunk, oracle_final_state, to_epoch0
+from grate_ray.schema import BINLOG_SCHEMA, LAKE_SCHEMA
+from grate_ray.stages.evolve import reconcile, unify
+from grate_ray.stages.merge import finalize, lww_reduce, merge_into_state
+
+
+def mk(rows):
+    """rows: list of (op, lsn, conv, turn, role, text, tool, ts_us)"""
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "op": pa.array(cols[0], pa.string()),
+            "lsn": pa.array(cols[1], pa.int64()),
+            "conv_id": pa.array(cols[2], pa.string()),
+            "turn_idx": pa.array(cols[3], pa.int32()),
+            "role": pa.array(cols[4], pa.string()),
+            "text": pa.array(cols[5], pa.string()),
+            "tool": pa.array(cols[6], pa.string()),
+            "ts": pa.array(cols[7], pa.int64()).cast(pa.timestamp("us")),
+        },
+        schema=BINLOG_SCHEMA,
+    )
+
+
+def test_lww_basic_upsert():
+    t = mk(
+        [
+            ("I", 1, "a", 0, "user", "v1", None, 100),
+            ("U", 2, "a", 0, "user", "v2", None, 200),
+            ("I", 3, "b", 0, "user", "b1", None, 150),
+        ]
+    )
+    out = finalize(lww_reduce(t))
+    assert out["text"].to_pylist() == ["v2", "b1"]
+    assert out["conv_id"].to_pylist() == ["a", "b"]
+
+
+def test_lww_lsn_tiebreak_on_equal_ts():
+    t = mk(
+        [
+            ("I", 5, "a", 0, "user", "low-lsn", None, 100),
+            ("U", 9, "a", 0, "user", "high-lsn", None, 100),
+        ]
+    )
+    assert finalize(lww_reduce(t))["text"].to_pylist() == ["high-lsn"]
+
+
+def test_lww_out_of_order_ts_wins_over_later_lsn():
+    t = mk(
+        [
+            ("I", 1, "a", 0, "user", "newer-ts", None, 500),
+            ("U", 2, "a", 0, "user", "older-ts", None, 100),
+        ]
+    )
+    assert finalize(lww_reduce(t))["text"].to_pylist() == ["newer-ts"]
+
+
+def test_delete_tombstone_drops_key():
+    t = mk(
+        [
+            ("I", 1, "a", 0, "user", "v1", None, 100),
+            ("D", 2, "a", 0, None, None, None, 200),
+            ("I", 3, "a", 1, "user", "stays", None, 100),
+        ]
+    )
+    out = finalize(lww_reduce(t))
+    assert out["text"].to_pylist() == ["stays"]
+
+
+def test_update_after_delete_resurrects():
+    t = mk(
+        [
+            ("I", 1, "a", 0, "user", "v1", None, 100),
+            ("D", 2, "a", 0, None, None, None, 200),
+            ("U", 3, "a", 0, "user", "back", None, 300),
+        ]
+    )
+    assert finalize(lww_reduce(t))["text"].to_pylist() == ["back"]
+
+
+def test_delete_of_never_inserted_key():
+    t = mk([("D", 1, "ghost", 0, None, None, None, 100)])
+    assert finalize(lww_reduce(t)).num_rows == 0
+
+
+def test_merge_into_state_keeps_tombstone_across_commits():
+    # chunk 1: insert then delete (delete has LATER ts)
+    c1 = mk(
+        [
+            ("I", 1, "a", 0, "user", "v1", None, 100),
+            ("D", 2, "a", 0, None, None, None, 500),
+        ]
+    )
+    state = lww_reduce(c1)
+    # chunk 2: late event with later lsn but EARLIER ts → tombstone must win
+    c2 = mk([("U", 3, "a", 0, "user", "late", None, 200)])
+    state = merge_into_state(state, lww_reduce(c2))
+    assert finalize(state).num_rows == 0
+    # a genuinely newer event resurrects
+    c3 = mk([("I", 4, "a", 0, "user", "new", None, 600)])
+    state = merge_into_state(state, lww_reduce(c3))
+    assert finalize(state)["text"].to_pylist() == ["new"]
+
+
+def test_reduce_matches_oracle_random():
+    spec = GenSpec(num_events=20_000, num_convs=50, max_turns=16, seed=7)
+    t = _gen_chunk(spec, 0, spec.num_events)
+    got = finalize(lww_reduce(t))
+    want = oracle_final_state([t])
+    assert got.num_rows == want.num_rows
+    got = got.combine_chunks()
+    for col in want.column_names:
+        assert got[col].to_pylist() == want[col].to_pylist(), col
+
+
+def test_reduce_is_associative_across_chunks():
+    spec = GenSpec(num_events=10_000, num_convs=30, max_turns=8, seed=11)
+    t = _gen_chunk(spec, 0, spec.num_events)
+    whole = finalize(lww_reduce(t))
+    state = lww_reduce(t.slice(0, 3000))
+    state = merge_into_state(state, lww_reduce(t.slice(3000, 4000)))
+    state = merge_into_state(state, lww_reduce(t.slice(7000)))
+    inc = finalize(state)
+    assert inc.equals(whole.combine_chunks()) or (
+        inc.to_pydict() == whole.to_pydict()
+    )
+
+
+def test_schema_evolution_epoch0_reconcile():
+    spec = GenSpec(num_events=5_000, num_convs=20, seed=3)
+    full = _gen_chunk(spec, 0, spec.num_events)
+    e0 = to_epoch0(full.slice(0, 2500))
+    e1 = full.slice(2500)
+    target = unify([e0.schema, e1.schema])
+    assert target.field("ts").type == pa.timestamp("us")
+    assert "tool" in target.names
+    r0, r1 = reconcile(e0, target), reconcile(e1, target)
+    assert r0.schema.names == r1.schema.names
+    merged = finalize(lww_reduce(pa.concat_tables([r0.select(r1.column_names), r1])))
+    want = oracle_final_state([e0, e1])
+    assert merged.num_rows == want.num_rows
+    # epoch-0 rows have null tool and second-truncated ts
+    assert merged["text"].to_pylist() == want["text"].to_pylist()
+    assert merged["ts"].to_pylist() == want["ts"].to_pylist()
+
+
+def test_empty_and_single_row():
+    assert finalize(lww_reduce(BINLOG_SCHEMA.empty_table())).num_rows == 0
+    one = mk([("I", 1, "a", 0, "user", "x", None, 1)])
+    assert finalize(lww_reduce(one))["text"].to_pylist() == ["x"]
+    assert finalize(one).schema.names == LAKE_SCHEMA.names
