@@ -1,44 +1,183 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is a Ray-Data pipeline from grate_ray (SURVEY.md
+§2 operators recast per the CDC graft); ``oracle_sql()`` gives the DuckDB
+equivalent over the same parquet views. The CDC binlog is *derived* from
+the ``events`` table with pure modular arithmetic so both sides compute
+from identical inputs (grate_ray/sources/derive.py).
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _binlog(sf_dir: str):
+    from grate_ray.sources.derive import binlog_from_events
+
+    return binlog_from_events(sf_dir)
+
+
+# --- CDC queries -------------------------------------------------------------
+
+
+def q_cdc_apply(sf_dir: str):
+    """Flagship: full binlog replay → lake final state (LWW by (ts,lsn),
+    tombstones dropped). SURVEY.md §2 T1/T2, §2.7."""
+    from grate_ray.pipelines.cdc import apply_binlog
+
+    return apply_binlog(_binlog(sf_dir), num_partitions=16)
+
+
+def q_cdc_apply_salted(sf_dir: str):
+    """Same result via the salted two-phase merge path (skew handling, §4)."""
+    from grate_ray.pipelines.cdc import apply_binlog
+    from grate_ray.stages.partition import find_hot_keys
+
+    ds = _binlog(sf_dir)
+    hot = find_hot_keys(ds, threshold_frac=0.01)
+    return apply_binlog(_binlog(sf_dir), num_partitions=16, hot_keys=hot, num_salts=4)
+
+
+def q_cdc_op_counts(sf_dir: str):
+    """Per-op event counts (streaming counters, SURVEY.md §2.5)."""
+    from ray.data.aggregate import Count
+
+    return _binlog(sf_dir).groupby("op").aggregate(Count(alias_name="n"))
+
+
+def q_cdc_conv_stats(sf_dir: str):
+    """Per-conversation lineage rollup: event counts by op + max lsn."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def indicators(t: pa.Table) -> pa.Table:
+        op = t["op"]
+        for name, val in (("is_i", "I"), ("is_u", "U"), ("is_d", "D")):
+            t = t.append_column(
+                name, pc.cast(pc.equal(op, val), pa.int64())
+            )
+        return t
+
+    ds = _binlog(sf_dir).map_batches(indicators, batch_format="pyarrow")
+    return ds.groupby("conv_id").aggregate(
+        Count(alias_name="n_events"),
+        Sum("is_i", alias_name="n_inserts"),
+        Sum("is_u", alias_name="n_updates"),
+        Sum("is_d", alias_name="n_deletes"),
+        Max("lsn", alias_name="max_lsn"),
+    )
+
+
+def q_cdc_schema_evolution(sf_dir: str):
+    """Mixed-epoch replay: even-lsn events are downgraded to the epoch-0
+    physical schema (no tool, ts→int32 seconds), reconciled via the
+    widening lattice, then merged. SURVEY.md §1.3 / stages/evolve.py."""
+    from grate_ray.pipelines.cdc import apply_binlog
+    from grate_ray.stages.evolve import make_reconciler, unify
+    from grate_ray.schema import BINLOG_SCHEMA, BINLOG_SCHEMA_EPOCH0
+
+    def downgrade(t: pa.Table) -> pa.Table:
+        even = pc.equal(pc.bit_wise_and(t["lsn"], pa.scalar(1, pa.int64())), 0)
+        e0 = t.filter(even)
+        ts_s = pc.cast(
+            pc.divide(e0["ts"].cast(pa.int64()), pa.scalar(1_000_000, pa.int64())),
+            pa.int32(),
+        )
+        e0 = pa.table(
+            {
+                "op": e0["op"], "lsn": e0["lsn"], "conv_id": e0["conv_id"],
+                "turn_idx": e0["turn_idx"], "role": e0["role"],
+                "text": e0["text"], "ts": ts_s,
+            },
+            schema=BINLOG_SCHEMA_EPOCH0,
+        )
+        return e0
+
+    def keep_odd(t: pa.Table) -> pa.Table:
+        odd = pc.equal(pc.bit_wise_and(t["lsn"], pa.scalar(1, pa.int64())), 1)
+        return t.filter(odd)
+
+    target = unify([BINLOG_SCHEMA_EPOCH0, BINLOG_SCHEMA])
+    e0 = _binlog(sf_dir).map_batches(downgrade, batch_format="pyarrow").map_batches(
+        make_reconciler(target), batch_format="pyarrow"
+    )
+    e1 = _binlog(sf_dir).map_batches(keep_odd, batch_format="pyarrow").map_batches(
+        make_reconciler(target), batch_format="pyarrow"
+    )
+    return apply_binlog(e0.union(e1), num_partitions=16)
+
+
+def q_transcript_turn_counts(sf_dir: str):
+    """Live turns per conversation+role after replay (final-state rollup)."""
+    from ray.data.aggregate import Count
+    from grate_ray.pipelines.cdc import apply_binlog
+
+    lake = apply_binlog(_binlog(sf_dir), num_partitions=16)
+    return lake.groupby(["conv_id", "role"]).aggregate(Count(alias_name="n_turns"))
+
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "cdc_apply": q_cdc_apply,
+    "cdc_apply_salted": q_cdc_apply_salted,
+    "cdc_op_counts": q_cdc_op_counts,
+    "cdc_conv_stats": q_cdc_conv_stats,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "transcript_turn_counts": q_transcript_turn_counts,
+}
+
+
+def _oracle() -> dict[str, str]:
+    from grate_ray.sources.derive import BINLOG_SQL, LWW_FINAL_SQL
+
+    lww = LWW_FINAL_SQL.format(binlog=BINLOG_SQL)
+    evolved_binlog = f"""
+SELECT op, lsn, conv_id, turn_idx, role, text,
+       CASE WHEN lsn % 2 = 0 THEN NULL ELSE tool END AS tool,
+       CASE WHEN lsn % 2 = 0 THEN date_trunc('second', ts) ELSE ts END AS ts
+FROM ({BINLOG_SQL}) base
+"""
+    return {
+        "cdc_apply": lww,
+        "cdc_apply_salted": lww,
+        "cdc_op_counts": f"SELECT op, count(*) AS n FROM ({BINLOG_SQL}) b GROUP BY op",
+        "cdc_conv_stats": f"""
+SELECT conv_id,
+       count(*) AS n_events,
+       CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       max(lsn) AS max_lsn
+FROM ({BINLOG_SQL}) b GROUP BY conv_id""",
+        "cdc_schema_evolution": LWW_FINAL_SQL.format(binlog=evolved_binlog),
+        "transcript_turn_counts": f"""
+SELECT conv_id, role, count(*) AS n_turns
+FROM ({lww}) lake GROUP BY conv_id, role""",
+    }
+
+
+# --- driver entry points -----------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    return q_cdc_apply("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _oracle()

@@ -1,0 +1,157 @@
+"""Benchmark harness: headline CDC replay throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
+
+``--scaling`` runs the headline replay at num_cpus=8 and num_cpus=32 in
+fresh subprocesses on the same cached input and reports both throughputs
+plus scaling efficiency (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EVENTS_PER_SF = 30_000_000  # sf0.1 → 3M events
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_binlog_dir(sf: float) -> tuple[str, int]:
+    from grate_ray.genlog import GenSpec, generate_binlog
+
+    n = max(100_000, int(EVENTS_PER_SF * sf))
+    d = f"/tmp/graft_bench/binlog_sf{sf}"
+    spec = GenSpec(
+        num_events=n,
+        num_convs=max(200, n // 500),
+        max_turns=64,
+        seed=42,
+        zipf_a=1.1,
+        epoch0_frac=0.25,
+        chunk_rows=250_000,
+    )
+    generate_binlog(d, spec)  # cached via _SPEC sentinel
+    return d, n
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from grate_ray.pipelines.cdc import apply_binlog, read_binlog
+    from grate_ray.stages.partition import find_hot_keys
+
+    sf = sf_of(SF_DIR)
+    binlog_dir, n_events = bench_binlog_dir(sf)
+
+    # warm OS page cache (untimed): one full untimed read
+    read_binlog(binlog_dir).count()
+
+    out = "/tmp/graft_bench/lake"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    hot = find_hot_keys(read_binlog(binlog_dir), threshold_frac=0.05)
+    lake = apply_binlog(
+        read_binlog(binlog_dir), num_partitions=64, hot_keys=hot, num_salts=8
+    )
+    lake.write_parquet(out)
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "events": n_events, "events_per_sec": n_events / dt}
+
+
+def run_queries() -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "iter_batches"):  # Dataset: consume streaming
+            sum(b.num_rows for b in res.iter_batches(batch_format="pyarrow"))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        tput8 = results[8]["events_per_sec"]
+        tput32 = results[32]["events_per_sec"]
+        eff = (tput32 / tput8) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_replay_scaling",
+                    "events_per_sec_8cpu": round(tput8),
+                    "events_per_sec_32cpu": round(tput32),
+                    "sec_8cpu": round(results[8]["value"], 2),
+                    "sec_32cpu": round(results[32]["value"], 2),
+                    "scaling_efficiency": round(eff, 3),
+                    "sf": sf_of(SF_DIR),
+                }
+            )
+        )
+        return
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    headline = run_headline(NUM_CPUS)
+    queries = {} if "--headline-only" in sys.argv else run_queries()
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_to_committed_lake_sec",
+                "value": round(headline["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_of(SF_DIR),
+                "num_cpus": NUM_CPUS,
+                "events": headline["events"],
+                "events_per_sec": round(headline["events_per_sec"]),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
