@@ -128,6 +128,97 @@ def q_transcript_turn_counts(sf_dir: str):
     return lake.groupby(["conv_id", "role"]).aggregate(Count(alias_name="n_turns"))
 
 
+# --- extraction / decode queries (S1-S4, T4-T7, T18) -------------------------
+
+
+def q_decode_roundtrip_nation(sf_dir: str):
+    """Frame nation as sharded TSV payloads → registry sniff/decode →
+    typed scan; round trip must restore the table exactly."""
+    from grate_ray.pipelines.extract import roundtrip
+
+    return roundtrip(
+        sf_dir, "nation",
+        ["n_nationkey", "n_name", "n_regionkey"],
+        [pa.int32(), pa.string(), pa.int32()],
+        key_col="n_nationkey", group_mod=5, sep="\t",
+    )
+
+
+def q_decode_roundtrip_customer(sf_dir: str):
+    """Same round trip through the CSV decoder (priority dispatch)."""
+    from grate_ray.pipelines.extract import roundtrip
+
+    return roundtrip(
+        sf_dir, "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        [pa.int64(), pa.string(), pa.int32(), pa.float64(), pa.string()],
+        key_col="c_custkey", group_mod=16, sep=",",
+    )
+
+
+def q_decode_sniff_counts(sf_dir: str):
+    """Mixed tsv/csv/malformed corpus → per-detected-format counts;
+    malformed payloads dead-letter, never crash."""
+    from grate_ray.pipelines.extract import sniff_mixed_documents
+
+    return sniff_mixed_documents(sf_dir)
+
+
+def q_text_normalize(sf_dir: str):
+    """T18 whitespace normalization + blank-row drop over documents."""
+    import ray.data
+    from grate_ray.functions.text import normalize_text
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_text(t["text"])
+        out = pa.table({"doc_id": t["doc_id"], "norm_text": norm})
+        return out.filter(pc.not_equal(out["norm_text"], ""))
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    """Quality features + pass flag per document (training-data scoring)."""
+    import ray.data
+    from grate_ray.functions.text import quality_features
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(quality_features, batch_format="pyarrow")
+
+
+def q_text_langid(sf_dir: str):
+    """Stopword-marker language ID → counts per predicted language."""
+    import ray.data
+    from ray.data.aggregate import Count
+    from grate_ray.functions.text import lang_id, normalize_text
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "pred_lang": lang_id(normalize_text(t["text"]))}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+    return ds.groupby("pred_lang").aggregate(Count(alias_name="n"))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """64-bit content fingerprints (rolling-hash analogue; rows-only check)."""
+    import ray.data
+    from grate_ray.functions.text import fingerprint64
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "fp": fingerprint64(t["text"])})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_apply": q_cdc_apply,
     "cdc_apply_salted": q_cdc_apply_salted,
@@ -135,7 +226,60 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_conv_stats": q_cdc_conv_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "transcript_turn_counts": q_transcript_turn_counts,
+    "decode_roundtrip_nation": q_decode_roundtrip_nation,
+    "decode_roundtrip_customer": q_decode_roundtrip_customer,
+    "decode_sniff_counts": q_decode_sniff_counts,
+    "text_normalize": q_text_normalize,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "doc_fingerprint": q_doc_fingerprint,
 }
+
+
+# SQL mirrors of grate_ray/functions/text.py kernels (same length-diff
+# tricks, same marker order)
+_QUALITY_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ')) = 0
+              THEN 0
+              ELSE length(trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' '))
+                   - length(replace(trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' '), ' ', ''))
+                   + 1 END AS n_tokens,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       CAST(n_digits AS BIGINT) AS n_digits,
+       CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+       CAST(n_digits AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+       CAST(CASE WHEN n_tokens BETWEEN 5 AND 1000
+                  AND CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) < 0.2
+                  AND CAST(n_digits AS DOUBLE) / greatest(n_chars, 1) < 0.3
+            THEN 1 ELSE 0 END AS INTEGER) AS quality_ok
+FROM feats"""
+
+_LANGID_SQL = """
+WITH padded AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') || ' ' AS p
+  FROM documents
+), pred AS (
+  SELECT doc_id,
+         CASE WHEN position(' 的 ' IN p) > 0 THEN 'zh'
+              WHEN position(' el ' IN p) > 0 THEN 'es'
+              WHEN position(' der ' IN p) > 0 THEN 'de'
+              WHEN position(' le ' IN p) > 0 THEN 'fr'
+              WHEN position(' the ' IN p) > 0 THEN 'en'
+              ELSE 'und' END AS pred_lang
+  FROM padded
+)
+SELECT pred_lang, count(*) AS n FROM pred GROUP BY pred_lang"""
 
 
 def _oracle() -> dict[str, str]:
@@ -164,6 +308,22 @@ FROM ({BINLOG_SQL}) b GROUP BY conv_id""",
         "transcript_turn_counts": f"""
 SELECT conv_id, role, count(*) AS n_turns
 FROM ({lww}) lake GROUP BY conv_id, role""",
+        "decode_roundtrip_nation": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "decode_roundtrip_customer": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+        ),
+        "decode_sniff_counts": """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'tsv' WHEN 1 THEN 'csv'
+       ELSE 'deadletter' END AS format,
+       count(*) AS n
+FROM documents GROUP BY 1""",
+        "text_normalize": """
+SELECT doc_id,
+       trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') AS norm_text
+FROM documents
+WHERE trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') <> ''""",
+        "text_quality": _QUALITY_SQL,
+        "text_langid": _LANGID_SQL,
     }
 
 

@@ -65,8 +65,8 @@ def run_headline(num_cpus: int) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from grate_ray.pipelines.cdc import apply_binlog, read_binlog
-    from grate_ray.stages.partition import find_hot_keys
+    from grate_ray.pipelines.cdc import read_binlog
+    from grate_ray.pipelines.ingest import ingest
 
     sf = sf_of(SF_DIR)
     binlog_dir, n_events = bench_binlog_dir(sf)
@@ -74,15 +74,22 @@ def run_headline(num_cpus: int) -> dict:
     # warm OS page cache (untimed): one full untimed read
     read_binlog(binlog_dir).count()
 
+    # headline = the real thing: exactly-once ingest to committed lake state
+    # (snapshots + manifests), not just a transform+write
     out = "/tmp/graft_bench/lake"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
-    hot = find_hot_keys(read_binlog(binlog_dir), threshold_frac=0.05)
-    lake = apply_binlog(
-        read_binlog(binlog_dir), num_partitions=64, hot_keys=hot, num_salts=8
+    metrics = ingest(
+        binlog_dir, out, num_partitions=64, files_per_microbatch=4,
+        merger_concurrency=(1, 16),
     )
-    lake.write_parquet(out)
     dt = time.perf_counter() - t0
+    applied = sum(
+        n for n, s in zip(
+            metrics["n_events"].to_pylist(), metrics["skipped"].to_pylist()
+        ) if not s
+    )
+    assert applied == n_events, (applied, n_events)
     return {"sec": dt, "events": n_events, "events_per_sec": n_events / dt}
 
 

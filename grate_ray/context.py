@@ -1,0 +1,32 @@
+"""Ray Data execution tuning for the engine's pipelines.
+
+Measured on the sf0.1 bench binlog (3M events, 32 CPUs): the default
+SORT_SHUFFLE_PULL_BASED strategy ran the groupby exchange in ~40s (its
+sort-map stage serialized into one task); HASH_SHUFFLE with parallelism
+matched to the partition count and a small aggregator pool runs the same
+exchange in ~2.5s. Partial-reduce batches of 500k rows collapse ~2×
+before the shuffle (vs ~1.3× at Ray's default ~10k block splits).
+
+These are DataContext-level knobs (global per session); we only touch
+shuffle settings, and derive sizes from the session's CPU count so the
+same code tunes itself at num_cpus=8 and 32 (and on a real cluster).
+"""
+
+from __future__ import annotations
+
+REDUCE_BATCH_SIZE = 500_000  # rows per partial-reduce batch
+
+
+def configure_shuffle(num_partitions: int) -> None:
+    import ray
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    ctx.default_hash_shuffle_parallelism = max(8, min(num_partitions, cpus))
+    ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)

@@ -1,0 +1,116 @@
+"""Text analysis kernels: normalization, token counting, quality scoring,
+language-ID, fingerprinting — all vectorized Arrow/numpy, all (except the
+fingerprint) designed to be mirrored exactly in ANSI SQL for the oracle.
+
+Normalization mirrors the reference CLI's cell cleanup: collapse
+``[ \\n\\r\\t]+`` to one space, trim, drop blank rows
+(/root/reference/cmd/grate2tsv/main.go:162-164,231-259).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WS_PATTERN = r"[ \n\r\t]+"
+
+
+def normalize_text(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    out = pc.replace_substring_regex(col, pattern=WS_PATTERN, replacement=" ")
+    return pc.utf8_trim(out, characters=" ")
+
+
+def token_count(norm: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Whitespace token count of already-normalized text:
+    len(norm) - len(replace(norm,' ','')) + 1, 0 for empty."""
+    n = pc.utf8_length(norm)
+    no_sp = pc.utf8_length(pc.replace_substring(norm, pattern=" ", replacement=""))
+    toks = pc.add(pc.subtract(n, no_sp), 1)
+    return pc.if_else(pc.equal(n, 0), pa.scalar(0, toks.type), toks)
+
+
+def _count_kept(col, keep_class: str):
+    """#chars in a class = len(regexp_replace(text, '[^class]', ''))."""
+    kept = pc.replace_substring_regex(
+        col, pattern=f"[^{keep_class}]", replacement=""
+    )
+    return pc.utf8_length(kept)
+
+
+def quality_features(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic quality features + score over a text column.
+
+    Every feature is a length-difference trick so the DuckDB oracle can
+    reproduce it exactly:
+      n_chars, n_tokens, punct (.,!?;:), digits, alpha ratio,
+      quality_score = n_tokens in [5,1000] and punct_ratio < 0.2
+                      and digit_ratio < 0.3 (as int 0/1).
+    """
+    text = t[text_col]
+    norm = normalize_text(text)
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_tokens = token_count(norm).cast(pa.int64())
+    n_punct = _count_kept(text, r".,!?;:").cast(pa.int64())
+    n_digit = _count_kept(text, r"0-9").cast(pa.int64())
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())).cast(pa.float64())
+    punct_ratio = pc.divide(n_punct.cast(pa.float64()), denom)
+    digit_ratio = pc.divide(n_digit.cast(pa.float64()), denom)
+    ok = pc.and_(
+        pc.and_(
+            pc.greater_equal(n_tokens, 5),
+            pc.less_equal(n_tokens, 1000),
+        ),
+        pc.and_(pc.less(punct_ratio, 0.2), pc.less(digit_ratio, 0.3)),
+    )
+    out = t.select([c for c in t.column_names if c != text_col])
+    for name, col in [
+        ("n_chars", n_chars),
+        ("n_tokens", n_tokens),
+        ("n_punct", n_punct),
+        ("n_digits", n_digit),
+        ("punct_ratio", punct_ratio),
+        ("digit_ratio", digit_ratio),
+        ("quality_ok", pc.cast(ok, pa.int32())),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
+# language-ID: ordered stopword heuristic; first match wins. The SQL mirror
+# is a CASE expression with the same patterns in the same order.
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("zh", " 的 "),
+    ("es", " el "),
+    ("de", " der "),
+    ("fr", " le "),
+    ("en", " the "),
+]
+
+
+def lang_id(norm: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """N-gram-marker language guess over normalized text; 'und' if no
+    marker hits. Padded with spaces so markers match whole tokens."""
+    padded = pc.binary_join_element_wise(pa.scalar(" "), norm, pa.scalar(" "), "")
+    guess = pa.nulls(len(padded), pa.string())
+    done = pa.array(np.zeros(len(padded), dtype=bool))
+    for code, marker in LANG_MARKERS:
+        hit = pc.match_substring(padded, marker)
+        take = pc.and_(hit, pc.invert(done))
+        guess = pc.if_else(take, pa.scalar(code), guess)
+        done = pc.or_(done, hit)
+    return pc.if_else(done, guess, pa.scalar("und"))
+
+
+def fingerprint64(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Deterministic 64-bit document fingerprint (blake2b-8 per doc; the
+    digest loop is C-speed — no SQL oracle, rows-only check)."""
+    import hashlib
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, v in enumerate(texts.to_pylist()):
+        d = hashlib.blake2b((v or "").encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little", signed=True)
+    return pa.array(out)

@@ -80,7 +80,12 @@ def apply_binlog(
     """Reduce a binlog Dataset to the lake final state (a lake-schema
     Dataset, key-sorted within partition). The only shuffle is the
     groupby on the partition column."""
-    ds = ds.map_batches(lww_reduce, batch_format="pyarrow")
+    from ..context import REDUCE_BATCH_SIZE, configure_shuffle
+
+    configure_shuffle(num_partitions)
+    ds = ds.map_batches(
+        lww_reduce, batch_format="pyarrow", batch_size=REDUCE_BATCH_SIZE
+    )
 
     if hot_keys:
         # two-phase salted merge: partial reduce per (part, salt) sub-shard,
@@ -97,6 +102,11 @@ def apply_binlog(
         ds = ds.map_batches(
             lambda t: spart_to_part(t, num_salts), batch_format="pyarrow"
         )
+        # coalesce between the two shuffles: map_groups can emit schema-less
+        # empty blocks for empty hash partitions, and Ray's hash-shuffle
+        # schema broadcast poisons downstream aggregators if such a block is
+        # shuffled first; repartition rebuilds blocks and drops empties
+        ds = ds.repartition(max(2, num_partitions // 4))
     else:
         ds = ds.map_batches(
             lambda t: add_partition_column(t, num_partitions),

@@ -1,0 +1,260 @@
+"""Incremental, exactly-once, resumable ingest: binlog tail → Parquet lake.
+
+The driver loop tails the binlog in LSN micro-batches (SURVEY.md §3.4). Each
+micro-batch is ONE streaming Dataset execution:
+
+    read_parquet(pending chunk files — file-level LSN pruning)
+      → map_batches(reconcile)            # schema evolution
+      → map_batches(lww_reduce)           # partial combine pre-shuffle
+      → groupby(part).map_groups(PartitionMerger, concurrency=N)
+            # stateful actor pool: per-partition sorted merge buffer,
+            # loads lake state once (ST1-ST3 load-once analogue,
+            # /root/reference/xls/xls.go:248-263), merges, commits manifest
+      → tiny metrics dataset (one row per partition commit)
+
+Exactly-once: Ray retries tasks at-least-once, so the *commit* is the only
+side effect and is idempotent — keyed by (partition, lsn_hi), temp-file +
+rename (state/manifest.py). Re-merging already-applied events is itself a
+semantic no-op (LWW argmax against state that already contains a winner
+with ≥ (ts, lsn)), so retries can't corrupt state either.
+
+Resume: a killed job restarts, reads per-partition high-water marks, prunes
+binlog files whose lsn range every partition has committed, and skips
+already-committed partitions inside the merger.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..schema import BINLOG_SCHEMA
+from ..stages.evolve import make_reconciler, unify
+from ..stages.merge import (
+    COUNT_COLS,
+    finalize,
+    lww_reduce,
+    lww_reduce_counted,
+    merge_into_state,
+)
+from ..stages.partition import add_partition_column
+from ..state.manifest import (
+    commit_partition,
+    committed_lsn,
+    read_state,
+)
+
+METRICS_SCHEMA = pa.schema(
+    [
+        pa.field("part", pa.int32()),
+        pa.field("lsn_lo", pa.int64()),
+        pa.field("lsn_hi", pa.int64()),
+        pa.field("n_events", pa.int64()),
+        pa.field("n_inserts", pa.int64()),
+        pa.field("n_updates", pa.int64()),
+        pa.field("n_deletes", pa.int64()),
+        pa.field("live_rows", pa.int64()),
+        pa.field("skipped", pa.bool_()),
+    ]
+)
+
+
+class PartitionMerger:
+    """Actor-pool merge stage (one call per partition group).
+
+    Holds per-partition sorted merge buffers: lake-partition state is read
+    once per actor and cached across calls; incoming group events are
+    LWW-reduced (sorted) and merged in. The commit (snapshot + manifest) is
+    the only side effect and is idempotent.
+    """
+
+    def __init__(self, lake_dir: str, lsn_lo: int, lsn_hi: int):
+        self.lake_dir = lake_dir
+        self.lsn_lo = lsn_lo
+        self.lsn_hi = lsn_hi
+        self.state_cache: dict[int, pa.Table] = {}
+
+    def _metrics_row(self, part: int, counts: dict | None, live: int, skipped: bool) -> pa.Table:
+        counts = counts or {}
+        n = counts.get("cnt_events", 0)
+        n_i = counts.get("cnt_i", 0)
+        n_u = counts.get("cnt_u", 0)
+        n_d = counts.get("cnt_d", 0)
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "lsn_lo": pa.array([self.lsn_lo], pa.int64()),
+                "lsn_hi": pa.array([self.lsn_hi], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "n_inserts": pa.array([n_i], pa.int64()),
+                "n_updates": pa.array([n_u], pa.int64()),
+                "n_deletes": pa.array([n_d], pa.int64()),
+                "live_rows": pa.array([live], pa.int64()),
+                "skipped": pa.array([skipped], pa.bool_()),
+            },
+            schema=METRICS_SCHEMA,
+        )
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = group["part"][0].as_py()
+        events = group.drop_columns(["part"])
+
+        hw = committed_lsn(self.lake_dir, part)
+        if hw is not None and hw >= self.lsn_hi:
+            # exactly-once: this (partition, micro-batch) is already durable
+            return self._metrics_row(part, None, -1, True)
+
+        state = self.state_cache.get(part)
+        if state is None:
+            state = read_state(self.lake_dir, part)
+        if hw is not None:
+            # drop replayed winners at-or-below the high-water mark so
+            # metrics count each event exactly once under a resume (merge
+            # itself is idempotent either way); exactness assumes stable
+            # micro-batch boundaries across resumes
+            events = events.filter(pc.greater(events["lsn"], hw))
+
+        # exact raw-event counts carried through the partial reduces
+        counts = {
+            c: int(pc.sum(events[c]).as_py() or 0)
+            for c in COUNT_COLS
+            if c in events.column_names
+        }
+        events = events.drop_columns([c for c in COUNT_COLS if c in events.column_names])
+        if state is not None and state.column_names != events.column_names:
+            # lake snapshot predates a schema evolution in this micro-batch:
+            # widen the persisted state to the incoming unified schema
+            from ..stages.evolve import reconcile, unify as _unify
+
+            state = reconcile(state, _unify([state.schema, events.schema])).select(
+                events.column_names
+            )
+
+        reduced = lww_reduce(events)
+        new_state = (
+            reduced if state is None or state.num_rows == 0
+            else merge_into_state(state, reduced)
+        )
+        self.state_cache[part] = new_state
+        live = int(pc.sum(pc.cast(pc.not_equal(new_state["op"], "D"), pa.int64())).as_py() or 0)
+        commit_partition(
+            self.lake_dir, part, self.lsn_lo, self.lsn_hi, new_state, counts
+        )
+        return self._metrics_row(part, counts, live, False)
+
+
+def _chunk_lsn_ranges(files: list[str]) -> list[tuple[str, int, int]]:
+    """(file, lsn_min, lsn_max) per chunk file, from parquet stats."""
+    out = []
+    for f in files:
+        md = pq.read_metadata(f)
+        schema_names = md.schema.to_arrow_schema().names
+        col = schema_names.index("lsn")
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            if st is not None and st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:  # no stats: read the column
+            t = pq.read_table(f, columns=["lsn"])
+            lo = pc.min(t["lsn"]).as_py()
+            hi = pc.max(t["lsn"]).as_py()
+        out.append((f, int(lo), int(hi)))
+    return sorted(out, key=lambda x: x[1])
+
+
+def ingest(
+    binlog_path: str,
+    lake_dir: str,
+    num_partitions: int = 32,
+    files_per_microbatch: int = 8,
+    max_microbatches: int | None = None,
+    merger_concurrency: int | tuple[int, int] = (1, 8),
+) -> pa.Table:
+    """Tail the binlog into the lake; returns the metrics table (one row per
+    partition commit across all micro-batches run)."""
+    from .cdc import list_binlog_files
+
+    os.makedirs(lake_dir, exist_ok=True)
+    files = list_binlog_files(binlog_path)
+    ranges = _chunk_lsn_ranges(files)
+
+    # global resume point: files whose entire lsn range is committed by
+    # EVERY partition that has any commit can be pruned at the read
+    hws = [committed_lsn(lake_dir, p) for p in range(num_partitions)]
+    known = [h for h in hws if h is not None]
+    global_hw = min(known) if len(known) == num_partitions else None
+
+    pending = [r for r in ranges if global_hw is None or r[2] > global_hw]
+    metrics_tables: list[pa.Table] = []
+    n_batches = 0
+    for i in range(0, len(pending), files_per_microbatch):
+        if max_microbatches is not None and n_batches >= max_microbatches:
+            break
+        batch = pending[i : i + files_per_microbatch]
+        fpaths = [b[0] for b in batch]
+        lsn_lo = min(b[1] for b in batch)
+        lsn_hi = max(b[2] for b in batch)
+
+        by_schema: dict[str, tuple[pa.Schema, list[str]]] = {}
+        for f in fpaths:
+            s = pq.read_schema(f)
+            by_schema.setdefault(s.to_string(), (s, []))[1].append(f)
+        target = unify([s for s, _ in by_schema.values()] + [BINLOG_SCHEMA])
+        parts = []
+        for s, group in by_schema.values():
+            d = ray.data.read_parquet(group)
+            if not s.equals(target):
+                d = d.map_batches(make_reconciler(target), batch_format="pyarrow")
+            parts.append(d)
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+
+        from ..context import REDUCE_BATCH_SIZE, configure_shuffle
+
+        configure_shuffle(num_partitions)
+        ds = ds.map_batches(
+            lww_reduce_counted, batch_format="pyarrow", batch_size=REDUCE_BATCH_SIZE
+        ).map_batches(
+            lambda t: add_partition_column(t, num_partitions),
+            batch_format="pyarrow",
+        )
+        metrics_ds = ds.groupby("part").map_groups(
+            PartitionMerger,
+            fn_constructor_args=(lake_dir, lsn_lo, lsn_hi),
+            batch_format="pyarrow",
+            concurrency=merger_concurrency,
+        )
+        # consume exactly once (a second pass would re-run the merge actors)
+        batches = list(metrics_ds.iter_batches(batch_format="pyarrow"))
+        mt = pa.concat_tables(batches) if batches else METRICS_SCHEMA.empty_table()
+        metrics_tables.append(mt)
+        n_batches += 1
+
+    if not metrics_tables:
+        return METRICS_SCHEMA.empty_table()
+    return pa.concat_tables(metrics_tables)
+
+
+def read_lake(lake_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    """The live view of the lake: latest committed snapshot per partition,
+    tombstones dropped, key-sorted within partition."""
+    latest = []
+    for p in range(num_partitions):
+        hw = committed_lsn(lake_dir, p)
+        if hw is not None:
+            from ..state.manifest import state_path
+
+            latest.append(state_path(lake_dir, p, hw))
+    if not latest:
+        from ..schema import empty_lake_table
+
+        return ray.data.from_arrow(empty_lake_table())
+    ds = ray.data.read_parquet(latest)
+    return ds.map_batches(finalize, batch_format="pyarrow")

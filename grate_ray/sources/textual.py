@@ -1,0 +1,71 @@
+"""TSV / CSV payload decoders with the reference's acceptance heuristic.
+
+Mirrors ``simple/tsv.go`` and ``simple/csv.go``: read all rows, build a
+column-count histogram, accept iff >80% of rows share one column count and
+that count is >1 (/root/reference/simple/tsv.go:41-54, csv.go:49-63; ragged
+rows are allowed up to that 20% budget, kept at their own length and padded
+blank on render — blank ≡ empty string, SURVEY.md §1.2).
+
+Output: a ``pyarrow.Table`` of string columns ``c0..c{n-1}`` (n = dominant
+column count), rows padded/truncated to n, plus the original row index.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+from collections import Counter
+
+import pyarrow as pa
+
+from .registry import NotInFormat
+
+MIN_ACCEPT_FRAC = 0.8
+
+
+def _is_blank(r: list[str]) -> bool:
+    return not r or (len(r) == 1 and r[0] == "")
+
+
+def _to_table(rows: list[list[str]]) -> pa.Table:
+    counts = Counter(len(r) for r in rows if not _is_blank(r))
+    if not counts:
+        raise NotInFormat("no rows")
+    ncols, freq = counts.most_common(1)[0]
+    nonempty = sum(counts.values())
+    if ncols <= 1 or freq / nonempty <= MIN_ACCEPT_FRAC:
+        raise NotInFormat(
+            f"dominant column count {ncols} covers {freq}/{nonempty} rows"
+        )
+    cols: list[list[str]] = [[] for _ in range(ncols)]
+    row_idx: list[int] = []
+    for i, r in enumerate(rows):
+        if _is_blank(r):
+            continue  # blank-row skip (≅ grate2tsv main.go:231-259)
+        row_idx.append(i)
+        for c in range(ncols):
+            cols[c].append(r[c] if c < len(r) else "")
+    data = {"row_idx": pa.array(row_idx, pa.int32())}
+    for c in range(ncols):
+        data[f"c{c}"] = pa.array(cols[c], pa.string())
+    return pa.table(data)
+
+
+def decode_tsv(payload: str) -> pa.Table:
+    lines = payload.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    if not lines:
+        raise NotInFormat("empty payload")
+    rows = [ln.rstrip("\r").split("\t") for ln in lines]
+    # a TSV payload must actually contain tabs (the reference's heuristic
+    # rejects count==1, which covers this)
+    return _to_table(rows)
+
+
+def decode_csv(payload: str) -> pa.Table:
+    try:
+        rows = list(_csv.reader(io.StringIO(payload)))
+    except _csv.Error as e:  # parse error → not this format (csv.go:36-45)
+        raise NotInFormat(str(e)) from e
+    return _to_table(rows)

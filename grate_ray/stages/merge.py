@@ -56,6 +56,43 @@ def lww_reduce(t: pa.Table) -> pa.Table:
     return t.take(pa.array(winners))
 
 
+COUNT_COLS = ["cnt_events", "cnt_i", "cnt_u", "cnt_d"]
+
+
+def lww_reduce_counted(t: pa.Table) -> pa.Table:
+    """LWW reduce that carries exact per-key raw-event counts through
+    partial reduces (so commit metrics count each source event once even
+    though the shuffle only ships winners). Count columns are initialized
+    from ``op`` on first application and summed per key-run afterwards."""
+    if "cnt_events" not in t.column_names:
+        op = t["op"].combine_chunks()
+        ones = np.ones(t.num_rows, dtype=np.int64)
+        t = t.append_column("cnt_events", pa.array(ones))
+        for col, val in (("cnt_i", "I"), ("cnt_u", "U"), ("cnt_d", "D")):
+            t = t.append_column(col, pc.cast(pc.equal(op, val), pa.int64()))
+    if t.num_rows <= 1:
+        return t
+    code = _key_codes(t)
+    ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    lsn = t["lsn"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((lsn, ts, code))
+    sorted_code = code[order]
+    starts = np.empty(len(order), dtype=bool)
+    starts[0] = True
+    starts[1:] = sorted_code[1:] != sorted_code[:-1]
+    run_starts = np.flatnonzero(starts)
+    is_last = np.empty(len(order), dtype=bool)
+    is_last[:-1] = starts[1:]
+    is_last[-1] = True
+    winners = order[is_last]
+    out = t.drop_columns(COUNT_COLS).take(pa.array(winners))
+    for col in COUNT_COLS:
+        vals = t[col].to_numpy(zero_copy_only=False)[order]
+        sums = np.add.reduceat(vals, run_starts)
+        out = out.append_column(col, pa.array(sums))
+    return out
+
+
 def finalize(t: pa.Table, sort: bool = True) -> pa.Table:
     """Drop tombstone winners and the envelope, order by (conv_id, turn_idx).
 

@@ -1,0 +1,111 @@
+"""Decoder registry + sniffing heuristics (SURVEY.md §2.1 S1-S4) and text
+kernels — mirrors the reference's format-detection tests."""
+
+import pyarrow as pa
+import pytest
+
+from grate_ray.sources.registry import (
+    NotInFormat,
+    UnknownFormat,
+    open_payload,
+    register,
+    registered,
+)
+from grate_ray.sources.textual import decode_csv, decode_tsv
+from grate_ray.functions.text import (
+    fingerprint64,
+    lang_id,
+    normalize_text,
+    quality_features,
+    token_count,
+)
+
+
+def test_registry_priority_order():
+    names = registered()
+    assert names.index("tsv") < names.index("csv")  # tsv=10 before csv=15
+
+
+def test_tsv_accepts_and_decodes():
+    fmt, t = open_payload("a\tb\tc\n1\t2\t3\n")
+    assert fmt == "tsv"
+    assert t["c0"].to_pylist() == ["a", "1"]
+    assert t["c2"].to_pylist() == ["c", "3"]
+
+
+def test_csv_fallback():
+    fmt, t = open_payload("a,b\n1,2\n")
+    assert fmt == "csv"
+    assert t["c1"].to_pylist() == ["b", "2"]
+
+
+def test_ragged_within_20pct_budget_padded_blank():
+    # 5 rows, 1 ragged (20%) → accepted; short row padded with blank
+    payload = "a\tb\n1\t2\n3\t4\n5\t6\nx\n"
+    with pytest.raises(NotInFormat):
+        decode_tsv(payload)  # 4/5 = 80% is NOT > 80% (strict, like >80% in tsv.go)
+    payload = "a\tb\n1\t2\n3\t4\n5\t6\n7\t8\nx\n"
+    t = decode_tsv(payload)  # 5/6 > 80%
+    assert t.num_rows == 6
+    assert t["c1"].to_pylist()[-1] == ""
+
+
+def test_malformed_deadletters():
+    with pytest.raises(UnknownFormat):
+        open_payload("x\nx,x\nx,x,x\nx")
+    with pytest.raises(UnknownFormat):
+        open_payload("just a single line of prose")
+
+
+def test_blank_rows_skipped():
+    t = decode_tsv("a\tb\n\n\nc\td\n")
+    assert t.num_rows == 2
+    assert t["row_idx"].to_pylist() == [0, 3]
+
+
+def test_custom_register_overrides_and_prioritizes():
+    def decode_pipe(p):
+        if "|" not in p:
+            raise NotInFormat("no pipes")
+        rows = [ln.split("|") for ln in p.splitlines()]
+        from grate_ray.sources.textual import _to_table
+
+        return _to_table(rows)
+
+    register("pipe", 5, decode_pipe)
+    try:
+        assert registered()[0] == "pipe"
+        fmt, t = open_payload("a|b\nc|d")
+        assert fmt == "pipe" and t.num_rows == 2
+    finally:
+        import grate_ray.sources.registry as R
+
+        R._REGISTRY = [e for e in R._REGISTRY if e.name != "pipe"]
+
+
+def test_normalize_and_tokens():
+    col = pa.array(["  a\t\tb \n c ", "", "one"])
+    norm = normalize_text(col)
+    assert norm.to_pylist() == ["a b c", "", "one"]
+    assert token_count(norm).to_pylist() == [3, 0, 1]
+
+
+def test_quality_features_deterministic():
+    t = pa.table({"doc_id": [1, 2], "text": ["hi there you five words ok", "1,2,3!!"]})
+    out = quality_features(t)
+    assert out["n_tokens"].to_pylist()[0] == 6
+    assert out["quality_ok"].to_pylist() == [1, 0]
+
+
+def test_lang_id_marker_order():
+    col = pa.array(
+        ["the cat sat", "le chat the", "我 的 猫", "no markers here"]
+    )
+    assert lang_id(normalize_text(col)).to_pylist() == ["en", "fr", "zh", "und"]
+
+
+def test_fingerprint_stable_and_distinct():
+    a = fingerprint64(pa.array(["x", "y", "x", ""]))
+    assert a[0] == a[2]
+    assert a[0] != a[1]
+    assert fingerprint64(pa.array(["x"]))[0] == a[0]

@@ -1,0 +1,125 @@
+"""Exactly-once sink, checkpoint/resume, lineage + metrics tests
+(SURVEY.md §5 'manifest idempotence, resume-mid-stream kill test')."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from grate_ray.genlog import GenSpec, generate_binlog, oracle_final_state
+from grate_ray.pipelines.ingest import ingest, read_lake
+from grate_ray.state.manifest import (
+    commit_partition,
+    committed_lsn,
+    gc_superseded_states,
+    lineage,
+    read_state,
+)
+
+P = 8  # partitions used throughout
+
+
+def _oracle(binlog_dir):
+    tables = [
+        pq.read_table(os.path.join(binlog_dir, f))
+        for f in sorted(os.listdir(binlog_dir))
+        if f.endswith(".parquet")
+    ]
+    return oracle_final_state(tables)
+
+
+def _assert_lake_matches(lake_dir, binlog_dir):
+    got = (
+        read_lake(lake_dir, num_partitions=P)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = _oracle(binlog_dir).to_pandas()
+    assert len(got) == len(want)
+    for col in want.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_manifest_commit_idempotent(tmp_path):
+    lake = str(tmp_path / "lake")
+    t = pa.table({"op": ["I"], "lsn": [1], "conv_id": ["a"], "turn_idx": [0]})
+    m1 = commit_partition(lake, 3, 0, 99, t, {"n": 1})
+    # second commit with DIFFERENT state must be a no-op (same key)
+    t2 = pa.table({"op": ["I"], "lsn": [2], "conv_id": ["b"], "turn_idx": [1]})
+    m2 = commit_partition(lake, 3, 0, 99, t2, {"n": 2})
+    assert m1 == m2
+    assert read_state(lake, 3)["conv_id"].to_pylist() == ["a"]
+    assert committed_lsn(lake, 3) == 99
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_full_matches_oracle(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ibinlog"))
+    lake = str(tmp_path_factory.mktemp("ilake"))
+    generate_binlog(d, GenSpec(num_events=12_000, num_convs=100, seed=21, chunk_rows=3_000))
+    metrics = ingest(d, lake, num_partitions=P, files_per_microbatch=2)
+    _assert_lake_matches(lake, d)
+    mdf = metrics.to_pandas()
+    assert not mdf["skipped"].any()
+    # every event counted exactly once across all partition commits
+    assert mdf["n_events"].sum() == 12_000
+    assert (
+        mdf["n_inserts"].sum() + mdf["n_updates"].sum() + mdf["n_deletes"].sum()
+        == 12_000
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_kill_and_resume(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("kbinlog"))
+    lake = str(tmp_path_factory.mktemp("klake"))
+    generate_binlog(
+        d, GenSpec(num_events=16_000, num_convs=120, seed=33, epoch0_frac=0.35, chunk_rows=2_000)
+    )
+    # 'killed' run: only 2 of 4 micro-batches complete
+    m1 = ingest(d, lake, num_partitions=P, files_per_microbatch=2, max_microbatches=2)
+    assert m1.num_rows > 0
+    hw_after_kill = [committed_lsn(lake, p) for p in range(P)]
+    assert any(h is not None for h in hw_after_kill)
+    # resume: must skip committed work and converge to the oracle state
+    m2 = ingest(d, lake, num_partitions=P, files_per_microbatch=2)
+    _assert_lake_matches(lake, d)
+    both = pa.concat_tables([m1, m2]).to_pandas()
+    applied = both[~both["skipped"]]
+    # exactly-once: each event counted once across kill+resume
+    assert applied["n_events"].sum() == 16_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_rerun_is_noop(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nbinlog"))
+    lake = str(tmp_path_factory.mktemp("nlake"))
+    generate_binlog(d, GenSpec(num_events=4_000, num_convs=40, seed=8, chunk_rows=2_000))
+    ingest(d, lake, num_partitions=P, files_per_microbatch=4)
+    before = {p: committed_lsn(lake, p) for p in range(P)}
+    m2 = ingest(d, lake, num_partitions=P, files_per_microbatch=4)
+    after = {p: committed_lsn(lake, p) for p in range(P)}
+    assert before == after
+    mdf = m2.to_pandas()
+    assert mdf.empty or mdf["skipped"].all() or mdf["n_events"].sum() == 0
+    _assert_lake_matches(lake, d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lineage_chain_and_gc(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lbinlog"))
+    lake = str(tmp_path_factory.mktemp("llake"))
+    generate_binlog(d, GenSpec(num_events=9_000, num_convs=60, seed=13, chunk_rows=1_500))
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2)  # 3 micro-batches
+    chains = [lineage(lake, p) for p in range(P)]
+    assert any(len(c) >= 2 for c in chains)
+    for chain in chains:
+        for prev, cur in zip(chain, chain[1:]):
+            assert cur["parent_lsn_hi"] == prev["lsn_hi"]
+            assert cur["lsn_lo"] > prev["lsn_hi"] or cur["lsn_lo"] >= prev["lsn_lo"]
+    # gc keeps latest snapshot only; live view unchanged
+    for p in range(P):
+        gc_superseded_states(lake, p, keep=1)
+    _assert_lake_matches(lake, d)
