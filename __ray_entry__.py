@@ -219,6 +219,136 @@ def q_doc_fingerprint(sf_dir: str):
     ).map_batches(fn, batch_format="pyarrow")
 
 
+# --- dedup / similarity / multimodal (training-data operators) ---------------
+
+
+def _docs(sf_dir: str, cols=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+
+
+def _with_full_copies(ds):
+    """documents ∪ identical copies at doc_id+1_000_000 (exact-dup corpus)."""
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.add(t["doc_id"], 1_000_000), "text": t["text"]}
+        )
+
+    return ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+
+
+def _with_truncated_copies(ds):
+    """documents ∪ near-dup copies (first ⌊4L/5⌋ words) at doc_id+10_000_000
+    for doc_id % 7 == 0 — the planted near-dup corpus (mirrored in SQL)."""
+
+    def trunc(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if i % 7 != 0:
+                continue
+            w = (x or "").split(" ")
+            keep = max(1, (len(w) * 4) // 5)
+            ids.append(i + 10_000_000)
+            texts.append(" ".join(w[:keep]))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+
+    return ds.union(ds.map_batches(trunc, batch_format="pyarrow"))
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact content dedup: hash-partition by fingerprint, keep min doc_id
+    per identical text (SURVEY.md §2.7 made explicit)."""
+    from grate_ray.functions.dedup import exact_dedup
+
+    return exact_dedup(_with_full_copies(_docs(sf_dir)))
+
+
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """Near-dup pairs by exact word-3-gram Jaccard via inverted-index
+    candidates; planted truncated near-dups must surface."""
+    from grate_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_with_truncated_copies(_docs(sf_dir)), threshold=0.6)
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs (bands→buckets→verify); rows-only check,
+    recall asserted against ngram_jaccard in tests."""
+    from grate_ray.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_with_truncated_copies(_docs(sf_dir)), threshold=0.6)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash banded near-dup pairs (rows-only check)."""
+    from grate_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_with_truncated_copies(_docs(sf_dir)), max_hamming=8)
+
+
+def _queries_mat(sf_dir: str):
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    sel = ids % 50 == 0
+    mat = np.stack(
+        [np.asarray(e, dtype=np.float64) for e, m in zip(t["embedding"].to_pylist(), sel) if m]
+    )
+    return ids[sel], mat
+
+
+def q_ann_bruteforce(sf_dir: str):
+    """Exact cosine top-5 per broadcast query (vec_id % 50 == 0), partial
+    per-batch top-k before the tiny final shuffle."""
+    import ray.data
+    from grate_ray.functions.ann import brute_force_topk
+
+    qids, qmat = _queries_mat(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return brute_force_topk(ds, qids, qmat, k=5)
+
+
+def q_ann_lsh(sf_dir: str):
+    """Hyperplane-LSH bucketed ANN (scale path; rows-only check)."""
+    import ray.data
+    from grate_ray.functions.ann import lsh_topk
+
+    qids, qmat = _queries_mat(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return lsh_topk(ds, qids, qmat, k=5, nbits=4)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Binary-payload plumbing: synthesize fake media blobs, decode via the
+    actor-pool stub (schema/batch mechanics real, codec stubbed)."""
+    from grate_ray.functions.multimodal import MediaDecoder, synthesize_binary_column
+
+    return (
+        _docs(sf_dir)
+        .map_batches(synthesize_binary_column, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.drop_columns(["text"]), batch_format="pyarrow"
+        )
+        .map_batches(
+            MediaDecoder,
+            fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow",
+            batch_size=256,  # media batches stay small (payload-size aware)
+            concurrency=(1, 4),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_apply": q_cdc_apply,
     "cdc_apply_salted": q_cdc_apply_salted,
@@ -233,6 +363,22 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_features": q_multimodal_features,
+    "agg_pushdown": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).lineitem_agg_pushdown(sf),
+    "broadcast_join": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).orders_by_nation(sf),
+    "topk_orders": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).top_orders(sf),
 }
 
 
@@ -282,6 +428,54 @@ WITH padded AS (
 SELECT pred_lang, count(*) AS n FROM pred GROUP BY pred_lang"""
 
 
+# SQL mirror of grate_ray/functions/dedup.py ngram_jaccard_pairs over the
+# planted near-dup corpus (same truncation arithmetic, same trigram windows)
+_NGRAM_JACCARD_SQL = r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         array_to_string(list_slice(str_split(text, ' '), 1,
+            greatest(1, (len(str_split(text, ' ')) * 4) // 5)), ' ')
+  FROM documents WHERE doc_id % 7 = 0
+), words AS (
+  SELECT doc_id, str_split(text, ' ') AS w FROM u
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM words,
+  UNNEST(list_transform(range(1, greatest(len(w) - 1, 1)),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(g)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= 0.6"""
+
+# SQL mirror of grate_ray/functions/ann.py brute_force_topk: identical
+# rounding (6dp) and ranking key (sim desc, vec_id asc)
+_ANN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.qe), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+
 def _oracle() -> dict[str, str]:
     from grate_ray.sources.derive import BINLOG_SQL, LWW_FINAL_SQL
 
@@ -324,6 +518,45 @@ FROM documents
 WHERE trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') <> ''""",
         "text_quality": _QUALITY_SQL,
         "text_langid": _LANGID_SQL,
+        "dedup_exact": """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT doc_id, text
+FROM (SELECT doc_id, text,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM u)
+WHERE rn = 1""",
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ann_bruteforce": _ANN_SQL,
+        "multimodal_features": """
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) + 4 AS n_bytes,
+       CAST(1 AS INTEGER) AS valid_magic,
+       (octet_length(CAST(text AS BLOB)) + 4) % 640 AS width,
+       (octet_length(CAST(text AS BLOB)) + 4) % 480 AS height
+FROM documents""",
+        "agg_pushdown": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "broadcast_join": """
+SELECT n.n_name, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
+        "topk_orders": """
+SELECT o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 10""",
     }
 
 

@@ -20,7 +20,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-EVENTS_PER_SF = 30_000_000  # sf0.1 → 3M events
+EVENTS_PER_SF = 300_000_000  # sf0.1 → 30M events (compute-dominated bench)
 
 
 def sf_of(path: str) -> float:
@@ -43,7 +43,7 @@ def bench_binlog_dir(sf: float) -> tuple[str, int]:
         seed=42,
         zipf_a=1.1,
         epoch0_frac=0.25,
-        chunk_rows=250_000,
+        chunk_rows=1_000_000,
     )
     generate_binlog(d, spec)  # cached via _SPEC sentinel
     return d, n
@@ -79,10 +79,7 @@ def run_headline(num_cpus: int) -> dict:
     out = "/tmp/graft_bench/lake"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
-    metrics = ingest(
-        binlog_dir, out, num_partitions=64, files_per_microbatch=4,
-        merger_concurrency=(1, 16),
-    )
+    metrics = ingest(binlog_dir, out, num_partitions=64, files_per_microbatch=16)
     dt = time.perf_counter() - t0
     applied = sum(
         n for n, s in zip(

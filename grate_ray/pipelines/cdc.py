@@ -42,13 +42,23 @@ def list_binlog_files(path: str) -> list[str]:
     )
 
 
-def read_binlog(path: str, target_schema: pa.Schema | None = None) -> ray.data.Dataset:
-    """Read a binlog directory that may mix physical schemas (epochs).
+def _read_blocks_for(files: list[str]) -> int | None:
+    """Read-task parallelism: Ray's auto heuristic coalesces few-file
+    inputs into ~1 task per 4 files, which caps every fused downstream map
+    stage at that width (measured: read+reconcile identical at 8 and 32
+    CPUs). Override to ~4 tasks per CPU so map stages scale."""
+    import ray
 
-    Files are grouped by physical schema; each group becomes one
-    ``read_parquet`` whose batches are reconciled to the unified target
-    inside ``map_batches`` (stateless, no shuffle); groups are unioned.
-    """
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(len(files), cpus * 4)
+
+
+def schema_groups(path: str) -> tuple[list[tuple[pa.Schema, list[str]]], pa.Schema]:
+    """Group binlog chunk files by physical schema; return groups + the
+    unified (widened) target schema."""
     files = list_binlog_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet chunks under {path}")
@@ -56,14 +66,48 @@ def read_binlog(path: str, target_schema: pa.Schema | None = None) -> ray.data.D
     for f in files:
         s = pq.read_schema(f)
         by_schema.setdefault(s.to_string(), (s, []))[1].append(f)
-    target = target_schema or unify(
-        [s for s, _ in by_schema.values()] + [BINLOG_SCHEMA]
-    )
+    groups = list(by_schema.values())
+    target = unify([s for s, _ in groups] + [BINLOG_SCHEMA])
+    return groups, target
+
+
+def read_binlog(
+    path: str,
+    target_schema: pa.Schema | None = None,
+    prep=None,
+    batch_size: int | None = None,
+    num_cpus: float | None = None,
+) -> ray.data.Dataset:
+    """Read a binlog directory that may mix physical schemas (epochs).
+
+    Files are grouped by physical schema; each group's batches are
+    reconciled to the unified target inside ONE ``map_batches`` (stateless,
+    no shuffle); groups are unioned. ``prep`` (optional) is fused into the
+    same operator — reconcile + partial-reduce + partition in a single
+    object-store pass (measured: a separate reconcile operator costs a full
+    extra pass of the log through plasma).
+    """
+    groups, target = schema_groups(path)
+    if target_schema is not None:
+        target = target_schema
     parts = []
-    for s, group in by_schema.values():
-        ds = ray.data.read_parquet(group)
-        if not s.equals(target):
-            ds = ds.map_batches(make_reconciler(target), batch_format="pyarrow")
+    for s, group in groups:
+        ds = ray.data.read_parquet(
+            group, override_num_blocks=_read_blocks_for(group)
+        )
+        rec = None if s.equals(target) else make_reconciler(target)
+        if rec is not None or prep is not None:
+            def fn(t, rec=rec):
+                if rec is not None:
+                    t = rec(t)
+                return prep(t) if prep is not None else t
+
+            kw = {}
+            if batch_size is not None:
+                kw["batch_size"] = batch_size
+            if num_cpus is not None:
+                kw["num_cpus"] = num_cpus
+            ds = ds.map_batches(fn, batch_format="pyarrow", **kw)
         parts.append(ds)
     out = parts[0]
     for p in parts[1:]:
@@ -119,6 +163,43 @@ def apply_binlog(
     return ds.groupby("part").map_groups(final_group, batch_format="pyarrow")
 
 
-def replay(binlog_path: str, num_partitions: int = 32, **kw) -> ray.data.Dataset:
-    """read → reconcile → reduce → shuffle-merge; returns the lake view."""
-    return apply_binlog(read_binlog(binlog_path), num_partitions=num_partitions, **kw)
+def replay(
+    binlog_path: str,
+    num_partitions: int = 32,
+    hot_keys: frozenset[str] | None = None,
+    num_salts: int = 8,
+) -> ray.data.Dataset:
+    """Fused fast path: ONE map operator does reconcile + partial LWW
+    reduce + partition tagging (single object-store pass of the log), then
+    the one hash shuffle merges per partition."""
+    from ..context import REDUCE_BATCH_SIZE, configure_shuffle
+
+    configure_shuffle(num_partitions)
+
+    def final_group(t: pa.Table) -> pa.Table:
+        return finalize(lww_reduce(t))
+
+    if hot_keys:
+        def prep_salted(t: pa.Table) -> pa.Table:
+            return add_salted_partition_column(
+                lww_reduce(t), num_partitions, num_salts, hot_keys
+            )
+
+        ds = read_binlog(
+            binlog_path, prep=prep_salted, batch_size=REDUCE_BATCH_SIZE, num_cpus=1
+        )
+        ds = ds.groupby("spart").map_groups(
+            lambda t: lww_reduce(t), batch_format="pyarrow"
+        )
+        ds = ds.map_batches(
+            lambda t: spart_to_part(t, num_salts), batch_format="pyarrow"
+        ).repartition(max(2, num_partitions // 4))
+        return ds.groupby("part").map_groups(final_group, batch_format="pyarrow")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return add_partition_column(lww_reduce(t), num_partitions)
+
+    ds = read_binlog(
+        binlog_path, prep=prep, batch_size=REDUCE_BATCH_SIZE, num_cpus=1
+    )
+    return ds.groupby("part").map_groups(final_group, batch_format="pyarrow")

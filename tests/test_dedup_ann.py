@@ -1,0 +1,114 @@
+"""Dedup family + ANN + multimodal plumbing tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_exact_dedup_removes_planted_copies(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    out = E.queries()["dedup_exact"](sf_dir).to_pandas()
+    # all copies (doc_id+1M) lose to the originals
+    assert (out["doc_id"] < 1_000_000).all()
+    assert out["doc_id"].is_unique
+
+
+def test_ngram_jaccard_finds_planted_neardups(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    pairs = E.queries()["dedup_ngram_jaccard"](sf_dir).to_pandas()
+    assert len(pairs) > 0
+    # every planted (doc, doc+10M) pair with enough words must appear
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    planted = set()
+    for i, txt in zip(docs.doc_id, docs.text):
+        if i % 7 == 0 and len(txt.split(" ")) >= 20:
+            planted.add((i, i + 10_000_000))
+    found = set(zip(pairs.a, pairs.b))
+    missing = {p for p in planted if p not in found}
+    # truncation keeps 80% of words → trigram jaccard ≈ 0.75+; all planted
+    # pairs of reasonable length should clear the 0.6 threshold
+    assert not missing, f"missing planted pairs: {sorted(missing)[:5]}"
+    assert (pairs["jaccard"] >= 0.6).all()
+
+
+def test_minhash_recall_vs_exact(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    exact = E.queries()["dedup_ngram_jaccard"](sf_dir).to_pandas()
+    mh = E.queries()["dedup_minhash"](sf_dir).to_pandas()
+    strong = set(zip(*exact[exact.jaccard >= 0.75][["a", "b"]].T.values.tolist())) if len(exact) else set()
+    got = set(zip(mh.a, mh.b))
+    if strong:
+        recall = len(strong & got) / len(strong)
+        assert recall >= 0.9, f"minhash recall {recall}"
+    # verified output never lies about jaccard
+    assert (mh["jaccard"] >= 0.6).all()
+
+
+def test_simhash_pairs_plausible(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    sh = E.queries()["dedup_simhash"](sf_dir).to_pandas()
+    # identical docs (none) would be ham 0; truncated copies are close
+    assert (sh["ham"] <= 8).all()
+    planted_hits = ((sh.b - sh.a) == 10_000_000).sum()
+    assert planted_hits > 0
+
+
+def test_ann_bruteforce_self_consistency(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    out = E.queries()["ann_bruteforce"](sf_dir).to_pandas()
+    qids = sorted(out.query_id.unique())
+    assert all((out[out.query_id == q]["rank"].tolist() == [1, 2, 3, 4, 5]) for q in qids)
+    # similarities non-increasing within each query
+    for q in qids:
+        sims = out[out.query_id == q].sort_values("rank")["sim"].tolist()
+        assert sims == sorted(sims, reverse=True)
+    assert (out.query_id != out.vec_id).all()
+
+
+def test_ann_lsh_recall(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    bf = E.queries()["ann_bruteforce"](sf_dir).to_pandas()
+    lsh = E.queries()["ann_lsh"](sf_dir).to_pandas()
+    # bucketing trades recall for pruning; top-1 recall should be decent
+    top1 = bf[bf["rank"] == 1][["query_id", "vec_id"]]
+    hits = 0
+    for q, v in zip(top1.query_id, top1.vec_id):
+        cand = lsh[lsh.query_id == q]["vec_id"].tolist()
+        hits += v in cand
+    assert hits / max(1, len(top1)) >= 0.3
+
+
+def test_multimodal_stub_contract(ray_session, sf_dir):
+    import __ray_entry__ as E
+    from grate_ray.functions.multimodal import MediaDecoder
+
+    out = E.queries()["multimodal_features"](sf_dir).to_pandas()
+    assert (out["valid_magic"] == 1).all()
+    assert (out["n_bytes"] > 4).all()
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(fake=False)
+
+
+def test_binary_batches_stay_arrow(ray_session, sf_dir):
+    from grate_ray.functions.multimodal import synthesize_binary_column
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(synthesize_binary_column, batch_format="pyarrow")
+    b = next(iter(ds.iter_batches(batch_size=8, batch_format="pyarrow")))
+    assert pa.types.is_binary(b.schema.field("payload").type)
+    assert b["payload"][0].as_py().startswith(b"IMG0")
