@@ -328,6 +328,39 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(ds, qids, qmat, k=5, nbits=4)
 
 
+def q_cell_types(sf_dir: str):
+    """T5 Types() projection: per-column cell-type histogram of the decoded
+    customer payload strings (blank/integer/float/boolean/date/string)."""
+    from grate_ray.pipelines.extract import decode_payloads, frame_rows
+    from grate_ray.functions.typed import infer_cell_types
+    import ray.data
+    from ray.data.aggregate import Count
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols)
+    decoded = decode_payloads(
+        frame_rows(ds, cols, group_mod=16, key_col="c_custkey", sep=","), ncols=5
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["format"], "deadletter"))
+        out_col, out_ct = [], []
+        for c in range(5):
+            ct = infer_cell_types(t[f"c{c}"])
+            out_col.append(pa.array([f"c{c}"] * t.num_rows))
+            out_ct.append(ct.combine_chunks() if isinstance(ct, pa.ChunkedArray) else ct)
+        return pa.table(
+            {
+                "col": pa.concat_arrays(out_col),
+                "cell_type": pa.concat_arrays(out_ct),
+            }
+        )
+
+    return decoded.map_batches(classify, batch_format="pyarrow").groupby(
+        ["col", "cell_type"]
+    ).aggregate(Count(alias_name="n"))
+
+
 def q_multimodal_features(sf_dir: str):
     """Binary-payload plumbing: synthesize fake media blobs, decode via the
     actor-pool stub (schema/batch mechanics real, codec stubbed)."""
@@ -370,6 +403,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "multimodal_features": q_multimodal_features,
+    "cell_types": q_cell_types,
     "agg_pushdown": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).lineitem_agg_pushdown(sf),
@@ -476,7 +510,31 @@ SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5"""
 
 
+def _cell_types_sql() -> str:
+    from grate_ray.functions.typed import CELL_TYPE_SQL_CASE
+
+    exprs = [
+        ("c0", "CAST(c_custkey AS VARCHAR)"),
+        ("c1", "c_name"),
+        ("c2", "CAST(c_nationkey AS VARCHAR)"),
+        ("c3", "CAST(c_acctbal AS VARCHAR)"),
+        ("c4", "c_mktsegment"),
+    ]
+    parts = [
+        f"SELECT '{name}' AS col, {CELL_TYPE_SQL_CASE.format(col=e)} AS cell_type FROM customer"
+        for name, e in exprs
+    ]
+    u = " UNION ALL ".join(parts)
+    return f"SELECT col, cell_type, count(*) AS n FROM ({u}) GROUP BY col, cell_type"
+
+
+_CELL_TYPES_SQL = None  # resolved lazily in _oracle()
+
+
 def _oracle() -> dict[str, str]:
+    global _CELL_TYPES_SQL
+    if _CELL_TYPES_SQL is None:
+        _CELL_TYPES_SQL = _cell_types_sql()
     from grate_ray.sources.derive import BINLOG_SQL, LWW_FINAL_SQL
 
     lww = LWW_FINAL_SQL.format(binlog=BINLOG_SQL)
@@ -551,6 +609,7 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
+        "cell_types": _CELL_TYPES_SQL,
         "topk_orders": """
 SELECT o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
   SELECT o_orderkey, o_totalprice,

@@ -45,6 +45,7 @@ class GenSpec:
     epoch0_frac: float = 0.0  # leading fraction of the log in epoch-0 schema
     ts_tie_every: int = 8  # ts advances once per this many lsns → equal-ts ties
     chunk_rows: int = 1_000_000
+    malformed_frac: float = 0.0  # fraction of rows made invalid (F4 dead-letter)
 
 
 def _gen_chunk(spec: GenSpec, lsn_lo: int, lsn_hi: int) -> pa.Table:
@@ -85,16 +86,29 @@ def _gen_chunk(spec: GenSpec, lsn_lo: int, lsn_hi: int) -> pa.Table:
     role[is_del] = None
     tool[is_del] = None
 
+    conv_obj = conv_s.astype(object)
+    op_obj = op.astype(object)
+    ts = ts.astype(object)
+    if spec.malformed_frac > 0:
+        # malformed frames (F4): bad op / null conv / null ts on non-delete
+        bad = rng.random(n) < spec.malformed_frac
+        kind = rng.integers(0, 3, size=n)
+        op_obj[bad & (kind == 0)] = "X"
+        conv_obj[bad & (kind == 1)] = None
+        m = bad & (kind == 2)
+        for i in np.flatnonzero(m):
+            ts[i] = None
+
     return pa.table(
         {
-            "op": pa.array(op),
+            "op": pa.array(op_obj, type=pa.string()),
             "lsn": pa.array(lsn),
-            "conv_id": pa.array(conv_s),
+            "conv_id": pa.array(conv_obj, type=pa.string()),
             "turn_idx": pa.array(turn),
             "role": pa.array(role, type=pa.string()),
             "text": pa.array(text, type=pa.string()),
             "tool": pa.array(tool, type=pa.string()),
-            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
         },
         schema=BINLOG_SCHEMA,
     )
@@ -103,9 +117,12 @@ def _gen_chunk(spec: GenSpec, lsn_lo: int, lsn_hi: int) -> pa.Table:
 def to_epoch0(t: pa.Table) -> pa.Table:
     """Downgrade a full-schema chunk to the epoch-0 physical schema:
     drop ``tool``, truncate ``ts`` to int32 epoch-seconds."""
-    ts_s = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000).astype(
-        np.int32
-    )
+    import pyarrow.compute as pc
+
+    ts_s = pc.cast(
+        pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_000_000, pa.int64())),
+        pa.int32(),
+    )  # null-preserving
     return pa.table(
         {
             "op": t["op"],
@@ -114,7 +131,7 @@ def to_epoch0(t: pa.Table) -> pa.Table:
             "turn_idx": t["turn_idx"],
             "role": t["role"],
             "text": t["text"],
-            "ts": pa.array(ts_s),
+            "ts": ts_s,
         },
         schema=BINLOG_SCHEMA_EPOCH0,
     )
@@ -181,7 +198,20 @@ def oracle_final_state(tables: list[pa.Table]) -> pa.Table:
         else:
             ts_us_col = t["ts"].cast(pa.int64()).to_pylist()
         for i in range(t.num_rows):
-            key = (cols["conv_id"][i], cols["turn_idx"][i])
+            op_i = cols["op"][i]
+            conv_i = cols["conv_id"][i]
+            turn_i = cols["turn_idx"][i]
+            # mirror stages/validate.py: malformed frames never reach state
+            if (
+                op_i not in ("I", "U", "D")
+                or conv_i in (None, "")
+                or turn_i is None
+                or turn_i < 0
+                or cols["lsn"][i] is None
+                or ts_us_col[i] is None
+            ):
+                continue
+            key = (conv_i, turn_i)
             ts_us = ts_us_col[i]
             order = (ts_us, cols["lsn"][i])
             if key in best and order <= best[key]:

@@ -147,6 +147,38 @@ class PartitionMerger:
         return self._metrics_row(part, counts, live, False)
 
 
+def _write_deadletter(lake_dir: str, dead: pa.Table) -> str:
+    """Write malformed frames for triage. Filename is a content hash so an
+    at-least-once task retry overwrites the same file (idempotent)."""
+    import hashlib
+
+    from ..stages.validate import DEADLETTER_DIRNAME
+
+    d = os.path.join(lake_dir, DEADLETTER_DIRNAME)
+    os.makedirs(d, exist_ok=True)
+    lsns = ",".join(str(x) for x in dead["lsn"].to_pylist()[:100])
+    h = hashlib.blake2b(
+        f"{lsns}|{dead.num_rows}".encode(), digest_size=8
+    ).hexdigest()
+    path = os.path.join(d, f"dl-{h}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(dead, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def read_deadletter(lake_dir: str) -> pa.Table | None:
+    from ..stages.validate import DEADLETTER_DIRNAME
+
+    d = os.path.join(lake_dir, DEADLETTER_DIRNAME)
+    if not os.path.isdir(d):
+        return None
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+
+
 def _chunk_lsn_ranges(files: list[str]) -> list[tuple[str, int, int]]:
     """(file, lsn_min, lsn_max) per chunk file, from parquet stats."""
     out = []
@@ -229,12 +261,20 @@ def ingest(
             )
             rec = None if s.equals(target) else make_reconciler(target)
 
-            # reconcile + counted partial reduce + partition tag fused into
-            # ONE operator: a single object-store pass per micro-batch
+            # reconcile + validate/dead-letter + counted partial reduce +
+            # partition tag fused into ONE operator: a single object-store
+            # pass per micro-batch
             def prep(t, rec=rec):
+                from ..stages.validate import split_valid
+
                 if rec is not None:
                     t = rec(t)
-                return add_partition_column(lww_reduce_counted(t), num_partitions)
+                valid, dead = split_valid(t)
+                if dead.num_rows:
+                    _write_deadletter(lake_dir, dead)
+                return add_partition_column(
+                    lww_reduce_counted(valid), num_partitions
+                )
 
             parts.append(
                 d.map_batches(
