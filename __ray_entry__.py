@@ -474,11 +474,15 @@ WITH u AS (
   FROM documents WHERE doc_id % 7 = 0
 ), words AS (
   SELECT doc_id, str_split(text, ' ') AS w FROM u
-), grams AS (
+), grams_all AS (
   SELECT DISTINCT doc_id, g FROM words,
   UNNEST(list_transform(range(1, greatest(len(w) - 1, 1)),
          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(g)
   WHERE len(w) >= 3
+), grams AS (
+  -- document-frequency cap (df_cap=50), identical to the Ray pipeline
+  SELECT * FROM grams_all
+  WHERE g IN (SELECT g FROM grams_all GROUP BY g HAVING count(*) <= 50)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
 ), inter AS (

@@ -17,6 +17,19 @@ from __future__ import annotations
 REDUCE_BATCH_SIZE = 500_000  # rows per partial-reduce batch
 
 
+def join_partitions(desired: int = 32) -> int:
+    """Partition count for Dataset.join: must not exceed cluster CPUs —
+    join aggregator actors scale with partitions and a 32-partition join
+    on a 4-CPU cluster deadlocks outright (measured)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(desired, cpus))
+
+
 def configure_shuffle(num_partitions: int) -> None:
     import ray
     from ray.data import DataContext
@@ -30,3 +43,8 @@ def configure_shuffle(num_partitions: int) -> None:
         cpus = 8
     ctx.default_hash_shuffle_parallelism = max(8, min(num_partitions, cpus))
     ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+    # aggregator actors must not reserve whole CPU slots: at small CPU
+    # counts (tests run at 4) full-slot aggregators + any actor-pool map
+    # stage starve the map tasks and the pipeline deadlocks
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05

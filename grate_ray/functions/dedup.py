@@ -78,34 +78,63 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int = 50,
 ) -> ray.data.Dataset:
     """Candidate pairs via an inverted gram index (groupby gram → pairwise),
     verified with EXACT Jaccard |A∩B| / (|A|+|B|-|A∩B|) on distinct-gram
     sets. Output: (a, b, jaccard), a < b, jaccard ≥ threshold.
 
-    Scale notes: the gram groupby is the wide step; pathologically frequent
-    grams would explode pairwise — production would cap gram frequency
-    (drop grams in >F docs, a standard trick); kept exact here because the
-    oracle recomputes the same relation.
+    ``df_cap``: grams appearing in more than this many docs are dropped
+    BEFORE pairing (the standard document-frequency cap — ubiquitous
+    shingles are non-discriminative and make the pair explosion quadratic).
+    Jaccard is then over the capped gram sets; the SQL oracle applies the
+    identical cap, so results still match exactly.
     """
+    from ..context import configure_shuffle
+
+    configure_shuffle(32)
     grams = ds.map_batches(
         lambda t: explode_trigrams(t, text_col, id_col), batch_format="pyarrow"
     )
 
-    # per-doc distinct-gram sizes: small (one row per doc) → broadcast
+    # document frequency per gram → broadcast the (small) hot-gram stoplist
     from ray.data.aggregate import Count
 
+    df_counts = grams.groupby("gram").aggregate(Count(alias_name="df")).to_pandas()
+    hot_grams = frozenset(df_counts[df_counts["df"] > df_cap]["gram"])
+    hot_ref = ray.put(hot_grams)
+
+    # plain task (NOT an actor pool): at small CPU counts actor pools +
+    # hash-shuffle aggregator actors can reserve every slot and deadlock
+    def drop_hot(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)  # local after first fetch per worker
+        keep = pa.array([g not in hot for g in t["gram"].to_pylist()])
+        return t.filter(keep)
+
+    grams = grams.map_batches(drop_hot, batch_format="pyarrow")
+
+    # per-doc distinct-gram sizes AFTER the cap: small → broadcast
     sizes_df = grams.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
     sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].to_numpy())
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        ai, bi = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ai], "b": docs[bi]})
+    # candidate pairs by SELF-JOIN on gram (hash-partitioned, vectorized) —
+    # a per-gram map_groups pays ~ms of Python per group and dies at ~25k
+    # tiny groups; the join stays in Arrow end to end
+    right = grams.map_batches(
+        lambda t: t.rename_columns(["doc_id_r", "gram"]), batch_format="pyarrow"
+    )
+    from ..context import join_partitions
 
-    pairs = grams.groupby("gram").map_groups(pairs_of_group, batch_format="pandas")
+    joined = grams.join(
+        right, join_type="inner", num_partitions=join_partitions(32), on=("gram",)
+    )
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        mask = pc.less(t["doc_id"], t["doc_id_r"])
+        t2 = t.filter(mask)
+        return pa.table({"a": t2["doc_id"], "b": t2["doc_id_r"]})
+
+    pairs = joined.map_batches(to_pairs, batch_format="pyarrow")
     inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
 
     class Verify:
@@ -224,11 +253,14 @@ def minhash_lsh_pairs(
         ai, bi = np.triu_indices(len(docs), k=1)
         return pd.DataFrame({"a": docs[ai], "b": docs[bi]})
 
+    from ray.data.aggregate import Count as _Count
+
     cand = (
         buckets.groupby(["band", "bhash"])
         .map_groups(pairs_of_bucket, batch_format="pandas")
         .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+        .aggregate(_Count(alias_name="_m"))  # vectorized distinct pairs
+        .map_batches(lambda t: t.drop_columns(["_m"]), batch_format="pyarrow")
     )
 
     # verify candidates with exact jaccard via broadcast gram sets (small:
@@ -293,15 +325,32 @@ def simhash64(texts: list[str], seed: int = 11) -> np.ndarray:
     return out
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (no numpy>=2 required)."""
+    bytes_ = x.view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(bytes_, axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_pairs(
     ds: ray.data.Dataset,
-    max_hamming: int = 8,
+    max_hamming: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = 200,
 ) -> ray.data.Dataset:
-    """Near-dup pairs by SimHash: 4-band blocking (any identical 16-bit
-    band → candidate; guarantees recall for hamming ≤ 3, heuristic above),
-    verified by exact Hamming distance ≤ max_hamming."""
+    """Near-dup pairs by SimHash: 4-band 16-bit blocking (any identical
+    band → candidate; exact recall for hamming ≤ 3 by pigeonhole), SELF-JOIN
+    on (band, bval), exact vectorized Hamming verify ≤ ``max_hamming``.
+
+    ``bucket_cap``: band values shared by more than this many docs are
+    dropped before pairing — a degenerate band value (low-entropy corpus)
+    is non-discriminative and would make the join quadratic. Skipped
+    buckets trade recall for boundedness; they are the SimHash analogue of
+    the n-gram df cap."""
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(32)
 
     def add_sig(t: pa.Table) -> pa.Table:
         sig = simhash64(t[text_col].to_pylist())
@@ -314,39 +363,83 @@ def simhash_pairs(
     def to_bands(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         sig = t["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
-        out_i, out_b, out_v = [], [], []
+        out_i, out_b, out_v, out_s = [], [], [], []
         for b in range(4):
             out_i.append(ids)
             out_b.append(np.full(len(ids), b, dtype=np.int32))
             out_v.append(((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).view(np.int64))
+            out_s.append(sig.view(np.int64))
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate(out_i)),
-                "sig": pa.concat_arrays([t["sig"].combine_chunks()] * 4),
+                "sig": pa.array(np.concatenate(out_s)),
                 "band": pa.array(np.concatenate(out_b)),
                 "bval": pa.array(np.concatenate(out_v)),
             }
         )
 
-    def pairs_of_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame(
-                {"a": [], "b": [], "ham": []}
-            ).astype({"a": "int64", "b": "int64", "ham": "int64"})
-        ids = g["doc_id"].to_numpy()
-        sig = g["sig"].to_numpy().astype(np.uint64)
-        ai, bi = np.triu_indices(n, k=1)
-        x = sig[ai] ^ sig[bi]
-        ham = np.array([bin(v).count("1") for v in x], dtype=np.int64)
-        df = pd.DataFrame({"a": ids[ai], "b": ids[bi], "ham": ham})
-        return df[df["ham"] <= max_hamming]
+    from ray.data.aggregate import Count as _Count, Min as _Min
+
+    bands = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    # drop degenerate buckets (same role as the n-gram df cap)
+    bcounts = (
+        bands.groupby(["band", "bval"]).aggregate(_Count(alias_name="n")).to_pandas()
+    )
+    hot = frozenset(
+        zip(
+            bcounts[bcounts["n"] > bucket_cap]["band"],
+            bcounts[bcounts["n"] > bucket_cap]["bval"],
+        )
+    )
+    hot_ref = ray.put(hot)
+
+    def drop_hot_buckets(t: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        if not hot_set:
+            return t
+        keep = pa.array(
+            [
+                (b, v) not in hot_set
+                for b, v in zip(t["band"].to_pylist(), t["bval"].to_pylist())
+            ]
+        )
+        return t.filter(keep)
+
+    bands = bands.map_batches(drop_hot_buckets, batch_format="pyarrow")
+
+    right = bands.map_batches(
+        lambda t: t.rename_columns(["doc_id_r", "sig_r", "band", "bval"]),
+        batch_format="pyarrow",
+    )
+    from ..context import join_partitions
+
+    joined = bands.join(
+        right, join_type="inner", num_partitions=join_partitions(32),
+        on=("band", "bval"),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        mask = pc.less(t["doc_id"], t["doc_id_r"])
+        t2 = t.filter(mask)
+        if t2.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "ham": pa.array([], pa.int64()),
+                }
+            )
+        sa = t2["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sb = t2["sig_r"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ham = _popcount64(sa ^ sb)
+        out = pa.table(
+            {"a": t2["doc_id"], "b": t2["doc_id_r"], "ham": pa.array(ham)}
+        )
+        return out.filter(pc.less_equal(out["ham"], max_hamming))
 
     return (
-        sigs.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "bval"])
-        .map_groups(pairs_of_block, batch_format="pandas")
+        joined.map_batches(verify, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(_Min("ham", alias_name="ham"))  # distinct pairs
     )

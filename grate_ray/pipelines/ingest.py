@@ -207,6 +207,8 @@ def ingest(
     files_per_microbatch: int = 8,
     max_microbatches: int | None = None,
     merger_concurrency: int | tuple[int, int] | None = None,
+    hot_keys: frozenset[str] | None = None,
+    num_salts: int = 8,
 ) -> pa.Table:
     """Tail the binlog into the lake; returns the metrics table (one row per
     partition commit across all micro-batches run)."""
@@ -272,9 +274,14 @@ def ingest(
                 valid, dead = split_valid(t)
                 if dead.num_rows:
                     _write_deadletter(lake_dir, dead)
-                return add_partition_column(
-                    lww_reduce_counted(valid), num_partitions
-                )
+                reduced = lww_reduce_counted(valid)
+                if hot_keys:
+                    from ..stages.partition import add_salted_partition_column
+
+                    return add_salted_partition_column(
+                        reduced, num_partitions, num_salts, hot_keys
+                    )
+                return add_partition_column(reduced, num_partitions)
 
             parts.append(
                 d.map_batches(
@@ -285,6 +292,20 @@ def ingest(
         ds = parts[0]
         for p in parts[1:]:
             ds = ds.union(p)
+
+        if hot_keys:
+            # salted two-phase merge (hot conversations): phase-1 reduce per
+            # (part, salt) sub-shard — exact because LWW-with-counts is an
+            # associative reduction — then the per-partition merge below
+            from ..stages.partition import spart_to_part
+
+            ds = ds.groupby("spart").map_groups(
+                lambda t: lww_reduce_counted(t), batch_format="pyarrow"
+            )
+            ds = ds.map_batches(
+                lambda t: spart_to_part(t, num_salts), batch_format="pyarrow"
+            ).repartition(max(2, num_partitions // 4))
+
         metrics_ds = ds.groupby("part").map_groups(
             PartitionMerger,
             fn_constructor_args=(lake_dir, lsn_lo, lsn_hi),

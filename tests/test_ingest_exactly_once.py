@@ -108,6 +108,26 @@ def test_ingest_rerun_is_noop(tmp_path_factory):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ingest_salted_hot_conv(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sbinlog"))
+    lake = str(tmp_path_factory.mktemp("slake"))
+    generate_binlog(
+        d, GenSpec(num_events=14_000, num_convs=100, seed=19, zipf_a=1.05, chunk_rows=3_500)
+    )
+    from grate_ray.pipelines.cdc import read_binlog
+    from grate_ray.stages.partition import find_hot_keys
+
+    hot = find_hot_keys(read_binlog(d), threshold_frac=0.05)
+    assert hot
+    metrics = ingest(
+        d, lake, num_partitions=P, files_per_microbatch=2,
+        hot_keys=hot, num_salts=4,
+    )
+    _assert_lake_matches(lake, d)
+    assert metrics.to_pandas()["n_events"].sum() == 14_000
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_lineage_chain_and_gc(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("lbinlog"))
     lake = str(tmp_path_factory.mktemp("llake"))
