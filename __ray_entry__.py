@@ -404,6 +404,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh": q_ann_lsh,
     "multimodal_features": q_multimodal_features,
     "cell_types": q_cell_types,
+    "window_tumbling": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).tumbling_counts(sf),
+    "sessionize": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).sessionize(sf),
     "agg_pushdown": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).lineitem_agg_pushdown(sf),
@@ -614,6 +620,29 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
         "cell_types": _CELL_TYPES_SQL,
+        "window_tumbling": """
+SELECT event_type, date_trunc('hour', ts) AS w,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, event_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM b
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+FROM s GROUP BY user_id, session_id""",
         "topk_orders": """
 SELECT o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
   SELECT o_orderkey, o_totalprice,

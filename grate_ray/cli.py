@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--partitions", type=int, default=32)
     c.add_argument("--keep", type=int, default=1)
 
+    x = sub.add_parser("export")
+    x.add_argument("--lake", required=True)
+    x.add_argument("--out", required=True)
+    x.add_argument("--partitions", type=int, default=32)
+    x.add_argument("--format", choices=["csv", "parquet"], default="csv")
+
     a = p.parse_args(argv)
 
     if a.cmd == "gen":
@@ -136,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
 
             for m in lineage(a.lake, a.part):
                 print(json.dumps(m))
+        elif a.cmd == "export":
+            from .pipelines.ingest import export_lake
+
+            n = export_lake(a.lake, a.out, num_partitions=a.partitions, fmt=a.format)
+            print(json.dumps({"rows": n, "out": a.out, "format": a.format}))
         elif a.cmd == "compact":
             from .pipelines.compact import compact_lake
 

@@ -323,6 +323,24 @@ def ingest(
     return pa.concat_tables(metrics_tables)
 
 
+def export_lake(
+    lake_dir: str, out_dir: str, num_partitions: int = 32, fmt: str = "csv"
+) -> int:
+    """Export the live lake view to a directory of csv/parquet part files
+    (K1/K2 analogue — the lake's ``part=<k>`` layout is already the
+    reference's sharded output tree; this is the flat-file render of it).
+    Returns exported row count."""
+    ds = read_lake(lake_dir, num_partitions)
+    n = ds.count()
+    if fmt == "csv":
+        ds.write_csv(out_dir)
+    elif fmt == "parquet":
+        ds.write_parquet(out_dir)
+    else:
+        raise ValueError(f"unknown export format {fmt!r}")
+    return n
+
+
 def read_lake(lake_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
     """The live view of the lake: latest committed snapshot per partition,
     tombstones dropped, key-sorted within partition."""

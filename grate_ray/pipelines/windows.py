@@ -1,0 +1,86 @@
+"""Stream-shaped operators over the ordered ``events`` log.
+
+Ray Data has no event-time window primitives (SURVEY.md §2.9); these
+express the two standard shapes the engine needs:
+
+- tumbling windows: a derived window-start column + groupby — embarrassingly
+  parallel, the window column IS the shuffle key;
+- session windows: per-key ``map_groups`` over the ts-sorted group with a
+  vectorized gap-split (state never leaves the group = the partitioning
+  assumption, documented per the north-star custom-operator rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def tumbling_counts(sf_dir: str, minutes: int = 60) -> ray.data.Dataset:
+    """Events per (event_type, window): window = ts floored to the hour
+    (or ``minutes``)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    us = minutes * 60 * 1_000_000
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        w = pc.multiply(pc.divide(ts, pa.scalar(us, pa.int64())), pa.scalar(us, pa.int64()))
+        return t.append_column("w", w.cast(pa.timestamp("us")))
+
+    agg = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "w"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"),
+            "sum_value",
+            pc.round(t["sum_value"], ndigits=2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Session windows per user: a new session starts when the gap from the
+    previous event exceeds ``gap_minutes``. Output: one row per session
+    (user_id, session_id, n_events, t_start, t_end).
+
+    Partitioning assumption: one user's events fit in one group (true for
+    per-user event streams; a pathological single-user firehose would need
+    time-sharded pre-sessionization plus a stitch pass).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = (ts[1:] - ts[:-1] > gap).astype(np.int64)
+        sess = np.cumsum(brk)
+        g = g.assign(session_id=sess)
+        out = (
+            g.groupby("session_id")
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "size"),
+                t_start=("ts", "min"),
+                t_end=("ts", "max"),
+            )
+            .reset_index()
+        )
+        return out[["user_id", "session_id", "n_events", "t_start", "t_end"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
