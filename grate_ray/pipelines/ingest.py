@@ -341,9 +341,19 @@ def export_lake(
     return n
 
 
-def read_lake(lake_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+def read_lake(
+    lake_dir: str,
+    num_partitions: int = 32,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
     """The live view of the lake: latest committed snapshot per partition,
-    tombstones dropped, key-sorted within partition."""
+    tombstones dropped, key-sorted within partition.
+
+    ``columns`` prunes payload columns AT THE READ (parquet column
+    projection — a 2-column consumer must not page the full text column
+    off storage); key + envelope columns needed to drop tombstones are
+    always read and stripped from the output unless requested.
+    """
     latest = []
     for p in range(num_partitions):
         hw = committed_lsn(lake_dir, p)
@@ -354,6 +364,16 @@ def read_lake(lake_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
     if not latest:
         from ..schema import empty_lake_table
 
-        return ray.data.from_arrow(empty_lake_table())
-    ds = ray.data.read_parquet(latest)
-    return ds.map_batches(finalize, batch_format="pyarrow")
+        t = empty_lake_table()
+        return ray.data.from_arrow(t.select(columns) if columns else t)
+    read_cols = None
+    if columns is not None:
+        need = {"op", "conv_id", "turn_idx", "ts", "lsn"}
+        read_cols = sorted(need | set(columns))
+    ds = ray.data.read_parquet(latest, columns=read_cols)
+
+    def view(t: pa.Table) -> pa.Table:
+        t = finalize(t)
+        return t.select(columns) if columns is not None else t
+
+    return ds.map_batches(view, batch_format="pyarrow")
