@@ -361,6 +361,46 @@ def q_cell_types(sf_dir: str):
     ).aggregate(Count(alias_name="n"))
 
 
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs over embeddings ∪ planted perturbed
+    copies (vec_id+1_000_000, last element zeroed — cos ≈ √(63/64));
+    broadcast-matrix matmul per batch, threshold 0.9."""
+    import ray.data
+    import pyarrow.parquet as pq
+    from grate_ray.functions.ann import cosine_neardup_pairs
+
+    def perturb(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["vec_id"].to_numpy(zero_copy_only=False) + 1_000_000
+        mats = [np.asarray(e, dtype=np.float32) for e in t["embedding"].to_pylist()]
+        for m in mats:
+            m[-1] = 0.0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([m.tolist() for m in mats], pa.list_(pa.float32())),
+            }
+        )
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    u = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+
+    # broadcast side: whole (small) matrix incl. the planted copies
+    import numpy as np
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+    mat2 = mat.copy()
+    mat2[:, -1] = 0.0
+    all_ids = np.concatenate([ids, ids + 1_000_000])
+    all_mat = np.vstack([mat, mat2])
+    return cosine_neardup_pairs(u, all_ids, all_mat, threshold=0.9)
+
+
 def q_multimodal_features(sf_dir: str):
     """Binary-payload plumbing: synthesize fake media blobs, decode via the
     actor-pool stub (schema/batch mechanics real, codec stubbed)."""
@@ -402,6 +442,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "dedup_embedding": q_dedup_embedding,
     "multimodal_features": q_multimodal_features,
     "cell_types": q_cell_types,
     "window_tumbling": lambda sf: __import__(
@@ -599,6 +640,18 @@ FROM (SELECT doc_id, text,
 WHERE rn = 1""",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_bruteforce": _ANN_SQL,
+        "dedup_embedding": """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         embedding[1:63] || [CAST(0 AS FLOAT)]
+  FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""",
         "multimodal_features": """
 SELECT doc_id,
        octet_length(CAST(text AS BLOB)) + 4 AS n_bytes,

@@ -105,6 +105,48 @@ def brute_force_topk(
     )
 
 
+def cosine_neardup_pairs(
+    ds: ray.data.Dataset,
+    all_ids: np.ndarray,
+    all_mat: np.ndarray,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs: the full (small) normalized matrix
+    is broadcast once; each batch does one matmul against it and keeps
+    (a < b, sim ≥ threshold). Exact — the 100 TB path swaps the broadcast
+    for the LSH-bucketed scorer below; sims rounded to 6dp to match the
+    SQL oracle bit-for-bit."""
+    ref = ray.put((np.asarray(all_ids), _normalize(np.asarray(all_mat, dtype=np.float64))))
+
+    class Pairer:
+        def __init__(self, ref, thr):
+            self.ids, self.mat = ray.get(ref)
+            self.thr = thr
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            x = _normalize(_stack(t[emb_col]))
+            sims = np.round(x @ self.mat.T, 6)  # (n, all)
+            ii, jj = np.nonzero(sims >= self.thr)
+            a = ids[ii]
+            b = self.ids[jj]
+            keep = a < b
+            return pa.table(
+                {
+                    "a": pa.array(a[keep].astype(np.int64)),
+                    "b": pa.array(b[keep].astype(np.int64)),
+                    "sim": pa.array(sims[ii[keep], jj[keep]]),
+                }
+            )
+
+    return ds.map_batches(
+        Pairer, fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+
 class _LSHScorer:
     """Actor: hyperplane-LSH bucketed scorer. Scores a batch only against
     queries sharing its vectors' buckets (multi-probe = exact bucket)."""

@@ -112,3 +112,17 @@ def test_binary_batches_stay_arrow(ray_session, sf_dir):
     b = next(iter(ds.iter_batches(batch_size=8, batch_format="pyarrow")))
     assert pa.types.is_binary(b.schema.field("payload").type)
     assert b["payload"][0].as_py().startswith(b"IMG0")
+
+
+def test_dedup_embedding_planted_pairs(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    out = E.queries()["dedup_embedding"](sf_dir).to_pandas()
+    # every planted (v, v+1M) pair survives the 0.9 threshold...
+    assert (out["b"] - out["a"] == 1_000_000).all()
+    assert (out["sim"] >= 0.9).all()
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    # ...and nothing else does (original max pairwise cosine ~0.51)
+    assert len(out) == n
