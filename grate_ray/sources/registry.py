@@ -64,8 +64,10 @@ def open_payload(payload: str) -> tuple[str, pa.Table]:
 
 
 def _install_builtins() -> None:
-    from .textual import decode_csv, decode_tsv
+    from .textual import decode_csv, decode_jsonl, decode_tsv
 
+    if "jsonl" not in registered():
+        register("jsonl", 5, decode_jsonl)
     if "tsv" not in registered():
         register("tsv", 10, decode_tsv)
     if "csv" not in registered():

@@ -63,6 +63,41 @@ def decode_tsv(payload: str) -> pa.Table:
     return _to_table(rows)
 
 
+def decode_jsonl(payload: str) -> pa.Table:
+    """JSON-lines decoder (registry priority 5 — sniffed before tsv/csv,
+    like xlsx=5 outranks the plaintext formats in the reference registry,
+    /root/reference/grate.go:83-92). Accepts iff >80% of non-blank lines
+    parse as JSON objects; rows are rendered to the same string-cell grid
+    as the other decoders (keys sorted → column order stable)."""
+    import json
+
+    lines = [ln for ln in payload.split("\n") if ln.strip()]
+    if not lines:
+        raise NotInFormat("empty payload")
+    parsed = []
+    ok = 0
+    for ln in lines:
+        try:
+            obj = json.loads(ln)
+            if isinstance(obj, dict) and obj:
+                parsed.append(obj)
+                ok += 1
+                continue
+        except json.JSONDecodeError:
+            pass
+        parsed.append(None)
+    if ok / len(lines) <= MIN_ACCEPT_FRAC:
+        raise NotInFormat(f"{ok}/{len(lines)} json lines")
+    keys = sorted({k for o in parsed if o for k in o})
+    if len(keys) <= 1:
+        raise NotInFormat("needs >1 column")
+    rows = [
+        ["" if o.get(k) is None else str(o.get(k)) for k in keys] if o else [""]
+        for o in parsed
+    ]
+    return _to_table(rows)
+
+
 def decode_csv(payload: str) -> pa.Table:
     try:
         rows = list(_csv.reader(io.StringIO(payload)))

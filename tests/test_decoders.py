@@ -72,7 +72,7 @@ def test_custom_register_overrides_and_prioritizes():
 
         return _to_table(rows)
 
-    register("pipe", 5, decode_pipe)
+    register("pipe", 3, decode_pipe)
     try:
         assert registered()[0] == "pipe"
         fmt, t = open_payload("a|b\nc|d")
@@ -109,3 +109,21 @@ def test_fingerprint_stable_and_distinct():
     assert a[0] == a[2]
     assert a[0] != a[1]
     assert fingerprint64(pa.array(["x"]))[0] == a[0]
+
+
+def test_jsonl_decoder_and_priority():
+    from grate_ray.sources.textual import decode_jsonl
+
+    payload = '{"b": 1, "a": "x"}\n{"a": "y", "b": 2}\n'
+    fmt, t = open_payload(payload)
+    assert fmt == "jsonl"  # priority 5, before tsv/csv
+    assert t.column_names == ["row_idx", "c0", "c1"]  # keys sorted: a, b
+    assert t["c0"].to_pylist() == ["x", "y"]
+    assert t["c1"].to_pylist() == ["1", "2"]
+    with pytest.raises(NotInFormat):
+        decode_jsonl("a\tb\n1\t2")  # not json
+    with pytest.raises(NotInFormat):
+        decode_jsonl('{"only_one_key": 1}\n{"only_one_key": 2}')
+    # json line payloads don't get mis-sniffed by tsv/csv, and vice versa
+    assert open_payload("a\tb\n1\t2")[0] == "tsv"
+    assert open_payload("a,b\n1,2")[0] == "csv"

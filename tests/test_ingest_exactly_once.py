@@ -143,3 +143,52 @@ def test_lineage_chain_and_gc(tmp_path_factory):
     for p in range(P):
         gc_superseded_states(lake, p, keep=1)
     _assert_lake_matches(lake, d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_unifies_lagging_schemas(tmp_path_factory):
+    """Ingest always reconciles to the engine's declared schema, so lagging
+    snapshots only arise from commits made by an OLDER engine version —
+    emulate one with a manual epoch-0-shaped commit, then compact."""
+    from grate_ray.pipelines.compact import compact_lake
+    from grate_ray.pipelines.ingest import read_lake
+
+    lake = str(tmp_path_factory.mktemp("clake"))
+    # partition 0: legacy snapshot without `tool`, int32 seconds ts
+    legacy = pa.table(
+        {
+            "op": pa.array(["I"], pa.string()),
+            "lsn": pa.array([5], pa.int64()),
+            "conv_id": pa.array(["a"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array(["old"], pa.string()),
+            "ts": pa.array([1_700_000_000], pa.int32()),
+        }
+    )
+    commit_partition(lake, 0, 0, 99, legacy, {})
+    # partition 1: current full schema
+    modern = pa.table(
+        {
+            "op": pa.array(["I"], pa.string()),
+            "lsn": pa.array([7], pa.int64()),
+            "conv_id": pa.array(["b"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array(["new"], pa.string()),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([1_700_000_123_000_000], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    commit_partition(lake, 1, 0, 99, modern, {})
+    out = compact_lake(lake, num_partitions=P)
+    assert out["schemas_unified"] >= 1  # legacy widened (+ column-order canonicalization may rewrite others)
+    s0 = read_state(lake, 0).schema
+    s1 = read_state(lake, 1).schema
+    assert s0.names == s1.names
+    assert s0.field("ts").type == pa.timestamp("us")
+    df = read_lake(lake, num_partitions=P).to_pandas().sort_values("conv_id")
+    assert df["text"].tolist() == ["old", "new"]
+    assert df["tool"].isna().all()

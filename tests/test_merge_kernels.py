@@ -154,3 +154,38 @@ def test_empty_and_single_row():
     one = mk([("I", 1, "a", 0, "user", "x", None, 1)])
     assert finalize(lww_reduce(one))["text"].to_pylist() == ["x"]
     assert finalize(one).schema.names == LAKE_SCHEMA.names
+
+
+def test_unify_widening_properties():
+    """evolve.unify: commutative join on the widening lattice."""
+    import pyarrow as pa
+    from grate_ray.stages.evolve import unify, reconcile
+
+    s1 = pa.schema([("a", pa.int32()), ("b", pa.string())])
+    s2 = pa.schema([("a", pa.int64()), ("c", pa.float32())])
+    s3 = pa.schema([("a", pa.int8()), ("c", pa.float64()), ("d", pa.timestamp("us"))])
+    for x, y in [(s1, s2), (s2, s3), (s1, s3)]:
+        assert set(unify([x, y]).names) == set(unify([y, x]).names)
+        for f in unify([x, y]):
+            assert unify([y, x]).field(f.name).type == f.type
+    u = unify([s1, s2, s3])
+    assert u.field("a").type == pa.int64()
+    assert u.field("c").type == pa.float64()
+    # idempotent: unify with itself is identity
+    assert unify([u, u]).equals(u)
+    # reconcile to the union round-trips every schema's data
+    t = pa.table({"a": pa.array([1], pa.int32()), "b": ["x"]}, schema=s1)
+    r = reconcile(t, u)
+    assert r["a"].type == pa.int64()
+    assert r["c"].null_count == 1 and r["d"].null_count == 1
+
+
+def test_unify_int_vs_timestamp_widens_to_timestamp():
+    import pyarrow as pa
+    from grate_ray.stages.evolve import unify
+
+    s = unify([
+        pa.schema([("ts", pa.int32())]),
+        pa.schema([("ts", pa.timestamp("us"))]),
+    ])
+    assert s.field("ts").type == pa.timestamp("us")
