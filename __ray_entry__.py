@@ -460,6 +460,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "topk_orders": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).top_orders(sf),
+    "anti_join_segment": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).orders_anti_join_segment(sf),
+    "distinct_event_types": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).distinct_event_types(sf),
 }
 
 
@@ -702,6 +708,11 @@ SELECT o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
          row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
   FROM orders
 ) WHERE rank <= 10""",
+        "anti_join_segment": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
     }
 
 

@@ -25,6 +25,38 @@ def synthesize_binary_column(t: pa.Table, text_col: str = "text") -> pa.Table:
     return t.append_column("payload", pa.array(blobs, pa.binary()))
 
 
+class FrameSampler:
+    """Video-style frame sampling plumbing: binary payload → list<binary>
+    of every ``stride``-th fixed-size "frame". The frame extraction is the
+    deterministic stub (byte slices — a real implementation would seek
+    keyframes via a codec); the Ray-side mechanics (nested list<binary>
+    output schema, pyarrow-only batches, small batch sizes) are real and
+    are what a 100 TB video pipeline needs to get right."""
+
+    def __init__(self, frame_bytes: int = 16, stride: int = 4, payload_col: str = "payload"):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        frames_col = []
+        for blob in t[self.payload_col].to_pylist():
+            blob = blob or b""
+            frames = [
+                blob[i : i + self.frame_bytes]
+                for i in range(0, len(blob), self.frame_bytes)
+            ]
+            frames_col.append(frames[:: self.stride])
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column(
+            "frames", pa.array(frames_col, pa.list_(pa.binary()))
+        )
+        out = out.append_column(
+            "n_frames", pc.cast(pc.list_value_length(out["frames"]), pa.int64())
+        )
+        return out
+
+
 class MediaDecoder:
     """Actor-pool decode/feature stage over a binary column.
 

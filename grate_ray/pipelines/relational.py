@@ -115,6 +115,48 @@ def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def orders_anti_join_segment(sf_dir: str, segment: str = "BUILDING") -> ray.data.Dataset:
+    """Anti-join via broadcast key set: orders whose customer is NOT in the
+    given market segment. The key set is `ray.put` once and the filter is a
+    vectorized `pc.is_in` per batch — no shuffle (guide: semi/anti joins
+    broadcast the key set)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], segment))["c_custkey"]
+    key_ref = ray.put(keys.combine_chunks())
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        mask = pc.invert(pc.is_in(t["o_custkey"], value_set=ks))
+        return t.filter(mask)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(anti, batch_format="pyarrow")
+
+
+def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
+    """Distinct values of a column: per-batch partial distinct inside
+    map_batches, then a tiny groupby — never ships duplicate rows
+    (the combiner pattern applied to `unique`)."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"].combine_chunks().unique()})
+
+    return (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: t.drop_columns(["_c"]), batch_format="pyarrow")
+    )
+
+
 def top_orders(sf_dir: str, k: int = 10) -> pa.Table:
     """Top-k by total price without a global sort: per-batch prune to k,
     tiny final merge on the driver. Deterministic tie-break by key."""

@@ -126,3 +126,22 @@ def test_dedup_embedding_planted_pairs(ray_session, sf_dir):
     n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     # ...and nothing else does (original max pairwise cosine ~0.51)
     assert len(out) == n
+
+
+def test_frame_sampler_plumbing(ray_session, sf_dir):
+    from grate_ray.functions.multimodal import FrameSampler, synthesize_binary_column
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(synthesize_binary_column, batch_format="pyarrow").map_batches(
+        lambda t: t.drop_columns(["text"]), batch_format="pyarrow"
+    ).map_batches(
+        FrameSampler, fn_constructor_kwargs={"frame_bytes": 8, "stride": 2},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+    )
+    b = next(iter(ds.iter_batches(batch_size=16, batch_format="pyarrow")))
+    assert str(b.schema.field("frames").type) == "list<item: binary>"
+    assert (np.array(b["n_frames"].to_pylist()) > 0).all()
+    first = b["frames"][0].as_py()
+    assert first[0].startswith(b"IMG0")  # frame 0 = payload head
+    assert all(len(f) <= 8 for f in first)
