@@ -445,6 +445,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_embedding": q_dedup_embedding,
     "multimodal_features": q_multimodal_features,
     "cell_types": q_cell_types,
+    "asof_join": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).asof_join_events(sf),
     "window_tumbling": lambda sf: __import__(
         "grate_ray.pipelines.windows", fromlist=["x"]
     ).tumbling_counts(sf),
@@ -679,6 +682,12 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
         "cell_types": _CELL_TYPES_SQL,
+        "asof_join": """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.user_id = e.user_id AND c.event_type = 'click'
+          AND c.ts <= e.ts) AS last_right_ts
+FROM events e WHERE e.event_type = 'purchase'""",
         "window_tumbling": """
 SELECT event_type, date_trunc('hour', ts) AS w,
        count(*) AS n, round(sum(value), 2) AS sum_value

@@ -49,6 +49,45 @@ def tumbling_counts(sf_dir: str, minutes: int = 60) -> ray.data.Dataset:
     )
 
 
+def asof_join_events(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+) -> ray.data.Dataset:
+    """As-of join within the events log: for every ``left_type`` event,
+    attach the user's most recent ``right_type`` event at-or-before its
+    ts (backward as-of, ts-inclusive; ties among right events at the same
+    ts resolve to that ts). Implemented as groupby(user) + per-group
+    ``pd.merge_asof`` over ts-sorted frames — the composition path for
+    as-of/range joins Ray Data lacks natively (partitioning assumption:
+    one user's history fits in a group)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
+        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "last_right_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        out = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["ts"]].rename(columns={"ts": "last_right_ts"}),
+            left_on="ts",
+            right_on="last_right_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session windows per user: a new session starts when the gap from the
     previous event exceeds ``gap_minutes``. Output: one row per session
