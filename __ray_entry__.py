@@ -536,9 +536,9 @@ WITH u AS (
          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(g)
   WHERE len(w) >= 3
 ), grams AS (
-  -- document-frequency cap (df_cap=50), identical to the Ray pipeline
+  -- document-frequency cap (df_cap=25), identical to the Ray pipeline
   SELECT * FROM grams_all
-  WHERE g IN (SELECT g FROM grams_all GROUP BY g HAVING count(*) <= 50)
+  WHERE g IN (SELECT g FROM grams_all GROUP BY g HAVING count(*) <= 25)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
 ), inter AS (

@@ -78,7 +78,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
-    df_cap: int = 50,
+    df_cap: int = 25,
 ) -> ray.data.Dataset:
     """Candidate pairs via an inverted gram index (groupby gram → pairwise),
     verified with EXACT Jaccard |A∩B| / (|A|+|B|-|A∩B|) on distinct-gram
