@@ -189,3 +189,23 @@ def test_unify_int_vs_timestamp_widens_to_timestamp():
         pa.schema([("ts", pa.timestamp("us"))]),
     ])
     assert s.field("ts").type == pa.timestamp("us")
+
+
+def test_hll_accuracy_and_merge():
+    """HLL estimate within ~3% at p=12; merge == union semantics."""
+    import numpy as np
+    from grate_ray.functions.sketch import (
+        hll_estimate, hll_from_values, hll_merge,
+    )
+
+    vals = [f"key-{i}" for i in range(50_000)]
+    est = hll_estimate(hll_from_values(vals))
+    assert abs(est - 50_000) / 50_000 < 0.03, est
+    # merge of disjoint halves == sketch of the union
+    a = hll_from_values(vals[:25_000])
+    b = hll_from_values(vals[25_000:])
+    assert np.array_equal(hll_merge([a, b]), hll_from_values(vals))
+    # merge with overlap doesn't double count
+    c = hll_from_values(vals[:30_000])
+    est2 = hll_estimate(hll_merge([a, c]))
+    assert abs(est2 - 30_000) / 30_000 < 0.03, est2
