@@ -445,6 +445,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_embedding": q_dedup_embedding,
     "multimodal_features": q_multimodal_features,
     "cell_types": q_cell_types,
+    "range_join": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).range_join_trailing_count(sf),
     "asof_join": lambda sf: __import__(
         "grate_ray.pipelines.windows", fromlist=["x"]
     ).asof_join_events(sf),
@@ -682,6 +685,13 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
         "cell_types": _CELL_TYPES_SQL,
+        "range_join": """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT count(*) FROM events c
+        WHERE c.user_id = e.user_id
+          AND c.ts >= e.ts - INTERVAL 5 MINUTE
+          AND c.ts <= e.ts) AS n_in_window
+FROM events e WHERE e.event_type = 'error'""",
         "asof_join": """
 SELECT e.event_id, e.user_id, e.ts,
        (SELECT max(c.ts) FROM events c

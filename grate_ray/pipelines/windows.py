@@ -88,6 +88,47 @@ def asof_join_events(
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def range_join_trailing_count(
+    sf_dir: str, anchor_type: str = "error", window_minutes: int = 5
+) -> ray.data.Dataset:
+    """Range join within the events log: for every ``anchor_type`` event,
+    count the user's events with ts in [anchor_ts - window, anchor_ts]
+    (inclusive both ends — mirrored in the oracle). Per-user group +
+    vectorized ``searchsorted`` over the sorted ts array; same
+    partitioning assumption as the as-of join."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    w = np.timedelta64(window_minutes * 60 * 1_000_000, "us")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        all_ts = g["ts"].to_numpy()
+        anchors = g[g["event_type"] == anchor_type]
+        if anchors.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "n_in_window": pd.Series([], dtype="int64"),
+                }
+            )
+        a_ts = anchors["ts"].to_numpy()
+        lo = np.searchsorted(all_ts, a_ts - w, side="left")
+        hi = np.searchsorted(all_ts, a_ts, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": anchors["event_id"].to_numpy(),
+                "user_id": anchors["user_id"].to_numpy(),
+                "ts": a_ts,
+                "n_in_window": (hi - lo).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session windows per user: a new session starts when the gap from the
     previous event exceeds ``gap_minutes``. Output: one row per session
