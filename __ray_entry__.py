@@ -207,7 +207,9 @@ def q_text_langid(sf_dir: str):
 
 
 def q_doc_fingerprint(sf_dir: str):
-    """64-bit content fingerprints (rolling-hash analogue; rows-only check)."""
+    """64-bit content fingerprints — md5 low 8 bytes little-endian, which
+    is exactly DuckDB's md5_number_lower(), so the oracle is a full
+    value check."""
     import ray.data
     from grate_ray.functions.text import fingerprint64
 
@@ -555,13 +557,17 @@ FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
 WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= 0.6"""
 
 # SQL mirror of grate_ray/functions/ann.py brute_force_topk: identical
-# rounding (6dp) and ranking key (sim desc, vec_id asc)
+# rounding (6dp) and ranking key (sim desc, vec_id asc). Embeddings are
+# stored float32; the Ray side computes cosine in float64, so the oracle
+# must CAST to DOUBLE[] — DuckDB's list_cosine_similarity over FLOAT
+# lists computes float32 and 6dp rounding does not converge the two.
 _ANN_SQL = """
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id % 50 = 0
 ), scored AS (
   SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(e.embedding, q.qe), 6) AS sim
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
   FROM q CROSS JOIN embeddings e
   WHERE e.vec_id <> q.query_id
 ), ranked AS (
@@ -639,6 +645,9 @@ FROM documents
 WHERE trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') <> ''""",
         "text_quality": _QUALITY_SQL,
         "text_langid": _LANGID_SQL,
+        "doc_fingerprint": (
+            "SELECT doc_id, md5_number_lower(coalesce(text, '')) AS fp FROM documents"
+        ),
         "dedup_exact": """
 WITH u AS (
   SELECT doc_id, text FROM documents
@@ -654,10 +663,10 @@ WHERE rn = 1""",
         "ann_bruteforce": _ANN_SQL,
         "dedup_embedding": """
 WITH u AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000,
-         embedding[1:63] || [CAST(0 AS FLOAT)]
+         CAST(embedding[1:63] || [CAST(0 AS FLOAT)] AS DOUBLE[])
   FROM embeddings
 )
 SELECT a.vec_id AS a, b.vec_id AS b,

@@ -90,7 +90,10 @@ LANG_MARKERS: list[tuple[str, str]] = [
 
 def lang_id(norm: pa.ChunkedArray | pa.Array) -> pa.Array:
     """N-gram-marker language guess over normalized text; 'und' if no
-    marker hits. Padded with spaces so markers match whole tokens."""
+    marker hits. Padded with spaces so markers match whole tokens.
+    Null input yields 'und' (the SQL CASE mirror's ELSE branch also
+    lands on 'und' for NULL — keep the two sides identical)."""
+    norm = pc.fill_null(norm, "")
     padded = pc.binary_join_element_wise(pa.scalar(" "), norm, pa.scalar(" "), "")
     guess = pa.nulls(len(padded), pa.string())
     done = pa.array(np.zeros(len(padded), dtype=bool))
@@ -103,14 +106,16 @@ def lang_id(norm: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def fingerprint64(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Deterministic 64-bit document fingerprint (blake2b-8 per doc; the
-    digest loop is C-speed — no SQL oracle, rows-only check)."""
+    """Deterministic 64-bit document fingerprint: the low 8 md5 digest
+    bytes, little-endian — bit-identical to DuckDB's
+    ``md5_number_lower(text)``, so the fingerprint relation has an exact
+    SQL oracle. Returned as uint64 (UBIGINT on the SQL side)."""
     import hashlib
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    out = np.empty(len(texts), dtype=np.int64)
+    out = np.empty(len(texts), dtype=np.uint64)
     for i, v in enumerate(texts.to_pylist()):
-        d = hashlib.blake2b((v or "").encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(d, "little", signed=True)
+        d = hashlib.md5((v or "").encode("utf-8")).digest()
+        out[i] = int.from_bytes(d[8:16], "little")
     return pa.array(out)

@@ -43,9 +43,14 @@ from ..stages.merge import (
 )
 from ..stages.partition import add_partition_column
 from ..state.manifest import (
+    commit_delta,
+    commit_empty,
     commit_partition,
     committed_lsn,
+    deltas_since_snapshot,
+    list_partitions,
     read_state,
+    write_lake_config,
 )
 
 METRICS_SCHEMA = pa.schema(
@@ -71,6 +76,8 @@ class PartitionMerger:
     LWW-reduced (sorted) and merged in. The commit (snapshot + manifest) is
     the only side effect and is idempotent.
     """
+
+    SNAPSHOT_EVERY = 8  # delta commits between full snapshots
 
     def __init__(self, lake_dir: str, lsn_lo: int, lsn_hi: int):
         self.lake_dir = lake_dir
@@ -141,9 +148,20 @@ class PartitionMerger:
         )
         self.state_cache[part] = new_state
         live = int(pc.sum(pc.cast(pc.not_equal(new_state["op"], "D"), pa.int64())).as_py() or 0)
-        commit_partition(
-            self.lake_dir, part, self.lsn_lo, self.lsn_hi, new_state, counts
-        )
+        # write amplification bound (SURVEY.md §4): commit only this
+        # micro-batch's winners (O(delta) bytes) and roll a full snapshot
+        # every SNAPSHOT_EVERY deltas so reconstruction stays O(1) reads
+        if state is None or (
+            deltas_since_snapshot(self.lake_dir, part) + 1 >= self.SNAPSHOT_EVERY
+        ):
+            commit_partition(
+                self.lake_dir, part, self.lsn_lo, self.lsn_hi, new_state, counts
+            )
+        else:
+            commit_delta(
+                self.lake_dir, part, self.lsn_lo, self.lsn_hi,
+                reduced, new_state.num_rows, counts,
+            )
         return self._metrics_row(part, counts, live, False)
 
 
@@ -197,7 +215,18 @@ def _chunk_lsn_ranges(files: list[str]) -> list[tuple[str, int, int]]:
             lo = pc.min(t["lsn"]).as_py()
             hi = pc.max(t["lsn"]).as_py()
         out.append((f, int(lo), int(hi)))
-    return sorted(out, key=lambda x: x[1])
+    out.sort(key=lambda x: x[1])
+    # Disjoint LSN ranges per chunk file are load-bearing: resume metrics
+    # count events exactly once only if a file's range never straddles a
+    # committed high-water mark it wasn't part of. Overlapping ranges would
+    # keep state correct (merge is idempotent) but drift commit metrics.
+    for (fa, _, hia), (fb, lob, _) in zip(out, out[1:]):
+        if lob <= hia:
+            raise ValueError(
+                f"binlog chunk LSN ranges overlap: {fa} ends at {hia}, "
+                f"{fb} starts at {lob}; chunks must carry disjoint ranges"
+            )
+    return out
 
 
 def ingest(
@@ -227,11 +256,15 @@ def ingest(
         merger_concurrency = min(16, max(1, cpus // 2))
 
     os.makedirs(lake_dir, exist_ok=True)
+    write_lake_config(lake_dir, num_partitions)
     files = list_binlog_files(binlog_path)
     ranges = _chunk_lsn_ranges(files)
 
     # global resume point: files whose entire lsn range is committed by
-    # EVERY partition that has any commit can be pruned at the read
+    # EVERY partition can be pruned at the read. Partitions that receive
+    # no events in a micro-batch get an `empty` commit (below), so after
+    # the first completed micro-batch every partition has a high-water
+    # mark and pruning always engages.
     hws = [committed_lsn(lake_dir, p) for p in range(num_partitions)]
     known = [h for h in hws if h is not None]
     global_hw = min(known) if len(known) == num_partitions else None
@@ -316,6 +349,15 @@ def ingest(
         batches = list(metrics_ds.iter_batches(batch_format="pyarrow"))
         mt = pa.concat_tables(batches) if batches else METRICS_SCHEMA.empty_table()
         metrics_tables.append(mt)
+        # partitions with no events this micro-batch: advance their
+        # high-water mark with an empty commit so global file pruning can
+        # engage (a key-hash gap must not force full re-reads forever).
+        # Runs after all real commits are durable: if we die before this,
+        # resume re-runs the micro-batch and committed partitions skip.
+        seen_parts = set(mt["part"].to_pylist())
+        for p in range(num_partitions):
+            if p not in seen_parts:
+                commit_empty(lake_dir, p, lsn_lo, lsn_hi)
         n_batches += 1
 
     if not metrics_tables:
@@ -324,7 +366,7 @@ def ingest(
 
 
 def export_lake(
-    lake_dir: str, out_dir: str, num_partitions: int = 32, fmt: str = "csv"
+    lake_dir: str, out_dir: str, num_partitions: int | None = None, fmt: str = "csv"
 ) -> int:
     """Export the live lake view to a directory of csv/parquet part files
     (K1/K2 analogue — the lake's ``part=<k>`` layout is already the
@@ -343,37 +385,54 @@ def export_lake(
 
 def read_lake(
     lake_dir: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     columns: list[str] | None = None,
 ) -> ray.data.Dataset:
-    """The live view of the lake: latest committed snapshot per partition,
-    tombstones dropped, key-sorted within partition.
+    """The live view of the lake: latest committed state per partition
+    (nearest snapshot + LWW-merged deltas), tombstones dropped, key-sorted
+    within partition.
+
+    Partitions are DISCOVERED from the manifest tree (never trusted from a
+    caller-supplied count — a smaller count must not silently drop data;
+    ``num_partitions`` is accepted for API compatibility and ignored).
 
     ``columns`` prunes payload columns AT THE READ (parquet column
     projection — a 2-column consumer must not page the full text column
-    off storage); key + envelope columns needed to drop tombstones are
-    always read and stripped from the output unless requested.
+    off storage); key + envelope columns needed to resolve the LWW chain
+    and drop tombstones are always read and stripped from the output
+    unless requested.
     """
-    latest = []
-    for p in range(num_partitions):
-        hw = committed_lsn(lake_dir, p)
-        if hw is not None:
-            from ..state.manifest import state_path
-
-            latest.append(state_path(lake_dir, p, hw))
-    if not latest:
+    parts = [
+        p for p in list_partitions(lake_dir) if committed_lsn(lake_dir, p) is not None
+    ]
+    if not parts:
         from ..schema import empty_lake_table
 
         t = empty_lake_table()
         return ray.data.from_arrow(t.select(columns) if columns else t)
+
     read_cols = None
     if columns is not None:
         need = {"op", "conv_id", "turn_idx", "ts", "lsn"}
         read_cols = sorted(need | set(columns))
-    ds = ray.data.read_parquet(latest, columns=read_cols)
 
-    def view(t: pa.Table) -> pa.Table:
-        t = finalize(t)
-        return t.select(columns) if columns is not None else t
+    # one reconstruction task per partition (each reads its own chain —
+    # embarrassingly parallel, no shuffle)
+    ds = ray.data.from_items([{"part": p} for p in parts]).repartition(len(parts))
 
-    return ds.map_batches(view, batch_format="pyarrow")
+    def load(t: pa.Table) -> pa.Table:
+        out = []
+        for p in t["part"].to_pylist():
+            st = read_state(lake_dir, int(p), columns=read_cols)
+            if st is None or st.num_rows == 0:
+                continue
+            v = finalize(st)
+            out.append(v.select(columns) if columns is not None else v)
+        if not out:
+            from ..schema import empty_lake_table
+
+            e = empty_lake_table()
+            return e.select(columns) if columns is not None else e
+        return pa.concat_tables(out, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow")

@@ -4,19 +4,28 @@ Design (SURVEY.md §4 checkpoint row; the hardened version of the
 reference's append-only ``results.txt`` manifest,
 /root/reference/cmd/grate2tsv/main.go:103-156):
 
-- Lake layout: ``<lake>/part=<k>/state-<lsn_hi:012d>.parquet`` — one state
-  snapshot per partition per committed LSN range. Deterministic names, so a
-  retried writer overwrites byte-identical content in place (idempotent, the
-  md5-layout trick at /root/reference/cmd/grate2tsv/main.go:186-188 done
-  properly).
+- Lake layout: ``<lake>/part=<k>/state-<lsn_hi:012d>.parquet`` (full
+  snapshot) and ``<lake>/part=<k>/delta-<lsn_hi:012d>.parquet`` (one
+  micro-batch's LWW winners). Deterministic names, so a retried writer
+  overwrites byte-identical content in place (idempotent, the md5-layout
+  trick at /root/reference/cmd/grate2tsv/main.go:186-188 done properly).
 - Manifest: ``<lake>/_manifests/part=<k>/commit-<lsn_hi:012d>.json`` written
   via temp-file + atomic rename. A commit is visible iff its manifest
   exists; re-committing the same ``(partition, lsn_hi)`` is a no-op.
+- Commit kinds: ``snapshot`` (full state), ``delta`` (only this
+  micro-batch's reduced winners — O(delta) write amplification instead of
+  O(state) per commit), ``empty`` (no events for this partition in the
+  micro-batch; advances the high-water mark so resume can prune files).
+  State at any commit = nearest snapshot at-or-before it + LWW-merge of
+  the deltas after it (exact: LWW-with-tombstones is associative).
 - Resume: the committed LSN high-water mark per partition = max manifest;
   a restarted job skips chunks at-or-below it per partition (exactly-once
   under at-least-once task retries: commit is the only side effect).
-- Each manifest carries lineage + metrics: events applied by op, live rows,
-  state file, parent commit (the per-partition lineage chain).
+- Each manifest carries lineage + metrics: events applied by op, state
+  rows, state file, parent commit (the per-partition lineage chain).
+- ``<lake>/_lake.json`` records the partition count: readers discover
+  partitions from the manifest tree, and a re-ingest with a different
+  partition count errors instead of silently splitting the key space.
 """
 
 from __future__ import annotations
@@ -41,8 +50,62 @@ def state_path(lake_dir: str, part: int, lsn_hi: int) -> str:
     return os.path.join(part_dir(lake_dir, part), f"state-{lsn_hi:012d}.parquet")
 
 
+def delta_path(lake_dir: str, part: int, lsn_hi: int) -> str:
+    return os.path.join(part_dir(lake_dir, part), f"delta-{lsn_hi:012d}.parquet")
+
+
 def manifest_path(lake_dir: str, part: int, lsn_hi: int) -> str:
     return os.path.join(manifest_dir(lake_dir, part), f"commit-{lsn_hi:012d}.json")
+
+
+def lake_config_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_lake.json")
+
+
+def write_lake_config(lake_dir: str, num_partitions: int) -> None:
+    """Persist (or validate) the lake's partition count. The hash mapping
+    key→partition is fixed at first ingest; re-ingesting with a different
+    count would split the key space silently — error instead."""
+    p = lake_config_path(lake_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            existing = json.load(f)
+        if existing.get("num_partitions") != num_partitions:
+            raise ValueError(
+                f"lake {lake_dir} was created with num_partitions="
+                f"{existing.get('num_partitions')}, got {num_partitions}"
+            )
+        return
+    os.makedirs(lake_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=lake_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"num_partitions": num_partitions}, f)
+    os.replace(tmp, p)
+
+
+def lake_num_partitions(lake_dir: str) -> int | None:
+    p = lake_config_path(lake_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("num_partitions")
+
+
+def list_partitions(lake_dir: str) -> list[int]:
+    """Partitions that have ever committed — discovered from the manifest
+    tree, never trusted from a caller-supplied count (a smaller count must
+    not silently drop data at read time)."""
+    d = os.path.join(lake_dir, "_manifests")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("part="):
+            try:
+                out.append(int(name[len("part="):]))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def committed_lsn(lake_dir: str, part: int) -> int | None:
@@ -63,14 +126,149 @@ def read_manifest(lake_dir: str, part: int, lsn_hi: int) -> dict:
         return json.load(f)
 
 
-def read_state(lake_dir: str, part: int, lsn_hi: int | None = None) -> pa.Table | None:
-    """Latest committed state table for a partition (None if no commit)."""
+def _merge_chain(tables: list[pa.Table]) -> pa.Table:
+    """LWW-merge snapshot + deltas (full envelope incl. tombstones),
+    reconciling schemas across evolution epochs."""
+    from ..stages.evolve import reconcile, unify
+    from ..stages.merge import lww_reduce
+
+    target = unify([t.schema for t in tables])
+    tables = [
+        t if t.schema.equals(target) else reconcile(t, target).select(target.names)
+        for t in tables
+    ]
+    return lww_reduce(pa.concat_tables(tables, promote_options="default"))
+
+
+def _commit_lsns(lake_dir: str, part: int) -> list[int]:
+    d = manifest_dir(lake_dir, part)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[len("commit-") : -len(".json")])
+        for f in os.listdir(d)
+        if f.startswith("commit-") and f.endswith(".json")
+    )
+
+
+def chain_files(lake_dir: str, part: int, lsn_hi: int | None = None) -> list[str]:
+    """The state/delta files (lake-relative) reconstructing a commit:
+    nearest snapshot at-or-before it, then every delta after, in order.
+    Empty commits contribute nothing. Walks the manifest chain BACKWARD
+    from the commit so cost is O(deltas since last snapshot), not
+    O(total commits)."""
     if lsn_hi is None:
         lsn_hi = committed_lsn(lake_dir, part)
     if lsn_hi is None:
+        return []
+    files_rev: list[str] = []
+    for lsn in reversed([l for l in _commit_lsns(lake_dir, part) if l <= lsn_hi]):
+        m = read_manifest(lake_dir, part, lsn)
+        kind = m.get("kind", "snapshot")
+        if kind == "snapshot":
+            files_rev.append(m["state_file"])
+            break
+        if kind == "delta":
+            files_rev.append(m["state_file"])
+    return list(reversed(files_rev))
+
+
+def deltas_since_snapshot(lake_dir: str, part: int) -> int:
+    return max(0, len(chain_files(lake_dir, part)) - 1)
+
+
+def read_state(
+    lake_dir: str,
+    part: int,
+    lsn_hi: int | None = None,
+    columns: list[str] | None = None,
+) -> pa.Table | None:
+    """Committed state table for a partition (None if no commit): the
+    nearest snapshot plus LWW-merged deltas. ``columns`` pushes parquet
+    column projection into each chain-file read (files missing a
+    requested column — older evolution epochs — read what they have; the
+    chain merge reconciles schemas)."""
+    files = chain_files(lake_dir, part, lsn_hi)
+    if not files:
         return None
-    m = read_manifest(lake_dir, part, lsn_hi)
-    return pq.read_table(os.path.join(lake_dir, m["state_file"]))
+    tables = []
+    for f in files:
+        path = os.path.join(lake_dir, f)
+        cols = None
+        if columns is not None:
+            have = set(pq.read_schema(path).names)
+            cols = [c for c in columns if c in have]
+        tables.append(pq.read_table(path, columns=cols))
+    if len(tables) == 1:
+        return tables[0]
+    return _merge_chain(tables)
+
+
+def _write_parquet_atomic(table: pa.Table, path: str, dir_: str) -> None:
+    fd, tmp = tempfile.mkstemp(dir=dir_, suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)  # atomic on POSIX
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _write_manifest_atomic(manifest: dict, mpath: str, dir_: str) -> None:
+    fd, tmp = tempfile.mkstemp(dir=dir_, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+
+
+def _commit(
+    lake_dir: str,
+    part: int,
+    lsn_lo: int,
+    lsn_hi: int,
+    kind: str,
+    table: pa.Table | None,
+    metrics: dict | None,
+    state_rows: int,
+) -> dict:
+    """Shared commit path. Idempotent: an existing manifest for
+    (part, lsn_hi) wins and is returned unchanged — making at-least-once
+    task retries exactly-once at the lake level."""
+    mpath = manifest_path(lake_dir, part, lsn_hi)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return json.load(f)
+
+    os.makedirs(part_dir(lake_dir, part), exist_ok=True)
+    os.makedirs(manifest_dir(lake_dir, part), exist_ok=True)
+
+    state_file = None
+    if table is not None:
+        path = (
+            state_path(lake_dir, part, lsn_hi)
+            if kind == "snapshot"
+            else delta_path(lake_dir, part, lsn_hi)
+        )
+        _write_parquet_atomic(table, path, part_dir(lake_dir, part))
+        state_file = os.path.relpath(path, lake_dir)
+
+    parent = committed_lsn(lake_dir, part)
+    manifest = {
+        "partition": part,
+        "kind": kind,
+        "lsn_lo": lsn_lo,
+        "lsn_hi": lsn_hi,
+        "parent_lsn_hi": parent,
+        "state_file": state_file,
+        # tombstone-INCLUSIVE row count of the partition state at this
+        # commit; the ingest metrics column `live_rows` excludes tombstones
+        "state_rows": state_rows,
+        "metrics": metrics or {},
+        "schema": table.schema.to_string() if table is not None else None,
+    }
+    _write_manifest_atomic(manifest, mpath, manifest_dir(lake_dir, part))
+    return manifest
 
 
 def commit_partition(
@@ -81,46 +279,38 @@ def commit_partition(
     state: pa.Table,
     metrics: dict | None = None,
 ) -> dict:
-    """Atomically commit a partition state snapshot for [lsn_lo, lsn_hi].
+    """Atomically commit a FULL partition state snapshot for
+    [lsn_lo, lsn_hi]."""
+    return _commit(
+        lake_dir, part, lsn_lo, lsn_hi, "snapshot", state, metrics, state.num_rows
+    )
 
-    Idempotent: if the manifest for (part, lsn_hi) already exists, the
-    commit is a no-op and the existing manifest is returned — making
-    at-least-once task retries exactly-once at the lake level.
-    """
-    mpath = manifest_path(lake_dir, part, lsn_hi)
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            return json.load(f)
 
-    os.makedirs(part_dir(lake_dir, part), exist_ok=True)
-    os.makedirs(manifest_dir(lake_dir, part), exist_ok=True)
+def commit_delta(
+    lake_dir: str,
+    part: int,
+    lsn_lo: int,
+    lsn_hi: int,
+    delta: pa.Table,
+    state_rows: int,
+    metrics: dict | None = None,
+) -> dict:
+    """Commit only this micro-batch's LWW winners (O(delta) bytes written,
+    not O(state)); ``state_rows`` records the resulting full-state size."""
+    return _commit(
+        lake_dir, part, lsn_lo, lsn_hi, "delta", delta, metrics, state_rows
+    )
 
-    spath = state_path(lake_dir, part, lsn_hi)
-    fd, tmp = tempfile.mkstemp(dir=part_dir(lake_dir, part), suffix=".tmp")
-    os.close(fd)
-    try:
-        pq.write_table(state, tmp)
-        os.replace(tmp, spath)  # atomic on POSIX
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
 
-    parent = committed_lsn(lake_dir, part)
-    manifest = {
-        "partition": part,
-        "lsn_lo": lsn_lo,
-        "lsn_hi": lsn_hi,
-        "parent_lsn_hi": parent,
-        "state_file": os.path.relpath(spath, lake_dir),
-        "live_rows": int(state.num_rows),
-        "metrics": metrics or {},
-        "schema": state.schema.to_string(),
-    }
-    fd, tmp = tempfile.mkstemp(dir=manifest_dir(lake_dir, part), suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, mpath)
-    return manifest
+def commit_empty(lake_dir: str, part: int, lsn_lo: int, lsn_hi: int) -> dict:
+    """Commit a no-event micro-batch for a partition: advances the
+    high-water mark (so resume can prune fully-committed binlog files even
+    when some partitions never receive events) without writing any data."""
+    prev = committed_lsn(lake_dir, part)
+    prev_rows = 0
+    if prev is not None:
+        prev_rows = read_manifest(lake_dir, part, prev).get("state_rows", 0)
+    return _commit(lake_dir, part, lsn_lo, lsn_hi, "empty", None, None, prev_rows)
 
 
 def lineage(lake_dir: str, part: int) -> list[dict]:
@@ -137,12 +327,21 @@ def lineage(lake_dir: str, part: int) -> list[dict]:
 
 
 def gc_superseded_states(lake_dir: str, part: int, keep: int = 1) -> list[str]:
-    """Remove state snapshots older than the newest ``keep`` commits
-    (the manifests — the lineage log — are kept forever)."""
+    """Remove state/delta files not needed to reconstruct the newest
+    ``keep`` commits (the manifests — the lineage log — are kept forever).
+    A file is needed iff it is on the reconstruction chain of a kept
+    commit (its supporting snapshot and every delta after it)."""
     chain = lineage(lake_dir, part)
+    kept = chain[-keep:] if keep else []
+    needed: set[str] = set()
+    for m in kept:
+        needed.update(chain_files(lake_dir, part, m["lsn_hi"]))
     removed = []
-    for m in chain[:-keep] if keep else chain:
-        p = os.path.join(lake_dir, m["state_file"])
+    for m in chain:
+        f = m.get("state_file")
+        if not f or f in needed:
+            continue
+        p = os.path.join(lake_dir, f)
         if os.path.exists(p):
             os.unlink(p)
             removed.append(p)
