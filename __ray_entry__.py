@@ -47,8 +47,11 @@ def q_cdc_apply_salted(sf_dir: str):
     from grate_ray.stages.partition import find_hot_keys
 
     ds = _binlog(sf_dir)
+    # hot-key detection is a LIMIT-sampled prefix scan (find_hot_keys caps
+    # at 250k rows), not a second full pass; the replay reuses the same
+    # lazy dataset
     hot = find_hot_keys(ds, threshold_frac=0.01)
-    return apply_binlog(_binlog(sf_dir), num_partitions=16, hot_keys=hot, num_salts=4)
+    return apply_binlog(ds, num_partitions=16, hot_keys=hot, num_salts=4)
 
 
 def q_cdc_op_counts(sf_dir: str):
@@ -162,6 +165,89 @@ def q_decode_sniff_counts(sf_dir: str):
     from grate_ray.pipelines.extract import sniff_mixed_documents
 
     return sniff_mixed_documents(sf_dir)
+
+
+def q_workbook_get(sf_dir: str):
+    """S5 multi-table Source: List/Get container — extract the 'BUILDING'
+    table from every framed workbook payload."""
+    from grate_ray.pipelines.extract import workbook_get_building
+
+    return workbook_get_building(sf_dir)
+
+
+def q_workbook_list(sf_dir: str):
+    """S5 `List` + S11 hidden-table filter: visible table names per book."""
+    from grate_ray.pipelines.extract import workbook_list_visible
+
+    return workbook_list_visible(sf_dir)
+
+
+def q_scan_strict(sf_dir: str):
+    """T7 strict Scan: corrupted cells route their ROWS out; only
+    cleanly-typed rows survive."""
+    from grate_ray.pipelines.extract import scan_strict_customer
+
+    return scan_strict_customer(sf_dir)
+
+
+def q_cdc_merged_ranges(sf_dir: str):
+    """T16 merged-range expansion: events with lsn%23==5 become range
+    writes spanning 2+lsn%3 keys (anchor keeps text, covered keys get the
+    continuation sentinel), expanded 1→N BEFORE the LWW replay."""
+    import numpy as np
+    from grate_ray.pipelines.cdc import apply_binlog
+    from grate_ray.stages.expand import expand_range_events
+
+    def add_span(t: pa.Table) -> pa.Table:
+        lsn = t["lsn"].to_numpy(zero_copy_only=False)
+        span = np.where(lsn % 23 == 5, 2 + lsn % 3, 1)
+        return t.append_column("span", pa.array(span.astype(np.int64)))
+
+    ds = (
+        _binlog(sf_dir)
+        .map_batches(add_span, batch_format="pyarrow")
+        .map_batches(expand_range_events, batch_format="pyarrow")
+    )
+    return apply_binlog(ds, num_partitions=16)
+
+
+def q_cell_formats(sf_dir: str):
+    """T6 Formats() projection: per-column (format id, code) histogram of
+    the decoded customer payload cells."""
+    from grate_ray.pipelines.extract import decode_payloads, frame_rows
+    from grate_ray.functions.format import infer_formats
+    import ray.data
+    from ray.data.aggregate import Count
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols)
+    decoded = decode_payloads(
+        frame_rows(ds, cols, group_mod=16, key_col="c_custkey", sep=","), ncols=5
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["format"], "deadletter"))
+        out_col, out_id, out_code = [], [], []
+        for c in range(5):
+            fid, fcode = infer_formats(t[f"c{c}"])
+            out_col.append(pa.array([f"c{c}"] * t.num_rows))
+            out_id.append(fid)
+            out_code.append(fcode)
+        return pa.table(
+            {
+                "col": pa.concat_arrays(out_col),
+                "fmt_id": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_id]
+                ),
+                "fmt_code": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_code]
+                ),
+            }
+        )
+
+    return decoded.map_batches(classify, batch_format="pyarrow").groupby(
+        ["col", "fmt_id", "fmt_code"]
+    ).aggregate(Count(alias_name="n"))
 
 
 def q_text_normalize(sf_dir: str):
@@ -363,13 +449,11 @@ def q_cell_types(sf_dir: str):
     ).aggregate(Count(alias_name="n"))
 
 
-def q_dedup_embedding(sf_dir: str):
-    """Embedding-cosine near-dup pairs over embeddings ∪ planted perturbed
-    copies (vec_id+1_000_000, last element zeroed — cos ≈ √(63/64));
-    broadcast-matrix matmul per batch, threshold 0.9."""
+def _embeddings_with_perturbed(sf_dir: str):
+    """embeddings ∪ planted perturbed copies (vec_id+1_000_000, last
+    element zeroed — cos ≈ √(63/64)); the near-dup corpus, mirrored in
+    SQL."""
     import ray.data
-    import pyarrow.parquet as pq
-    from grate_ray.functions.ann import cosine_neardup_pairs
 
     def perturb(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -388,7 +472,17 @@ def q_dedup_embedding(sf_dir: str):
     base = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    u = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+    return base.union(base.map_batches(perturb, batch_format="pyarrow"))
+
+
+def q_dedup_embedding(sf_dir: str):
+    """Exact all-pairs embedding near-dup (threshold 0.9): broadcast-
+    matrix matmul per batch — the exact baseline; the distributed scale
+    path is ``dedup_embedding_lsh``."""
+    import pyarrow.parquet as pq
+    from grate_ray.functions.ann import cosine_neardup_pairs
+
+    u = _embeddings_with_perturbed(sf_dir)
 
     # broadcast side: whole (small) matrix incl. the planted copies
     import numpy as np
@@ -401,6 +495,17 @@ def q_dedup_embedding(sf_dir: str):
     all_ids = np.concatenate([ids, ids + 1_000_000])
     all_mat = np.vstack([mat, mat2])
     return cosine_neardup_pairs(u, all_ids, all_mat, threshold=0.9)
+
+
+def q_dedup_embedding_lsh(sf_dir: str):
+    """Distributed LSH-bucketed embedding near-dup — the 100 TB path: no
+    broadcast matrix, candidates from hyperplane buckets (+1-bit probes),
+    exact cosine verify via joins. Oracle mirrors the bucketing exactly."""
+    from grate_ray.functions.ann import cosine_neardup_pairs_lsh
+
+    return cosine_neardup_pairs_lsh(
+        _embeddings_with_perturbed(sf_dir), threshold=0.9, nbits=8
+    )
 
 
 def q_multimodal_features(sf_dir: str):
@@ -434,6 +539,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decode_roundtrip_nation": q_decode_roundtrip_nation,
     "decode_roundtrip_customer": q_decode_roundtrip_customer,
     "decode_sniff_counts": q_decode_sniff_counts,
+    "workbook_get": q_workbook_get,
+    "workbook_list": q_workbook_list,
+    "scan_strict": q_scan_strict,
+    "cdc_merged_ranges": q_cdc_merged_ranges,
+    "cell_formats": q_cell_formats,
     "text_normalize": q_text_normalize,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -445,6 +555,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_features": q_multimodal_features,
     "cell_types": q_cell_types,
     "range_join": lambda sf: __import__(
@@ -523,16 +634,22 @@ WITH padded AS (
 SELECT pred_lang, count(*) AS n FROM pred GROUP BY pred_lang"""
 
 
-# SQL mirror of grate_ray/functions/dedup.py ngram_jaccard_pairs over the
-# planted near-dup corpus (same truncation arithmetic, same trigram windows)
-_NGRAM_JACCARD_SQL = r"""
-WITH u AS (
+# the planted near-dup corpus: documents ∪ truncated copies (identical
+# arithmetic to _with_truncated_copies) — shared by every near-dup oracle
+_CORPUS_SQL = r"""
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 10000000,
          array_to_string(list_slice(str_split(text, ' '), 1,
             greatest(1, (len(str_split(text, ' ')) * 4) // 5)), ' ')
   FROM documents WHERE doc_id % 7 = 0
+"""
+
+# SQL mirror of grate_ray/functions/dedup.py ngram_jaccard_pairs over the
+# planted near-dup corpus (same truncation arithmetic, same trigram windows)
+_NGRAM_JACCARD_SQL = r"""
+WITH u AS (
+""" + _CORPUS_SQL + r"""
 ), words AS (
   SELECT doc_id, str_split(text, ' ') AS w FROM u
 ), grams_all AS (
@@ -579,22 +696,245 @@ SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5"""
 
 
-def _cell_types_sql() -> str:
+_W64 = "18446744073709551616"  # 2^64 (numpy uint64 wrap modulus)
+_M61 = "2305843009213693951"  # 2^61 - 1 (MinHash permutation modulus)
+
+
+def _minhash_sql(threshold: float = 0.6, bucket_cap: int = 50) -> str:
+    """Exact SQL mirror of dedup.minhash_lsh_pairs: identical md5 gram
+    hashes, identical wrapping permutation arithmetic, identical band
+    folds, identical bucket cap, identical exact-Jaccard verify — so the
+    LSH candidate set (and therefore the output relation) matches
+    row-for-row."""
+    from grate_ray.functions.dedup import minhash_coeffs
+
+    a, b = minhash_coeffs(64, 7)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64)
+    )
+    fold = (
+        f"CAST(((((((CAST(v0 AS HUGEINT) * 1099511628211 + v1) % {_W64})"
+        f" * 1099511628211 + v2) % {_W64})"
+        f" * 1099511628211 + v3) % {_W64}) AS UBIGINT)"
+    )
+    return f"""
+WITH u AS (
+{_CORPUS_SQL}
+), words AS (
+  SELECT doc_id, str_split(coalesce(text, ''), ' ') AS w FROM u
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM words,
+  UNNEST(list_transform(range(1, greatest(len(w) - 1, 1)),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(g)
+  WHERE len(w) >= 3
+), gh AS (
+  SELECT doc_id, md5_number_lower(g) AS h FROM grams
+), perms(i, pa, pb) AS (
+  VALUES {perm_rows}
+), sigv AS (
+  SELECT doc_id, i,
+         min(CAST(((CAST(pa AS HUGEINT) * h) % {_W64} + pb) % {_W64} % {_M61}
+                  AS UBIGINT)) AS v
+  FROM gh CROSS JOIN perms GROUP BY doc_id, i
+), sigfull AS (
+  SELECT d.doc_id, p.i, coalesce(s.v, CAST({_M61} AS UBIGINT)) AS v
+  FROM u d CROSS JOIN perms p
+  LEFT JOIN sigv s ON s.doc_id = d.doc_id AND s.i = p.i
+), bandvals AS (
+  SELECT doc_id, i // 4 AS band,
+         max(CASE WHEN i % 4 = 0 THEN v END) AS v0,
+         max(CASE WHEN i % 4 = 1 THEN v END) AS v1,
+         max(CASE WHEN i % 4 = 2 THEN v END) AS v2,
+         max(CASE WHEN i % 4 = 3 THEN v END) AS v3
+  FROM sigfull GROUP BY doc_id, i // 4
+), buckets AS (
+  SELECT doc_id, band, {fold} AS bhash FROM bandvals
+), bcap AS (
+  SELECT band, bhash FROM buckets GROUP BY band, bhash
+  HAVING count(*) <= {bucket_cap}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x
+  JOIN bcap c ON c.band = x.band AND c.bhash = x.bhash
+  JOIN buckets y ON y.band = x.band AND y.bhash = x.bhash
+                AND x.doc_id < y.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS ns
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b, CAST(i.ns AS DOUBLE) / (sa.n + sb.n - i.ns) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.ns AS DOUBLE) / (sa.n + sb.n - i.ns) >= {threshold}"""
+
+
+def _simhash_sql(max_hamming: int = 8, bucket_cap: int = 200, seed: int = 11) -> str:
+    """Exact SQL mirror of dedup.simhash_pairs: md5 word hashes (with
+    multiplicity), 64 bit votes, 4×16-bit banded blocking with the same
+    bucket cap, Hamming via bit_count(xor)."""
+    return f"""
+WITH u AS (
+{_CORPUS_SQL}
+), words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(str_split(coalesce(text, ''), ' ')) AS w FROM u
+  ) WHERE w <> ''
+), wh AS (
+  SELECT doc_id, md5_number_lower('{seed}' || w) AS h FROM words
+), votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN (SELECT UNNEST(range(64)) AS b) bits
+  GROUP BY doc_id, b
+), sigs0 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b
+                       ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS sig
+  FROM votes GROUP BY doc_id
+), sigs AS (
+  SELECT d.doc_id, coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
+  FROM u d LEFT JOIN sigs0 s USING (doc_id)
+), bands AS (
+  SELECT doc_id, sig, b AS band,
+         CAST((sig >> (16 * b)) & 65535 AS BIGINT) AS bval
+  FROM sigs CROSS JOIN (SELECT UNNEST(range(4)) AS b) bs
+), bcap AS (
+  SELECT band, bval FROM bands GROUP BY band, bval
+  HAVING count(*) <= {bucket_cap}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+  FROM bands x
+  JOIN bcap c ON c.band = x.band AND c.bval = x.bval
+  JOIN bands y ON y.band = x.band AND y.bval = x.bval
+             AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS ham
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
+def _plane_code_expr(nbits: int, seed: int, d: int = 64) -> str:
+    """Hyperplane code of the DOUBLE[] column `emb` as a SQL expression —
+    the seeded plane matrix embedded as double literals (sign of the dot
+    product is invariant to the engine-side normalization)."""
+    from grate_ray.functions.ann import hyperplanes
+
+    planes = hyperplanes(d, nbits, seed)
+    plane_lists = [
+        "[" + ", ".join(repr(float(v)) for v in planes[:, j]) + "]"
+        for j in range(nbits)
+    ]
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {plane_lists[j]}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(nbits)
+    )
+
+
+def _ann_lsh_sql(k: int = 5, nbits: int = 4, seed: int = 5) -> str:
+    """Exact SQL mirror of ann.lsh_topk: multi-probe = Hamming ≤ 1 on
+    codes, cosine in float64 rounded to 6dp, identical ranking key."""
+    code_expr = _plane_code_expr(nbits, seed)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), codes AS (
+  SELECT vec_id, emb, {code_expr} AS code FROM e
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe, code AS qcode
+  FROM codes WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(c.emb, q.qe), 6) AS sim
+  FROM q JOIN codes c
+    ON bit_count(xor(CAST(c.code AS BIGINT), CAST(q.qcode AS BIGINT))) <= 1
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def _embedding_lsh_sql(
+    threshold: float = 0.9, nbits: int = 8, seed: int = 5, bucket_cap: int = 500
+) -> str:
+    """Exact SQL mirror of ann.cosine_neardup_pairs_lsh over the planted
+    perturbed corpus: identical codes, Hamming ≤ 1 probe coverage, the
+    same either-endpoint bucket-cap survival rule, float64 cosine."""
+    code_expr = _plane_code_expr(nbits, seed)
+    return f"""
+WITH u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         CAST(embedding[1:63] || [CAST(0 AS FLOAT)] AS DOUBLE[])
+  FROM embeddings
+), codes AS (
+  SELECT vec_id, emb, {code_expr} AS code FROM u
+), hot AS (
+  SELECT code FROM codes GROUP BY code HAVING count(*) > {bucket_cap}
+), cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, x.emb AS ea, y.emb AS eb
+  FROM codes x JOIN codes y
+    ON x.vec_id < y.vec_id
+   AND bit_count(xor(CAST(x.code AS BIGINT), CAST(y.code AS BIGINT))) <= 1
+  WHERE x.code NOT IN (SELECT code FROM hot)
+     OR y.code NOT IN (SELECT code FROM hot)
+)
+SELECT a, b, round(list_cosine_similarity(ea, eb), 6) AS sim
+FROM cand WHERE round(list_cosine_similarity(ea, eb), 6) >= {threshold}"""
+
+
+_CUSTOMER_CELL_EXPRS = [
+    ("c0", "CAST(c_custkey AS VARCHAR)"),
+    ("c1", "c_name"),
+    ("c2", "CAST(c_nationkey AS VARCHAR)"),
+    ("c3", "CAST(c_acctbal AS VARCHAR)"),
+    ("c4", "c_mktsegment"),
+]
+
+
+def _customer_cells_union() -> str:
     from grate_ray.functions.typed import CELL_TYPE_SQL_CASE
 
-    exprs = [
-        ("c0", "CAST(c_custkey AS VARCHAR)"),
-        ("c1", "c_name"),
-        ("c2", "CAST(c_nationkey AS VARCHAR)"),
-        ("c3", "CAST(c_acctbal AS VARCHAR)"),
-        ("c4", "c_mktsegment"),
-    ]
-    parts = [
+    return " UNION ALL ".join(
         f"SELECT '{name}' AS col, {CELL_TYPE_SQL_CASE.format(col=e)} AS cell_type FROM customer"
-        for name, e in exprs
-    ]
-    u = " UNION ALL ".join(parts)
-    return f"SELECT col, cell_type, count(*) AS n FROM ({u}) GROUP BY col, cell_type"
+        for name, e in _CUSTOMER_CELL_EXPRS
+    )
+
+
+def _cell_types_sql() -> str:
+    return (
+        f"SELECT col, cell_type, count(*) AS n FROM ({_customer_cells_union()}) "
+        "GROUP BY col, cell_type"
+    )
+
+
+def _cell_formats_sql() -> str:
+    """SQL mirror of functions/format.py infer_formats: cell type →
+    built-in format id + code (same mapping table)."""
+    id_case = (
+        "CASE cell_type WHEN 'blank' THEN 0 WHEN 'integer' THEN 1 "
+        "WHEN 'float' THEN 2 WHEN 'boolean' THEN 0 WHEN 'date' THEN 14 "
+        "ELSE 49 END"
+    )
+    code_case = (
+        "CASE cell_type WHEN 'blank' THEN 'General' WHEN 'integer' THEN '0' "
+        "WHEN 'float' THEN '0.00' WHEN 'boolean' THEN 'General' "
+        "WHEN 'date' THEN 'mm-dd-yy' ELSE '@' END"
+    )
+    return f"""
+SELECT col, CAST({id_case} AS INTEGER) AS fmt_id, {code_case} AS fmt_code,
+       count(*) AS n
+FROM ({_customer_cells_union()}) GROUP BY 1, 2, 3"""
 
 
 _CELL_TYPES_SQL = None  # resolved lazily in _oracle()
@@ -626,6 +966,27 @@ SELECT conv_id,
        max(lsn) AS max_lsn
 FROM ({BINLOG_SQL}) b GROUP BY conv_id""",
         "cdc_schema_evolution": LWW_FINAL_SQL.format(binlog=evolved_binlog),
+        "cdc_merged_ranges": LWW_FINAL_SQL.format(
+            binlog=f"""
+SELECT op, lsn, conv_id, CAST(turn_idx + o AS INTEGER) AS turn_idx, role,
+       CASE WHEN o > 0 THEN '⇥' ELSE text END AS text, tool, ts
+FROM ({BINLOG_SQL}) base,
+     UNNEST(range(CASE WHEN lsn % 23 = 5 THEN 2 + lsn % 3 ELSE 1 END)) AS s(o)
+"""
+        ),
+        "workbook_get": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+            "FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "workbook_list": """
+SELECT c_mktsegment AS table_name,
+       CAST(count(DISTINCT c_custkey % 8) AS BIGINT) AS n_books
+FROM customer WHERE c_mktsegment <> 'FURNITURE' GROUP BY 1""",
+        "scan_strict": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+            "FROM customer WHERE c_custkey % 11 <> 0"
+        ),
+        "cell_formats": _cell_formats_sql(),
         "transcript_turn_counts": f"""
 SELECT conv_id, role, count(*) AS n_turns
 FROM ({lww}) lake GROUP BY conv_id, role""",
@@ -660,7 +1021,10 @@ FROM (SELECT doc_id, text,
       FROM u)
 WHERE rn = 1""",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_minhash": _minhash_sql(threshold=0.6, bucket_cap=50),
+        "dedup_simhash": _simhash_sql(max_hamming=8, bucket_cap=200),
         "ann_bruteforce": _ANN_SQL,
+        "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
         "dedup_embedding": """
 WITH u AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
@@ -673,6 +1037,7 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""",
+        "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.9, nbits=8),
         "multimodal_features": """
 SELECT doc_id,
        octet_length(CAST(text AS BLOB)) + 4 AS n_bytes,
@@ -753,7 +1118,19 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return dict(QUERIES)
+    # Hash-shuffle strategy must be set on the DataContext BEFORE the base
+    # dataset of a pipeline is created (a Dataset captures its context at
+    # creation; keyed repartition requires HASH_SHUFFLE).
+    def wrapped(fn):
+        def run(sf_dir: str):
+            from grate_ray.context import configure_shuffle
+
+            configure_shuffle(32)
+            return fn(sf_dir)
+
+        return run
+
+    return {name: wrapped(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

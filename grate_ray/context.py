@@ -30,6 +30,19 @@ def join_partitions(desired: int = 32) -> int:
     return max(2, min(desired, cpus))
 
 
+def actor_pool_size(cap: int = 8) -> int:
+    """Fixed actor-pool size that leaves headroom for plain map tasks: a
+    pool of ``cpus`` actors starves its own upstream (measured deadlock
+    at num_cpus=4 with a 4-actor pool + a shuffle in one DAG)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(1, min(cap, cpus // 2))
+
+
 def configure_shuffle(num_partitions: int) -> None:
     import ray
     from ray.data import DataContext
@@ -48,3 +61,7 @@ def configure_shuffle(num_partitions: int) -> None:
     # stage starve the map tasks and the pipeline deadlocks
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    # join aggregator actors have their own knob; without it a chained
+    # pair of joins at 8 CPUs reserves every slot and deadlocks alongside
+    # any fixed actor-pool map stage (measured: minhash verify pipeline)
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.05

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -145,6 +146,178 @@ def cosine_neardup_pairs(
         Pairer, fn_constructor_args=(ref, threshold),
         batch_format="pyarrow", concurrency=(1, 8),
     )
+
+
+def hyperplanes(d: int, nbits: int, seed: int) -> np.ndarray:
+    """Seeded (d, nbits) hyperplane matrix — derived deterministically
+    from (seed, d, nbits), so every task regenerates it locally (nothing
+    to broadcast) and the SQL oracle embeds the identical literals."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((d, nbits))
+
+
+def cosine_neardup_pairs_lsh(
+    ds: ray.data.Dataset,
+    threshold: float = 0.9,
+    nbits: int = 8,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_cap: int = 500,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs, DISTRIBUTED — the 100 TB path:
+    no all-pairs broadcast matmul, no driver-side matrix.
+
+    1. each vector gets an nbits hyperplane code (planes regenerated per
+       task from the seed — sign is invariant to normalization);
+    2. every vector lands in its exact bucket plus its nbits one-bit-flip
+       probe buckets; ONE hash shuffle co-locates buckets; within a
+       bucket block, exact×exact and probe×exact pairs cover every pair
+       with code Hamming distance ≤ 1 (recall knob: more bits → finer
+       buckets, fewer candidates);
+    3. candidates are deduped with a hash aggregate, embeddings re-joined
+       on both sides, and exact float64 cosine ≥ threshold verifies.
+
+    ``bucket_cap``: buckets whose EXACT population exceeds the cap are
+    dropped (degenerate code regions would go quadratic); a Hamming-1
+    pair survives if either endpoint's bucket is kept. The SQL oracle
+    mirrors code assignment, probe coverage and the cap exactly.
+    """
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+
+    def code_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "vid": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int8()),
+                }
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _stack(t[emb_col])
+        planes = hyperplanes(x.shape[1], nbits, seed)
+        codes = ((x @ planes > 0) @ (1 << np.arange(nbits))).astype(np.int64)
+        n = len(ids)
+        out_b = [codes]
+        out_i = [ids]
+        out_k = [np.zeros(n, dtype=np.int8)]
+        for j in range(nbits):
+            out_b.append(codes ^ (1 << j))
+            out_i.append(ids)
+            out_k.append(np.ones(n, dtype=np.int8))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b)),
+                "vid": pa.array(np.concatenate(out_i)),
+                "kind": pa.array(np.concatenate(out_k)),
+            }
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        vid = t["vid"].to_numpy(zero_copy_only=False)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bucket, kind="stable")
+        b_s, v_s, k_s = bucket[order], vid[order], kind[order]
+        change = np.empty(len(b_s), dtype=bool)
+        change[0] = True
+        change[1:] = b_s[1:] != b_s[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(b_s))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            exact = v_s[s:e][k_s[s:e] == 0]
+            if len(exact) == 0 or len(exact) > bucket_cap:
+                continue
+            probe = v_s[s:e][k_s[s:e] == 1]
+            if len(exact) >= 2:
+                ii, jj = np.triu_indices(len(exact), 1)
+                x0, y0 = exact[ii], exact[jj]
+                a_out.append(np.minimum(x0, y0))
+                b_out.append(np.maximum(x0, y0))
+            if len(probe) and len(exact):
+                x1 = np.repeat(probe, len(exact))
+                y1 = np.tile(exact, len(probe))
+                keep = x1 != y1
+                x1, y1 = x1[keep], y1[keep]
+                a_out.append(np.minimum(x1, y1))
+                b_out.append(np.maximum(x1, y1))
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_out)),
+                "b": pa.array(np.concatenate(b_out)),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    npart = join_partitions(32)
+    cand = (
+        ds.map_batches(code_batch, batch_format="pyarrow")
+        .repartition(join_partitions(64), keys=["bucket"])
+        .map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_m"))
+        .map_batches(lambda t: t.drop_columns(["_m"]), batch_format="pyarrow")
+        .materialize()  # split the DAG before the verify joins (scheduler
+        # deadlocks when an actorless multi-shuffle prefix and two joins
+        # share one execution at small CPU counts; candidates are tiny)
+    )
+
+    # join payloads can't be list<float> (Arrow hash-join limitation) —
+    # pack each embedding into ONE fixed-size-binary cell, zero-copy both
+    # ways (the float32 bytes round-trip losslessly)
+    def pack(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t[id_col].cast(pa.int64())
+            x = _stack(t[emb_col]).astype(np.float32)
+            fsb = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(x.shape[1] * 4),
+                len(ids),
+                [None, pa.py_buffer(np.ascontiguousarray(x).tobytes())],
+            )
+            return pa.table({name: ids, f"emb_{name}": fsb})
+
+        return f
+
+    def unpack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        width = arr.type.byte_width // 4
+        flat = np.frombuffer(arr.buffers()[1], dtype=np.float32)
+        lo = arr.offset * width
+        return flat[lo : lo + len(arr) * width].reshape(len(arr), width).astype(np.float64)
+
+    ea = ds.map_batches(pack("a"), batch_format="pyarrow")
+    eb = ds.map_batches(pack("b"), batch_format="pyarrow")
+    j = cand.join(ea, join_type="inner", num_partitions=npart, on=("a",))
+    j = j.join(eb, join_type="inner", num_partitions=npart, on=("b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        xa = _normalize(unpack(t["emb_a"]))
+        xb = _normalize(unpack(t["emb_b"]))
+        sim = np.round(np.einsum("ij,ij->i", xa, xb), 6)
+        out = pa.table({"a": t["a"], "b": t["b"], "sim": pa.array(sim)})
+        return out.filter(pc.greater_equal(out["sim"], threshold))
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 class _LSHScorer:

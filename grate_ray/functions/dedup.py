@@ -1,20 +1,30 @@
 """Deduplication operators for training-data pipelines.
 
-All Ray-Data-first: explode/shuffle on content keys, vectorized kernels,
-broadcast small sides. The keyed-LWW exact dedup of the CDC core
-(stages/merge.py) is the reference's implicit dedup (SURVEY.md §2.7); the
-operators here are the *content* dedup family a 100 TB text pipeline needs:
+All Ray-Data-first and driver-free: every stage is a vectorized
+``map_batches`` kernel, every wide step is a hash shuffle
+(``groupby``/``repartition(keys=...)``/``join``) — nothing ever calls
+``to_pandas()`` on an O(corpus) relation. The keyed-LWW exact dedup of
+the CDC core (stages/merge.py) is the reference's implicit dedup
+(SURVEY.md §2.7); the operators here are the *content* dedup family a
+100 TB text pipeline needs:
 
-- exact: content-hash partition + min-id per identical text
-- n-gram Jaccard: inverted-index candidate pairs + exact verify (fully
-  SQL-mirrorable — the oracle recomputes it relationally)
-- MinHash-LSH: banded signatures → bucket groupby → candidates → verify
-- SimHash: 64-bit signatures, banded blocking, Hamming verify
+- exact: ONE hash aggregate — min doc_id per identical text
+- n-gram Jaccard: key-colocated gram buckets → pairs + df cap + sizes in
+  one pass, exact Jaccard via joins (fully SQL-mirrorable)
+- MinHash-LSH: vectorized banded signatures → bucket pairs → exact
+  verify via gram joins (md5-based hashing, fully SQL-mirrorable)
+- SimHash: vectorized 64-bit signatures, banded blocking, Hamming verify
+  (md5-based hashing, fully SQL-mirrorable)
+
+The per-batch trigram/signature kernels are batch-vectorized: Arrow
+``split_pattern`` + offset arithmetic for shingles, one md5 per *unique*
+token (C-speed), ``np.minimum.reduceat`` / ``np.add.reduceat`` for the
+per-doc reductions — no per-document Python in the hot path.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -23,54 +33,135 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .text import fingerprint64
+_U64 = np.uint64
+MERSENNE61 = (1 << 61) - 1
+FNV_PRIME = 1099511628211
+
+
+def _md5_lower64(values: np.ndarray) -> np.ndarray:
+    """Low 8 md5 bytes, little-endian, per string — bit-identical to
+    DuckDB's md5_number_lower(), which is what makes every operator in
+    this module SQL-mirrorable. One digest per *unique* value only."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.md5(str(v).encode("utf-8")).digest()
+        out[i] = int.from_bytes(d[8:16], "little")
+    return out
+
 
 # --- exact dedup -------------------------------------------------------------
 
 
-def exact_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
-    """Keep the min-id row per identical text. Hash-partition on a 64-bit
-    content fingerprint (cheap shuffle key), then resolve exact equality
-    within groups (collision-safe)."""
+def exact_dedup(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep the min-id row per identical text: ONE vectorized hash
+    aggregate (group key = the content itself, so no collision handling
+    is needed and no per-group Python ever runs)."""
+    from ray.data.aggregate import Min
 
-    def add_fp(t: pa.Table) -> pa.Table:
-        return t.append_column("fp", fingerprint64(t[text_col]))
+    from ..context import configure_shuffle
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.sort_values(id_col)
-            .drop_duplicates(subset=[text_col], keep="first")
-            .drop(columns=["fp"])
-        )
-
-    return (
-        ds.map_batches(add_fp, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(keep_first, batch_format="pandas")
+    configure_shuffle(32)
+    agg = ds.groupby(text_col).aggregate(Min(id_col, alias_name=id_col))
+    return agg.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
     )
 
 
-# --- word n-grams ------------------------------------------------------------
+# --- word n-grams (vectorized) -----------------------------------------------
 
 
-def _word_trigrams(words: list[str]) -> list[str]:
-    return [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+def _within_run_ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized arange-per-run)."""
+    base = np.repeat(np.cumsum(counts) - counts, counts)
+    return np.arange(int(counts.sum()), dtype=np.int64) - base
 
 
-def explode_trigrams(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """(doc_id, gram) rows — DISTINCT word-3-grams per doc. Docs with <3
-    words produce no grams (mirrors the SQL oracle's range())."""
-    ids_out: list[int] = []
-    grams_out: list[str] = []
-    ids = t[id_col].to_pylist()
-    texts = t[text_col].to_pylist()
-    for i, txt in zip(ids, texts):
-        grams = set(_word_trigrams((txt or "").split(" ")))
-        ids_out.extend([i] * len(grams))
-        grams_out.extend(grams)
+def explode_trigrams(
+    t: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """(doc_id, gram) rows — DISTINCT word-3-grams per doc, fully
+    vectorized: Arrow split_pattern → flat word array + offsets → window
+    takes + binary_join. Docs with <3 words produce no grams (mirrors the
+    SQL oracle's range()). Output rows stay doc-contiguous (the signature
+    kernels rely on that for their reduceat)."""
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    ng = np.maximum(counts - 2, 0)
+    tot = int(ng.sum())
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
+    )
+    if tot == 0:
+        return empty
+    word_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    starts = np.repeat(word_starts, ng) + _within_run_ranges(ng)
+    w0 = flat.take(pa.array(starts))
+    w1 = flat.take(pa.array(starts + 1))
+    w2 = flat.take(pa.array(starts + 2))
+    gram = pc.binary_join_element_wise(w0, w1, w2, " ")
+    doc = np.repeat(
+        t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), ng
+    )
+    # distinct (doc, gram), order-preserving → stays doc-contiguous
+    df = pd.DataFrame({"doc_id": doc, "gram": gram.to_pandas()}).drop_duplicates()
     return pa.table(
-        {"doc_id": pa.array(ids_out, pa.int64()), "gram": pa.array(grams_out, pa.string())}
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "gram": pa.array(df["gram"].to_numpy(), pa.string()),
+        }
     )
+
+
+def _pairs_from_runs(
+    run_starts: np.ndarray,
+    run_lens: np.ndarray,
+    docs: np.ndarray,
+    cap: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered pairs within each run of ``docs`` (runs = co-grouped
+    key blocks), dropping runs longer than ``cap``. Vectorized per
+    distinct run size (≤ cap distinct sizes): one triu_indices take per
+    size class, never a per-run Python loop."""
+    keep = (run_lens >= 2) & (run_lens <= cap)
+    starts, lens = run_starts[keep], run_lens[keep]
+    a_out, b_out = [], []
+    for s in np.unique(lens):
+        st = starts[lens == s]
+        idx = st[:, None] + np.arange(s)[None, :]
+        d = docs[idx]  # (m, s)
+        ii, jj = np.triu_indices(int(s), 1)
+        x = d[:, ii].ravel()
+        y = d[:, jj].ravel()
+        a_out.append(np.minimum(x, y))
+        b_out.append(np.maximum(x, y))
+    if not a_out:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
+def _runs_of(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(order, run_starts, run_lens) grouping equal codes contiguously."""
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    change = np.empty(len(sc), dtype=bool)
+    if len(sc):
+        change[0] = True
+        change[1:] = sc[1:] != sc[:-1]
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, len(sc)))
+    return order, starts, lens
+
+
+_PAIR_SIZE_SCHEMA = pa.schema(
+    [pa.field("a", pa.int64()), pa.field("b", pa.int64()), pa.field("kind", pa.int8())]
+)
 
 
 def ngram_jaccard_pairs(
@@ -80,129 +171,207 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     df_cap: int = 25,
 ) -> ray.data.Dataset:
-    """Candidate pairs via an inverted gram index (groupby gram → pairwise),
-    verified with EXACT Jaccard |A∩B| / (|A|+|B|-|A∩B|) on distinct-gram
-    sets. Output: (a, b, jaccard), a < b, jaccard ≥ threshold.
+    """Near-dup pairs by EXACT word-3-gram Jaccard
+    |A∩B| / (|A|+|B|-|A∩B|), candidates via a key-colocated inverted
+    index. Output: (a, b, jaccard), a < b, jaccard ≥ threshold.
+
+    Scale shape (no driver-side state, unlike a naive inverted index):
+      1. explode distinct (doc_id, gram) — vectorized;
+      2. ONE hash shuffle co-locating each gram (`repartition(keys)`);
+         inside each bucket block, per-gram document-frequency, the
+         ``df_cap`` hot-gram drop, per-doc kept-gram size partials AND
+         all candidate pairs are computed in one vectorized pass;
+      3. pair multiplicity = |A∩B| via a hash aggregate;
+      4. |A|,|B| attached by JOINING the sizes relation (not a broadcast
+         dict — gram/doc cardinality is unbounded at 100 TB).
 
     ``df_cap``: grams appearing in more than this many docs are dropped
     BEFORE pairing (the standard document-frequency cap — ubiquitous
-    shingles are non-discriminative and make the pair explosion quadratic).
-    Jaccard is then over the capped gram sets; the SQL oracle applies the
-    identical cap, so results still match exactly.
+    shingles are non-discriminative and make the pair explosion
+    quadratic). Jaccard is then over the capped gram sets; the SQL
+    oracle applies the identical cap, so results still match exactly.
     """
-    from ..context import configure_shuffle
+    from ray.data.aggregate import Count, Sum
+
+    from ..context import configure_shuffle, join_partitions
 
     configure_shuffle(32)
+    nbuckets = join_partitions(64)
     grams = ds.map_batches(
         lambda t: explode_trigrams(t, text_col, id_col), batch_format="pyarrow"
     )
 
-    # document frequency per gram → broadcast the (small) hot-gram stoplist
-    from ray.data.aggregate import Count
+    def bucket_pass(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SIZE_SCHEMA.empty_table()
+        codes = pc.dictionary_encode(t["gram"].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        order, starts, lens = _runs_of(codes)
+        docs_sorted = docs[order]
+        # kept grams (df ≤ cap): size partials per doc
+        kept_rows = np.repeat(lens <= df_cap, lens)
+        kept_docs = docs_sorted[kept_rows]
+        u_docs, u_counts = np.unique(kept_docs, return_counts=True)
+        # candidate pairs within kept runs of size ≥ 2
+        a, b = _pairs_from_runs(starts, lens, docs_sorted, df_cap)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, u_docs]).astype(np.int64)),
+                "b": pa.array(np.concatenate([b, u_counts]).astype(np.int64)),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), np.int8), np.ones(len(u_docs), np.int8)]
+                    )
+                ),
+            },
+            schema=_PAIR_SIZE_SCHEMA,
+        )
 
-    df_counts = grams.groupby("gram").aggregate(Count(alias_name="df")).to_pandas()
-    hot_grams = frozenset(df_counts[df_counts["df"] > df_cap]["gram"])
-    hot_ref = ray.put(hot_grams)
-
-    # plain task (NOT an actor pool): at small CPU counts actor pools +
-    # hash-shuffle aggregator actors can reserve every slot and deadlock
-    def drop_hot(t: pa.Table) -> pa.Table:
-        hot = ray.get(hot_ref)  # local after first fetch per worker
-        keep = pa.array([g not in hot for g in t["gram"].to_pylist()])
-        return t.filter(keep)
-
-    grams = grams.map_batches(drop_hot, batch_format="pyarrow")
-
-    # per-doc distinct-gram sizes AFTER the cap: small → broadcast
-    sizes_df = grams.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
-
-    # candidate pairs by SELF-JOIN on gram (hash-partitioned, vectorized) —
-    # a per-gram map_groups pays ~ms of Python per group and dies at ~25k
-    # tiny groups; the join stays in Arrow end to end
-    right = grams.map_batches(
-        lambda t: t.rename_columns(["doc_id_r", "gram"]), batch_format="pyarrow"
+    unified = (
+        grams.repartition(nbuckets, keys=["gram"])
+        .map_batches(bucket_pass, batch_format="pyarrow", batch_size=None)
+        .materialize()  # branched below; bounded by candidate volume
     )
-    from ..context import join_partitions
 
-    joined = grams.join(
-        right, join_type="inner", num_partitions=join_partitions(32), on=("gram",)
-    )
+    def only(kind: int, names: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {n: pa.array([], pa.int64()) for n in names}
+                )
+            t = t.filter(pc.equal(t["kind"], kind))
+            return pa.table({n: t[c] for n, c in zip(names, ["a", "b"])})
 
-    def to_pairs(t: pa.Table) -> pa.Table:
-        mask = pc.less(t["doc_id"], t["doc_id_r"])
-        t2 = t.filter(mask)
-        return pa.table({"a": t2["doc_id"], "b": t2["doc_id_r"]})
+        return f
 
-    pairs = joined.map_batches(to_pairs, batch_format="pyarrow")
+    pairs = unified.map_batches(only(0, ["a", "b"]), batch_format="pyarrow")
     inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
+    sizes = (
+        unified.map_batches(only(1, ["doc_id", "n_part"]), batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    return _jaccard_from_counts(inter, sizes, threshold, join_partitions(32))
 
-    class Verify:
-        def __init__(self, ref):
-            self.sizes = ray.get(ref)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_numpy(zero_copy_only=False)
-            b = t["b"].to_numpy(zero_copy_only=False)
-            inter_n = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
-            na = np.array([self.sizes.get(x, 0) for x in a], dtype=np.int64)
-            nb = np.array([self.sizes.get(x, 0) for x in b], dtype=np.int64)
-            union = na + nb - inter_n
-            j = inter_n / np.maximum(union, 1)
-            out = pa.table(
+def _jaccard_from_counts(
+    inter: ray.data.Dataset,
+    sizes: ray.data.Dataset,
+    threshold: float,
+    npart: int,
+) -> ray.data.Dataset:
+    """(a, b, n_shared) ⋈ sizes(a) ⋈ sizes(b) → exact Jaccard ≥ threshold.
+    Sizes are attached by distributed hash JOIN — at 100 TB the per-doc
+    size relation has billions of rows and must never become a driver
+    dict."""
+
+    def rename(names: list[str]):
+        return lambda t: t.rename_columns(names)
+
+    sa = sizes.map_batches(rename(["a", "na"]), batch_format="pyarrow")
+    sb = sizes.map_batches(rename(["b", "nb"]), batch_format="pyarrow")
+    j = inter.join(sa, join_type="inner", num_partitions=npart, on=("a",))
+    j = j.join(sb, join_type="inner", num_partitions=npart, on=("b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
                 {
-                    "a": pa.array(a),
-                    "b": pa.array(b),
-                    "jaccard": pa.array(j.astype(np.float64)),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
                 }
             )
-            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+        inter_n = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = inter_n / np.maximum(na + nb - inter_n, 1)
+        out = pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "jaccard": pa.array(jac.astype(np.float64)),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return inter.map_batches(
-        Verify, fn_constructor_args=(sizes_ref,), batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
 
-
-def _gram_hashes(grams: set[str]) -> np.ndarray:
-    return np.array([zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.uint64)
+def minhash_coeffs(k: int = 64, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded permutation coefficients — exposed so the SQL oracle embeds
+    the identical literals."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE61, size=k, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE61, size=k, dtype=np.uint64)
+    return a, b
 
 
 class MinHasher:
-    """k-permutation MinHash over word-3-gram crc32s; seeded, deterministic.
-    Stateful stage: permutation coefficients built once per actor."""
+    """k-permutation MinHash over md5-hashed distinct word-3-grams;
+    seeded, deterministic, batch-vectorized. Stateful stage: coefficients
+    built once per actor; per batch the permutation matrix is computed
+    over every (doc, gram) row at once and reduced per doc with
+    ``np.minimum.reduceat`` — no per-document Python.
+
+    Arithmetic contract (mirrored literally in the SQL oracle):
+    ``((a * h) mod 2^64 + b) mod 2^64 mod (2^61 - 1)`` with h =
+    md5_number_lower(gram); docs with no grams get the sentinel 2^61-1
+    in every slot."""
 
     def __init__(self, k: int = 64, seed: int = 7, text_col: str = "text", id_col: str = "doc_id"):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=k, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=k, dtype=np.uint64)
+        self.a, self.b = minhash_coeffs(k, seed)
         self.k = k
         self.text_col = text_col
         self.id_col = id_col
 
-    def signature(self, text: str) -> np.ndarray:
-        grams = set(_word_trigrams((text or "").split(" ")))
-        if not grams:
-            return np.full(self.k, _MERSENNE, dtype=np.uint64)
-        h = _gram_hashes(grams)  # (g,)
-        # (k, g): (a*h + b) mod p, then min over grams
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return vals.min(axis=1)
-
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t[self.id_col].to_pylist()
-        sigs = np.stack([self.signature(x) for x in t[self.text_col].to_pylist()])
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        grams = explode_trigrams(t, self.text_col, self.id_col)
+        n = len(ids)
+        sigs = np.full((n, self.k), MERSENNE61, dtype=np.uint64)
+        if grams.num_rows:
+            gdoc = grams["doc_id"].to_numpy(zero_copy_only=False)
+            codes, uniques = pd.factorize(grams["gram"].to_pandas())
+            hu = _md5_lower64(uniques.to_numpy())
+            h = hu[codes]  # (nnz,) uint64, doc-contiguous
+            # (k, nnz): wrapping mod-2^64 mul/add, then mod Mersenne
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _U64(MERSENNE61)
+            # doc run boundaries (explode output is doc-contiguous)
+            change = np.empty(len(gdoc), dtype=bool)
+            change[0] = True
+            change[1:] = gdoc[1:] != gdoc[:-1]
+            starts = np.flatnonzero(change)
+            mins = np.minimum.reduceat(vals, starts, axis=1)  # (k, ndocs_with)
+            docs_with = gdoc[starts]
+            pos = {d: i for i, d in enumerate(ids)}
+            rows = np.array([pos[d] for d in docs_with], dtype=np.int64)
+            sigs[rows, :] = mins.T
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": pa.array(ids),
                 "sig": pa.array(list(sigs.astype(np.int64))),
             }
         )
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n, bands) FNV-style fold of each band's rows, wrapping uint64 —
+    mirrored literally in the SQL oracle."""
+    n = sig.shape[0]
+    out = np.empty((n, bands), dtype=np.uint64)
+    s = sig.astype(np.uint64)
+    for b in range(bands):
+        hh = np.zeros(n, dtype=np.uint64)
+        for c in range(rows_per_band):
+            hh = hh * _U64(FNV_PRIME) + s[:, b * rows_per_band + c]
+        out[:, b] = hh
+    return out
 
 
 def minhash_lsh_pairs(
@@ -212,116 +381,145 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = 50,
 ) -> ray.data.Dataset:
-    """MinHash signatures → banded LSH buckets (groupby on (band, hash)) →
-    candidate pairs → exact-Jaccard verify. rows = (a, b, jaccard)."""
+    """MinHash signatures → banded LSH buckets → candidate pairs → exact
+    Jaccard verify. rows = (a, b, jaccard), a < b, jaccard ≥ threshold.
+
+    Fully distributed: buckets are key-colocated with ONE hash shuffle
+    and paired vectorized; candidates are verified by joining back to the
+    (doc_id, gram) relation twice and counting the intersection with a
+    hash aggregate — the corpus is never materialized on the driver.
+
+    ``bucket_cap``: band values shared by more than this many docs are
+    dropped before pairing (degenerate buckets — e.g. the all-sentinel
+    signature of gramless docs — are non-discriminative and would make
+    the pairing quadratic). The SQL oracle applies the identical cap.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..context import actor_pool_size, configure_shuffle, join_partitions
+
+    configure_shuffle(32)
     rows_per_band = k // bands
 
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_args=(k, 7, text_col, id_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=actor_pool_size(),
     )
 
     def to_buckets(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
-        sig = np.stack([np.asarray(s, dtype=np.int64) for s in t["sig"].to_pylist()])
-        out_ids, out_band, out_hash = [], [], []
-        for b in range(bands):
-            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-            hh = np.zeros(len(ids), dtype=np.uint64)
-            for c in range(rows_per_band):
-                hh = hh * np.uint64(1099511628211) + chunk[:, c].astype(np.uint64)
-            out_ids.append(ids)
-            out_band.append(np.full(len(ids), b, dtype=np.int32))
-            out_hash.append(hh.view(np.int64))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "bhash": pa.array([], pa.int64()),
+                }
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = np.stack(
+            [np.asarray(s, dtype=np.int64) for s in t["sig"].to_pylist()]
+        )
+        bh = band_hashes(sig, bands, rows_per_band)
+        n = len(ids)
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(out_ids)),
-                "band": pa.array(np.concatenate(out_band)),
-                "bhash": pa.array(np.concatenate(out_hash)),
+                "doc_id": pa.array(np.tile(ids, bands)),
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "bhash": pa.array(bh.T.reshape(-1).view(np.int64)),
             }
         )
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].unique())
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        ai, bi = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ai], "b": docs[bi]})
-
-    from ray.data.aggregate import Count as _Count
-
-    cand = (
-        buckets.groupby(["band", "bhash"])
-        .map_groups(pairs_of_bucket, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(_Count(alias_name="_m"))  # vectorized distinct pairs
-        .map_batches(lambda t: t.drop_columns(["_m"]), batch_format="pyarrow")
-    )
-
-    # verify candidates with exact jaccard via broadcast gram sets (small:
-    # candidates only touch a subset of docs)
-    texts_df = ds.map_batches(
-        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
-    ).to_pandas()
-    gram_sets = {
-        i: set(_word_trigrams((x or "").split(" ")))
-        for i, x in zip(texts_df[id_col], texts_df[text_col])
-    }
-    gs_ref = ray.put(gram_sets)
-
-    class VerifyExact:
-        def __init__(self, ref, thr):
-            self.gs = ray.get(ref)
-            self.thr = thr
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for a, b in zip(df["a"], df["b"]):
-                sa, sb = self.gs.get(a, set()), self.gs.get(b, set())
-                union = len(sa | sb)
-                j = len(sa & sb) / union if union else 0.0
-                if j >= self.thr:
-                    out.append((a, b, j))
-            return pd.DataFrame(out, columns=["a", "b", "jaccard"]).astype(
-                {"a": "int64", "b": "int64", "jaccard": "float64"}
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
             )
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bhash = t["bhash"].to_numpy(zero_copy_only=False)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        # dense code per (band, bhash) within the block
+        codes = pd.factorize(pd.MultiIndex.from_arrays([band, bhash]))[0]
+        order, starts, lens = _runs_of(codes)
+        a, b = _pairs_from_runs(starts, lens, docs[order], bucket_cap)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
-    return cand.map_batches(
-        VerifyExact, fn_constructor_args=(gs_ref, threshold),
-        batch_format="pandas", concurrency=(1, 4),
+    nbuckets = join_partitions(64)
+    cand = (
+        buckets.repartition(nbuckets, keys=["band", "bhash"])
+        .map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_m"))  # distinct pairs across bands
+        .map_batches(lambda t: t.drop_columns(["_m"]), batch_format="pyarrow")
+        # split the DAG here: one streaming execution holding the actor
+        # pool + repartition + groupby AND the 4 verify joins below
+        # deadlocks the scheduler at 8 CPUs (every prefix runs fine);
+        # candidates are tiny (the LSH's whole point), so this is cheap
+        .materialize()
     )
+
+    # exact verify: candidates ⋈ gram relation (a side) ⋈ (b side) →
+    # intersection count, sizes by join — candidates only, all distributed
+    grams = ds.map_batches(
+        lambda t: explode_trigrams(t, text_col, id_col), batch_format="pyarrow"
+    ).materialize()
+    npart = join_partitions(32)
+    ga = grams.map_batches(
+        lambda t: t.rename_columns(["a", "gram"]), batch_format="pyarrow"
+    )
+    gb = grams.map_batches(
+        lambda t: t.rename_columns(["b", "gram"]), batch_format="pyarrow"
+    )
+    j1 = cand.join(ga, join_type="inner", num_partitions=npart, on=("a",))
+    j2 = j1.join(gb, join_type="inner", num_partitions=npart, on=("b", "gram"))
+    inter = j2.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
+    sizes = grams.groupby("doc_id").aggregate(Count(alias_name="n"))
+    return _jaccard_from_counts(inter, sizes, threshold, npart)
 
 
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash64(texts: list[str], seed: int = 11) -> np.ndarray:
-    """64-bit SimHash over word unigrams (crc32-hashed, bit-vote)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
+def simhash64(texts: list[str] | pa.Array, seed: int = 11) -> np.ndarray:
+    """64-bit SimHash over word unigrams (md5-hashed, bit-vote),
+    batch-vectorized: one md5 per unique word, per-doc votes via
+    ``np.add.reduceat`` over a (words × 64) sign matrix. Empty docs get
+    signature 0. Hash = md5_number_lower(str(seed) || word) — mirrored
+    in the SQL oracle."""
+    arr = pa.array(texts, pa.string()) if isinstance(texts, list) else texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    words = pc.split_pattern(pc.fill_null(arr, ""), pattern=" ")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    n = len(arr)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(flat) == 0:
+        return out
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_of_word = np.repeat(np.arange(n), counts)[nonempty]
+    kept = flat.filter(pa.array(nonempty))
+    if len(kept) == 0:
+        return out
+    codes, uniques = pd.factorize(kept.to_pandas())
+    hu = _md5_lower64([str(seed) + u for u in uniques.to_numpy()])
+    h = hu[codes]  # (nw,), grouped by doc (doc_of_word is nondecreasing)
     bits = np.arange(64, dtype=np.uint64)
-    for i, txt in enumerate(texts):
-        words = [w for w in (txt or "").split(" ") if w]
-        if not words:
-            continue
-        hs = np.array(
-            [zlib.crc32((str(seed) + w).encode()) for w in words], dtype=np.uint64
-        )
-        # widen 32→64 bits deterministically
-        hs = hs * np.uint64(0x9E3779B97F4A7C15)
-        votes = np.zeros(64, dtype=np.int64)
-        for h in hs:
-            b = (h >> bits) & np.uint64(1)
-            votes += np.where(b.astype(bool), 1, -1)
-        sig = np.uint64(0)
-        for j in range(64):
-            if votes[j] > 0:
-                sig |= np.uint64(1) << np.uint64(j)
-        out[i] = sig
+    signs = (((h[:, None] >> bits[None, :]) & _U64(1)).astype(np.int64) * 2 - 1)
+    change = np.empty(len(doc_of_word), dtype=bool)
+    change[0] = True
+    change[1:] = doc_of_word[1:] != doc_of_word[:-1]
+    starts = np.flatnonzero(change)
+    votes = np.add.reduceat(signs, starts, axis=0)  # (ndocs_with, 64)
+    sigs = ((votes > 0).astype(np.uint64) << bits[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[doc_of_word[starts]] = sigs
     return out
 
 
@@ -339,21 +537,23 @@ def simhash_pairs(
     bucket_cap: int = 200,
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: 4-band 16-bit blocking (any identical
-    band → candidate; exact recall for hamming ≤ 3 by pigeonhole), SELF-JOIN
-    on (band, bval), exact vectorized Hamming verify ≤ ``max_hamming``.
+    band → candidate; exact recall for hamming ≤ 3 by pigeonhole),
+    key-colocated bucket pairing, exact vectorized Hamming verify ≤
+    ``max_hamming``. Output: (a, b, ham) distinct pairs.
 
     ``bucket_cap``: band values shared by more than this many docs are
     dropped before pairing — a degenerate band value (low-entropy corpus)
-    is non-discriminative and would make the join quadratic. Skipped
-    buckets trade recall for boundedness; they are the SimHash analogue of
-    the n-gram df cap."""
+    is non-discriminative and would make the pairing quadratic. Skipped
+    buckets trade recall for boundedness; they are the SimHash analogue
+    of the n-gram df cap, and the SQL oracle applies the identical cap."""
+    from ray.data.aggregate import Min as _Min
 
-    from ..context import configure_shuffle
+    from ..context import configure_shuffle, join_partitions
 
     configure_shuffle(32)
 
     def add_sig(t: pa.Table) -> pa.Table:
-        sig = simhash64(t[text_col].to_pylist())
+        sig = simhash64(t[text_col])
         return pa.table(
             {"doc_id": t[id_col], "sig": pa.array(sig.view(np.int64))}
         )
@@ -361,13 +561,22 @@ def simhash_pairs(
     sigs = ds.map_batches(add_sig, batch_format="pyarrow")
 
     def to_bands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "bval": pa.array([], pa.int64()),
+                }
+            )
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         sig = t["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
         out_i, out_b, out_v, out_s = [], [], [], []
         for b in range(4):
             out_i.append(ids)
             out_b.append(np.full(len(ids), b, dtype=np.int32))
-            out_v.append(((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).view(np.int64))
+            out_v.append(((sig >> _U64(16 * b)) & _U64(0xFFFF)).view(np.int64))
             out_s.append(sig.view(np.int64))
         return pa.table(
             {
@@ -378,51 +587,60 @@ def simhash_pairs(
             }
         )
 
-    from ray.data.aggregate import Count as _Count, Min as _Min
+    bands_ds = sigs.map_batches(to_bands, batch_format="pyarrow")
 
-    bands = sigs.map_batches(to_bands, batch_format="pyarrow")
-
-    # drop degenerate buckets (same role as the n-gram df cap)
-    bcounts = (
-        bands.groupby(["band", "bval"]).aggregate(_Count(alias_name="n")).to_pandas()
-    )
-    hot = frozenset(
-        zip(
-            bcounts[bcounts["n"] > bucket_cap]["band"],
-            bcounts[bcounts["n"] > bucket_cap]["bval"],
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "sa": pa.array([], pa.int64()),
+                "sb": pa.array([], pa.int64()),
+            }
         )
-    )
-    hot_ref = ray.put(hot)
-
-    def drop_hot_buckets(t: pa.Table) -> pa.Table:
-        hot_set = ray.get(hot_ref)
-        if not hot_set:
-            return t
-        keep = pa.array(
-            [
-                (b, v) not in hot_set
-                for b, v in zip(t["band"].to_pylist(), t["bval"].to_pylist())
-            ]
+        if t.num_rows == 0:
+            return empty
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bval = t["bval"].to_numpy(zero_copy_only=False)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = t["sig"].to_numpy(zero_copy_only=False)
+        codes = pd.factorize(pd.MultiIndex.from_arrays([band, bval]))[0]
+        order, starts, lens = _runs_of(codes)
+        ds_, ss_ = docs[order], sig[order]
+        # pair (doc, sig) jointly: order pairs by doc id value
+        keep = (lens >= 2) & (lens <= bucket_cap)
+        st, ln = starts[keep], lens[keep]
+        a_o, b_o, sa_o, sb_o = [], [], [], []
+        for s in np.unique(ln):
+            sel = st[ln == s]
+            idx = sel[:, None] + np.arange(s)[None, :]
+            d, g = ds_[idx], ss_[idx]
+            ii, jj = np.triu_indices(int(s), 1)
+            x, y = d[:, ii].ravel(), d[:, jj].ravel()
+            gx, gy = g[:, ii].ravel(), g[:, jj].ravel()
+            swap = x > y
+            a_o.append(np.where(swap, y, x))
+            b_o.append(np.where(swap, x, y))
+            sa_o.append(np.where(swap, gy, gx))
+            sb_o.append(np.where(swap, gx, gy))
+        if not a_o:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_o)),
+                "b": pa.array(np.concatenate(b_o)),
+                "sa": pa.array(np.concatenate(sa_o)),
+                "sb": pa.array(np.concatenate(sb_o)),
+            }
         )
-        return t.filter(keep)
 
-    bands = bands.map_batches(drop_hot_buckets, batch_format="pyarrow")
-
-    right = bands.map_batches(
-        lambda t: t.rename_columns(["doc_id_r", "sig_r", "band", "bval"]),
-        batch_format="pyarrow",
-    )
-    from ..context import join_partitions
-
-    joined = bands.join(
-        right, join_type="inner", num_partitions=join_partitions(32),
-        on=("band", "bval"),
+    nbuckets = join_partitions(64)
+    paired = bands_ds.repartition(nbuckets, keys=["band", "bval"]).map_batches(
+        bucket_pairs, batch_format="pyarrow", batch_size=None
     )
 
     def verify(t: pa.Table) -> pa.Table:
-        mask = pc.less(t["doc_id"], t["doc_id_r"])
-        t2 = t.filter(mask)
-        if t2.num_rows == 0:
+        if t.num_rows == 0:
             return pa.table(
                 {
                     "a": pa.array([], pa.int64()),
@@ -430,16 +648,14 @@ def simhash_pairs(
                     "ham": pa.array([], pa.int64()),
                 }
             )
-        sa = t2["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
-        sb = t2["sig_r"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sa = t["sa"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sb = t["sb"].to_numpy(zero_copy_only=False).view(np.uint64)
         ham = _popcount64(sa ^ sb)
-        out = pa.table(
-            {"a": t2["doc_id"], "b": t2["doc_id_r"], "ham": pa.array(ham)}
-        )
+        out = pa.table({"a": t["a"], "b": t["b"], "ham": pa.array(ham)})
         return out.filter(pc.less_equal(out["ham"], max_hamming))
 
     return (
-        joined.map_batches(verify, batch_format="pyarrow")
+        paired.map_batches(verify, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(_Min("ham", alias_name="ham"))  # distinct pairs
     )

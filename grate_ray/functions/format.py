@@ -48,6 +48,51 @@ def format_general(value) -> str:
     return str(value)
 
 
+# --- Formats() projection (T6) ----------------------------------------------
+#
+# The reference's ``Formats()`` returns each cell's number-format code
+# string, falling back to the numeric id (/root/reference/commonxl/
+# sheet.go:162-172); codes come from the built-in id→code table
+# (formats.go:227-307) and each format id implies a cell type
+# (builtInFormatTypes, formats.go:310-382). The engine inverts that last
+# mapping: a decoded string cell's inferred type yields the canonical
+# built-in format id + code for that type.
+
+BUILTIN_FORMAT_CODES: dict[int, str] = {
+    0: "General",  # formats.go:229
+    1: "0",        # formats.go:230
+    2: "0.00",     # formats.go:231
+    14: "mm-dd-yy",  # formats.go:243 (date)
+    49: "@",       # formats.go:307 (text)
+}
+
+CELL_TYPE_TO_FORMAT_ID: dict[str, int] = {
+    "blank": 0,
+    "integer": 1,
+    "float": 2,
+    "boolean": 0,   # bools render through General (cell.go:111-116)
+    "date": 14,
+    "string": 49,
+}
+
+
+def infer_formats(col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Per-cell (format id, format code) — the queryable ``Formats()``
+    projection. Vectorized: classify once, then map via index_in+take."""
+    import pyarrow.compute as pc
+
+    from .typed import infer_cell_types
+
+    ct = infer_cell_types(col)
+    if isinstance(ct, pa.ChunkedArray):
+        ct = ct.combine_chunks()
+    types = list(CELL_TYPE_TO_FORMAT_ID)
+    ids = pa.array([CELL_TYPE_TO_FORMAT_ID[t] for t in types], pa.int32())
+    codes = pa.array([BUILTIN_FORMAT_CODES[CELL_TYPE_TO_FORMAT_ID[t]] for t in types])
+    idx = pc.index_in(ct, value_set=pa.array(types))
+    return ids.take(idx), codes.take(idx)
+
+
 def render_strings(t: pa.Table) -> pa.Table:
     """The ``Strings()`` projection (T4): every column rendered to its
     General string form (/root/reference/commonxl/sheet.go:129-148)."""

@@ -59,11 +59,25 @@ def decode_payloads(
 
 
 def scan_typed(
-    decoded: ray.data.Dataset, names: list[str], types: list[pa.DataType]
+    decoded: ray.data.Dataset,
+    names: list[str],
+    types: list[pa.DataType],
+    strict: bool = False,
 ) -> ray.data.Dataset:
-    """Typed extraction of decoded string cells (≅ ``Scan``,
-    /root/reference/commonxl/sheet.go:178-222 — the lenient parse-from-
-    string variant, simple/simple.go:74-108, via Arrow string→typed casts)."""
+    """Typed extraction of decoded string cells (≅ ``Scan``).
+
+    ``strict=False`` (default): the lenient parse-from-string variant
+    (/root/reference/simple/simple.go:74-108) — Arrow string→typed casts,
+    a malformed cell fails the whole batch cast (caller guarantees clean
+    cells).
+
+    ``strict=True``: the commonxl ``Scan`` contract
+    (/root/reference/commonxl/sheet.go:178-222) — a cell that does not
+    parse as its declared type is a per-ROW error; such rows are routed
+    OUT (dead-letter semantics) and only cleanly-typed rows are returned.
+    Detection is vectorized (pandas to_numeric/to_datetime coercion)."""
+    import numpy as np
+    import pandas as pd
 
     def cast(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["format"], "deadletter"))
@@ -72,7 +86,36 @@ def scan_typed(
             out[name] = t[f"c{i}"].cast(typ)
         return pa.table(out)
 
-    return decoded.map_batches(cast, batch_format="pyarrow")
+    def cast_strict(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["format"], "deadletter"))
+        if t.num_rows == 0:
+            return pa.table(
+                {n: pa.array([], ty) for n, ty in zip(names, types)}
+            )
+        ok = np.ones(t.num_rows, dtype=bool)
+        parsed: dict[str, pd.Series] = {}
+        for i, (name, typ) in enumerate(zip(names, types)):
+            s = t[f"c{i}"].to_pandas()
+            if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+                v = pd.to_numeric(s, errors="coerce")
+                if pa.types.is_integer(typ):
+                    frac = v.notna() & (v != np.floor(v))
+                    v[frac] = np.nan
+                ok &= v.notna().to_numpy() | s.isna().to_numpy()
+            elif pa.types.is_timestamp(typ):
+                v = pd.to_datetime(s, errors="coerce", format="ISO8601")
+                ok &= v.notna().to_numpy() | s.isna().to_numpy()
+            else:
+                v = s
+            parsed[name] = v
+        out = {}
+        for name, typ in zip(names, types):
+            out[name] = pa.array(parsed[name][ok], from_pandas=True).cast(typ)
+        return pa.table(out)
+
+    return decoded.map_batches(
+        cast_strict if strict else cast, batch_format="pyarrow"
+    )
 
 
 def roundtrip(
@@ -88,6 +131,114 @@ def roundtrip(
     payloads = frame_rows(ds, cols, group_mod, key_col, sep=sep)
     decoded = decode_payloads(payloads, ncols=len(cols))
     return scan_typed(decoded, cols, types)
+
+
+def frame_books(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    group_mod: int,
+    key_col: str,
+    name_col: str,
+    hidden_names: frozenset[str] = frozenset(),
+) -> ray.data.Dataset:
+    """Frame rows into MULTI-TABLE container payloads (S5): one book per
+    ``key % group_mod`` group; inside each book, one named table per
+    distinct ``name_col`` value (≅ a workbook of sheets); names in
+    ``hidden_names`` are marked hidden (S11)."""
+    from ..sources.workbook import encode_book
+
+    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        df["grp"] = (df[key_col] % group_mod).astype("int64")
+        return df
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_col)
+        sections = []
+        for name in sorted(g[name_col].unique()):
+            rows = g[g[name_col] == name]
+            lines = rows[cols].astype(str).agg("\t".join, axis=1).tolist()
+            sections.append((str(name), str(name) in hidden_names, lines))
+        return pd.DataFrame(
+            {
+                "payload_id": [int(g["grp"].iloc[0])],
+                "payload": [encode_book(sections)],
+            }
+        )
+
+    return (
+        ds.map_batches(add_grp, batch_format="pandas")
+        .groupby("grp")
+        .map_groups(frame, batch_format="pandas")
+    )
+
+
+def workbook_get_building(sf_dir: str) -> ray.data.Dataset:
+    """S5 `Get`: frame customer into multi-table books keyed by market
+    segment, then extract ONE named table from every book and scan it
+    typed — the List-then-Get flow of /root/reference/grate.go:12-21."""
+    from ..sources.workbook import get_table
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols)
+    books = frame_books(
+        ds, cols, group_mod=8, key_col="c_custkey", name_col="c_mktsegment",
+        hidden_names=frozenset({"FURNITURE"}),
+    )
+    decoded = decode_payloads(books, ncols=5)
+    got = decoded.map_batches(
+        lambda t: get_table(t, "BUILDING"), batch_format="pyarrow"
+    )
+    return scan_typed(
+        got, cols,
+        [pa.int64(), pa.string(), pa.int32(), pa.float64(), pa.string()],
+    )
+
+
+def workbook_list_visible(sf_dir: str) -> ray.data.Dataset:
+    """S5 `List` + S11 hidden filter: list visible table names across all
+    books; count books per table name."""
+    from ray.data.aggregate import Count
+
+    from ..sources.workbook import list_tables
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols)
+    books = frame_books(
+        ds, cols, group_mod=8, key_col="c_custkey", name_col="c_mktsegment",
+        hidden_names=frozenset({"FURNITURE"}),
+    )
+    decoded = decode_payloads(books, ncols=5)
+    listed = decoded.map_batches(
+        lambda t: list_tables(t, include_hidden=False), batch_format="pyarrow"
+    )
+    return listed.groupby("table_name").aggregate(Count(alias_name="n_books"))
+
+
+def scan_strict_customer(sf_dir: str) -> ray.data.Dataset:
+    """T7 strict ``Scan``: frame customer with deliberately-corrupted
+    acctbal cells (every 11th key), strict-scan routes those ROWS out —
+    only cleanly-typed rows survive (≅ commonxl's wrong-type errors,
+    /root/reference/commonxl/sheet.go:178-222)."""
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols)
+
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["c_acctbal"] = df["c_acctbal"].astype(str)
+        df.loc[df["c_custkey"] % 11 == 0, "c_acctbal"] = "N/A"
+        return df
+
+    payloads = frame_rows(
+        ds.map_batches(corrupt, batch_format="pandas"),
+        cols, group_mod=16, key_col="c_custkey", sep=",",
+    )
+    decoded = decode_payloads(payloads, ncols=5)
+    return scan_typed(
+        decoded, cols,
+        [pa.int64(), pa.string(), pa.int32(), pa.float64(), pa.string()],
+        strict=True,
+    )
 
 
 def sniff_mixed_documents(sf_dir: str) -> ray.data.Dataset:

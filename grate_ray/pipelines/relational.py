@@ -5,10 +5,11 @@ query-processing idioms at scale (SURVEY.md §2.5/§2.4/§2.6):
 
 - partial aggregation inside ``map_batches`` before the (tiny) groupby —
   the combiner pattern every wide aggregate should use;
-- broadcast hash join: the small side is ``ray.put`` once and probed
-  per batch inside an actor pool — no shuffle;
-- top-k: per-batch local prune then a driver-side final heap — never a
-  global sort.
+- fact⋈fact edges as distributed hash joins; ONLY genuinely tiny
+  dimensions (nation: 25 rows) are broadcast, probed with vectorized
+  ``pc.index_in`` — never a per-row Python dict lookup;
+- top-k: per-batch local prune, single-block final rank — lazy end to
+  end, never a global sort, never a driver materialization.
 """
 
 from __future__ import annotations
@@ -18,6 +19,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+
+from ..functions.num import sql_round
 
 
 def lineitem_agg_pushdown(sf_dir: str) -> ray.data.Dataset:
@@ -58,58 +61,71 @@ def lineitem_agg_pushdown(sf_dir: str) -> ray.data.Dataset:
     def rounded(t: pa.Table) -> pa.Table:
         for c in ("sum_qty", "sum_price", "revenue"):
             i = t.column_names.index(c)
-            t = t.set_column(i, c, pc.round(t[c], ndigits=2))
+            t = t.set_column(i, c, sql_round(t[c], 2))
         return t
 
     return agg.map_batches(rounded, batch_format="pyarrow")
 
 
 def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
-    """Broadcast join: customer→nation maps are small dimension state, put
-    once in the object store, probed per batch in an actor pool (the
-    reference's shared-string-table lookup pattern, SURVEY.md §2.4)."""
+    """orders ⋈ customer ⋈ nation rollup with each side treated at its
+    true size: the fact-sized orders⋈customer edge is a DISTRIBUTED hash
+    join (customer scales with the data — it must never become a driver
+    dict), while the 25-row nation map is the genuine broadcast-small-side
+    (the reference's shared-string-table lookup pattern, SURVEY.md §2.4),
+    probed per batch with a vectorized ``pc.index_in`` take."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    c2n = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
-    n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    ref = ray.put((c2n, n2name))
+    ref = ray.put(
+        (nation["n_nationkey"].combine_chunks(), nation["n_name"].combine_chunks())
+    )
 
-    class Probe:
-        def __init__(self, ref):
-            self.c2n, self.n2name = ray.get(ref)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=join_partitions(32),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import numpy as np
-
-            cust = t["o_custkey"].to_pylist()
-            names = [self.n2name.get(self.c2n.get(c)) for c in cust]
+    def tag_nation(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return pa.table(
                 {
-                    "n_name": pa.array(names, pa.string()),
-                    "o_totalprice": t["o_totalprice"],
+                    "n_name": pa.array([], pa.string()),
+                    "o_totalprice": pa.array([], pa.float64()),
                 }
             )
+        nkeys, nnames = ray.get(ref)
+        idx = pc.index_in(t["c_nationkey"], value_set=nkeys)
+        return pa.table(
+            {"n_name": nnames.take(idx), "o_totalprice": t["o_totalprice"]}
+        )
 
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    )
-    joined = ds.map_batches(Probe, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4))
-    agg = joined.groupby("n_name").aggregate(
+    agg = joined.map_batches(tag_nation, batch_format="pyarrow").groupby(
+        "n_name"
+    ).aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
     )
     return agg.map_batches(
         lambda t: t.set_column(
             t.column_names.index("total_price"),
             "total_price",
-            pc.round(t["total_price"], ndigits=2),
+            sql_round(t["total_price"], 2),
         ),
         batch_format="pyarrow",
     )
@@ -157,9 +173,11 @@ def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def top_orders(sf_dir: str, k: int = 10) -> pa.Table:
-    """Top-k by total price without a global sort: per-batch prune to k,
-    tiny final merge on the driver. Deterministic tie-break by key."""
+def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Top-k by total price without a global sort: per-batch prune to k
+    (only n_blocks×k rows ever move), single-block final prune + rank —
+    a lazy Dataset end to end like every sibling pipeline, no driver
+    materialization. Deterministic tie-break by key."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
@@ -170,9 +188,16 @@ def top_orders(sf_dir: str, k: int = 10) -> pa.Table:
         )
         return t.take(idx[:k])
 
-    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-    out = parts.sort_values(
-        ["o_totalprice", "o_orderkey"], ascending=[False, True]
-    ).head(k)
-    out["rank"] = range(1, len(out) + 1)
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    def final(t: pa.Table) -> pa.Table:
+        t = local(t)
+        import numpy as np
+
+        return t.append_column(
+            "rank", pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64))
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -18,6 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..functions.num import sql_round
+
 
 def tumbling_counts(sf_dir: str, minutes: int = 60) -> ray.data.Dataset:
     """Events per (event_type, window): window = ts floored to the hour
@@ -43,7 +45,7 @@ def tumbling_counts(sf_dir: str, minutes: int = 60) -> ray.data.Dataset:
         lambda t: t.set_column(
             t.column_names.index("sum_value"),
             "sum_value",
-            pc.round(t["sum_value"], ndigits=2),
+            sql_round(t["sum_value"], 2),
         ),
         batch_format="pyarrow",
     )

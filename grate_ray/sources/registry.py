@@ -72,6 +72,7 @@ def _install_builtins() -> None:
         register("tsv", 10, decode_tsv)
     if "csv" not in registered():
         register("csv", 15, decode_csv)
+    from . import workbook  # noqa: F401  (self-registers "book" @ 3)
 
 
 _install_builtins()

@@ -37,13 +37,17 @@ class PayloadDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fmts, row_idx, payload_keep = [], [], [], []
+        tnames: list[str | None] = []
+        hiddens: list[bool | None] = []
         cells: list[list[str | None]] = [[] for _ in range(self.ncols)]
         pids = batch["payload_id"].to_pylist()
         payloads = batch["payload"].to_pylist()
         for pid, payload in zip(pids, payloads):
             try:
                 fmt, t = self._open(payload)
-                width = t.num_columns - 1  # minus row_idx
+                # container formats (workbook) carry _-prefixed metadata
+                # columns; payload width = the c* cell columns only
+                width = sum(1 for c in t.column_names if c.startswith("c"))
                 if width != self.ncols:
                     raise self._unknown(f"width {width} != {self.ncols}")
             except self._unknown:
@@ -51,6 +55,8 @@ class PayloadDecoder:
                 fmts.append(DEADLETTER)
                 row_idx.append(None)
                 payload_keep.append(payload)
+                tnames.append(None)
+                hiddens.append(None)
                 for c in range(self.ncols):
                     cells[c].append(None)
                 continue
@@ -59,6 +65,12 @@ class PayloadDecoder:
             fmts.extend([fmt] * n)
             row_idx.extend(t["row_idx"].to_pylist())
             payload_keep.extend([None] * n)
+            tnames.extend(
+                t["_table"].to_pylist() if "_table" in t.column_names else [None] * n
+            )
+            hiddens.extend(
+                t["_hidden"].to_pylist() if "_hidden" in t.column_names else [None] * n
+            )
             for c in range(self.ncols):
                 cells[c].extend(t[f"c{c}"].to_pylist())
         data = {
@@ -66,6 +78,8 @@ class PayloadDecoder:
             "format": pa.array(fmts, pa.string()),
             "row_idx": pa.array(row_idx, pa.int32()),
             "payload": pa.array(payload_keep, pa.string()),
+            "table_name": pa.array(tnames, pa.string()),
+            "hidden": pa.array(hiddens, pa.bool_()),
         }
         for c in range(self.ncols):
             data[f"c{c}"] = pa.array(cells[c], pa.string())

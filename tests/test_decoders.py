@@ -72,7 +72,7 @@ def test_custom_register_overrides_and_prioritizes():
 
         return _to_table(rows)
 
-    register("pipe", 3, decode_pipe)
+    register("pipe", 2, decode_pipe)  # outranks book=3 and the builtins
     try:
         assert registered()[0] == "pipe"
         fmt, t = open_payload("a|b\nc|d")

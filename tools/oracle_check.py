@@ -69,10 +69,12 @@ def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> dict:
                 rtol=0, atol=0, equal_nan=True,
             )
         else:
-            try:
-                col_ok = bool(np.array_equal(av, bv))
-            except Exception:
-                col_ok = list(av) == list(bv)
+            col_ok = a[c].equals(b[c])  # pandas: NaT/NaN compare equal
+            if not col_ok:
+                try:
+                    col_ok = bool(np.array_equal(av, bv))
+                except Exception:
+                    col_ok = list(av) == list(bv)
         if not col_ok:
             ok = False
             bad = None
