@@ -122,6 +122,58 @@ def q_cdc_schema_evolution(sf_dir: str):
     return apply_binlog(e0.union(e1), num_partitions=16)
 
 
+def _ingest_lake(sf_dir: str) -> str:
+    """Run the REAL exactly-once ingest (delta commits, manifests,
+    empty-partition HW advance) over the derived binlog into a scratch
+    lake; returns the lake dir. Deterministic + idempotent: re-running on
+    an existing lake is a no-op (the driver may call several queries)."""
+    import hashlib
+    import os
+
+    from grate_ray.pipelines.ingest import ingest
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    binlog_dir = f"/tmp/graft_q/binlog_{tag}"
+    lake_dir = f"/tmp/graft_q/lake_{tag}"
+    if not os.path.exists(os.path.join(binlog_dir, "_OK")):
+        os.makedirs(binlog_dir, exist_ok=True)
+        _binlog(sf_dir).write_parquet(binlog_dir)
+        open(os.path.join(binlog_dir, "_OK"), "w").write("ok")
+    ingest(binlog_dir, lake_dir, num_partitions=16, files_per_microbatch=4)
+    return lake_dir
+
+
+def q_cdc_ingest_lake(sf_dir: str):
+    """End-to-end exactly-once ingest → committed lake live view. This
+    runs the full delta-commit/manifest machinery and reads the lake back
+    (reconstruction from snapshot+delta chains); the oracle is the same
+    LWW final state as cdc_apply."""
+    from grate_ray.pipelines.ingest import read_lake
+
+    lake = _ingest_lake(sf_dir)
+    return read_lake(lake)
+
+
+def q_cdc_ingest_metrics(sf_dir: str):
+    """Lineage/metrics rollup of the committed ingest: per-op event totals
+    summed over every partition commit — each source event counted exactly
+    once across micro-batches (oracle: plain per-op counts of the binlog)."""
+    import pyarrow.compute as _pc
+
+    from grate_ray.pipelines.ingest import read_all_metrics
+
+    lake = _ingest_lake(sf_dir)
+    m = read_all_metrics(lake)
+    return pa.table(
+        {
+            "n_events": pa.array([int(_pc.sum(m["n_events"]).as_py() or 0)]),
+            "n_inserts": pa.array([int(_pc.sum(m["n_inserts"]).as_py() or 0)]),
+            "n_updates": pa.array([int(_pc.sum(m["n_updates"]).as_py() or 0)]),
+            "n_deletes": pa.array([int(_pc.sum(m["n_deletes"]).as_py() or 0)]),
+        }
+    )
+
+
 def q_transcript_turn_counts(sf_dir: str):
     """Live turns per conversation+role after replay (final-state rollup)."""
     from ray.data.aggregate import Count
@@ -248,6 +300,48 @@ def q_cell_formats(sf_dir: str):
     return decoded.map_batches(classify, batch_format="pyarrow").groupby(
         ["col", "fmt_id", "fmt_code"]
     ).aggregate(Count(alias_name="n"))
+
+
+def q_render_datetime(sf_dir: str):
+    """T10 date-format translation: Excel date codes → strftime layouts
+    (minute-vs-month disambiguation), rendered vectorized over events.ts."""
+    import ray.data
+    from grate_ray.functions.format import render_datetime
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "iso": render_datetime(t["ts"], "yyyy-mm-dd hh:mm:ss"),
+                "us": render_datetime(t["ts"], "m/d/yyyy"),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def q_rk_decode(sf_dir: str):
+    """T12 RK-number decode: integer-mode 30-bit packed values (with the
+    ×0.01 flag) derived from event ids, decoded with the vectorized bit
+    kernel; float-mode decode is unit-tested (bit-reinterpretation is not
+    SQL-expressible)."""
+    import numpy as np
+    import ray.data
+    from grate_ray.functions.rk import decode_rk, encode_rk_int
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = (eid % (1 << 30)).astype(np.int64) - (1 << 29)
+        w = encode_rk_int(v, mul100=(eid % 3 == 0))
+        return pa.table(
+            {"event_id": t["event_id"], "rk_value": pa.array(decode_rk(w))}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"]
+    ).map_batches(fn, batch_format="pyarrow")
 
 
 def q_text_normalize(sf_dir: str):
@@ -535,6 +629,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_op_counts": q_cdc_op_counts,
     "cdc_conv_stats": q_cdc_conv_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_ingest_lake": q_cdc_ingest_lake,
+    "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "transcript_turn_counts": q_transcript_turn_counts,
     "decode_roundtrip_nation": q_decode_roundtrip_nation,
     "decode_roundtrip_customer": q_decode_roundtrip_customer,
@@ -544,6 +640,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "scan_strict": q_scan_strict,
     "cdc_merged_ranges": q_cdc_merged_ranges,
     "cell_formats": q_cell_formats,
+    "render_datetime": q_render_datetime,
+    "rk_decode": q_rk_decode,
     "text_normalize": q_text_normalize,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -987,6 +1085,25 @@ FROM customer WHERE c_mktsegment <> 'FURNITURE' GROUP BY 1""",
             "FROM customer WHERE c_custkey % 11 <> 0"
         ),
         "cell_formats": _cell_formats_sql(),
+        "render_datetime": """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso,
+       strftime(ts, '%-m/%-d/%Y') AS us
+FROM events""",
+        "rk_decode": """
+SELECT event_id,
+       CASE WHEN event_id % 3 = 0
+            THEN (event_id % 1073741824 - 536870912) / 100.0
+            ELSE CAST(event_id % 1073741824 - 536870912 AS DOUBLE)
+       END AS rk_value
+FROM events""",
+        "cdc_ingest_lake": lww,
+        "cdc_ingest_metrics": f"""
+SELECT count(*) AS n_events,
+       CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+FROM ({BINLOG_SQL}) b""",
         "transcript_turn_counts": f"""
 SELECT conv_id, role, count(*) AS n_turns
 FROM ({lww}) lake GROUP BY conv_id, role""",

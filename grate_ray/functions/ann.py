@@ -259,15 +259,16 @@ def cosine_neardup_pairs_lsh(
             }
         )
 
-    from ray.data.aggregate import Count
+    from ..functions.dedup import grouped_reduce
 
     npart = join_partitions(32)
     cand = (
-        ds.map_batches(code_batch, batch_format="pyarrow")
-        .repartition(join_partitions(64), keys=["bucket"])
-        .map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_m"))
+        grouped_reduce(
+            ds.map_batches(code_batch, batch_format="pyarrow")
+            .repartition(join_partitions(64), keys=["bucket"])
+            .map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None),
+            ["a", "b"], npart, out_col="_m",
+        )
         .map_batches(lambda t: t.drop_columns(["_m"]), batch_format="pyarrow")
         .materialize()  # split the DAG before the verify joins (scheduler
         # deadlocks when an actorless multi-shuffle prefix and two joins

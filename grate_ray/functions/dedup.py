@@ -79,13 +79,21 @@ def _within_run_ranges(counts: np.ndarray) -> np.ndarray:
 
 
 def explode_trigrams(
-    t: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+    t: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_counts: bool = False,
 ) -> pa.Table:
     """(doc_id, gram) rows — DISTINCT word-3-grams per doc, fully
     vectorized: Arrow split_pattern → flat word array + offsets → window
     takes + binary_join. Docs with <3 words produce no grams (mirrors the
     SQL oracle's range()). Output rows stay doc-contiguous (the signature
-    kernels rely on that for their reduceat)."""
+    kernels rely on that for their reduceat).
+
+    ``with_counts`` adds an ``n`` column = the doc's distinct-gram count
+    on every row. Each doc's grams are batch-local, so the size relation
+    costs NOTHING extra — downstream verifies read |A|,|B| off the joined
+    rows instead of paying a shuffle + two joins to attach them."""
     texts = t[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -94,11 +102,11 @@ def explode_trigrams(
     flat = words.flatten()
     ng = np.maximum(counts - 2, 0)
     tot = int(ng.sum())
-    empty = pa.table(
-        {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
-    )
+    schema_cols = {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
+    if with_counts:
+        schema_cols["n"] = pa.array([], pa.int64())
     if tot == 0:
-        return empty
+        return pa.table(schema_cols)
     word_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
     starts = np.repeat(word_starts, ng) + _within_run_ranges(ng)
     w0 = flat.take(pa.array(starts))
@@ -110,12 +118,19 @@ def explode_trigrams(
     )
     # distinct (doc, gram), order-preserving → stays doc-contiguous
     df = pd.DataFrame({"doc_id": doc, "gram": gram.to_pandas()}).drop_duplicates()
-    return pa.table(
-        {
-            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
-            "gram": pa.array(df["gram"].to_numpy(), pa.string()),
-        }
-    )
+    out = {
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "gram": pa.array(df["gram"].to_numpy(), pa.string()),
+    }
+    if with_counts:
+        d = df["doc_id"].to_numpy()
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        change[1:] = d[1:] != d[:-1]
+        rs = np.flatnonzero(change)
+        rl = np.diff(np.append(rs, len(d)))
+        out["n"] = pa.array(np.repeat(rl, rl).astype(np.int64))
+    return pa.table(out)
 
 
 def _pairs_from_runs(
@@ -159,6 +174,57 @@ def _runs_of(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return order, starts, lens
 
 
+def grouped_reduce(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    nparts: int,
+    val_col: str | None = None,
+    out_col: str = "n",
+    reduce: str = "sum",
+) -> ray.data.Dataset:
+    """count/sum/min per key over int64 key columns: ONE keyed
+    repartition + a vectorized lexsort/reduceat reduction per block.
+
+    Replaces ``groupby(keys).aggregate(...)`` in the pair-counting hot
+    paths: Ray's HashAggregate costs seconds per 100k rows at
+    million-group cardinality (measured 84s remote wall on the ngram
+    pair count at sf0.1), while the reduceat reduction is memory-speed.
+    Exact because the repartition co-locates every row of a key."""
+
+    def reduce_block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field(c, pa.int64()) for c in key_cols]
+            + [pa.field(out_col, pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        keys = [
+            t[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in key_cols
+        ]
+        order = np.lexsort(keys[::-1])
+        sorted_keys = [k[order] for k in keys]
+        change = np.zeros(len(order), dtype=bool)
+        change[0] = True
+        for k in sorted_keys:
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        if val_col is None:
+            vals = np.diff(np.append(starts, len(order)))  # count
+        else:
+            v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            if reduce == "min":
+                vals = np.minimum.reduceat(v, starts)
+            else:
+                vals = np.add.reduceat(v, starts)
+        cols = {c: pa.array(k[starts]) for c, k in zip(key_cols, sorted_keys)}
+        cols[out_col] = pa.array(vals)
+        return pa.table(cols, schema=schema)
+
+    return ds.repartition(nparts, keys=key_cols).map_batches(
+        reduce_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 _PAIR_SIZE_SCHEMA = pa.schema(
     [pa.field("a", pa.int64()), pa.field("b", pa.int64()), pa.field("kind", pa.int8())]
 )
@@ -191,8 +257,6 @@ def ngram_jaccard_pairs(
     quadratic). Jaccard is then over the capped gram sets; the SQL
     oracle applies the identical cap, so results still match exactly.
     """
-    from ray.data.aggregate import Count, Sum
-
     from ..context import configure_shuffle, join_partitions
 
     configure_shuffle(32)
@@ -246,14 +310,14 @@ def ngram_jaccard_pairs(
 
         return f
 
+    npart = join_partitions(32)
     pairs = unified.map_batches(only(0, ["a", "b"]), batch_format="pyarrow")
-    inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
-    sizes = (
-        unified.map_batches(only(1, ["doc_id", "n_part"]), batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n_part", alias_name="n"))
+    inter = grouped_reduce(pairs, ["a", "b"], npart, out_col="n_shared")
+    sizes = grouped_reduce(
+        unified.map_batches(only(1, ["doc_id", "n_part"]), batch_format="pyarrow"),
+        ["doc_id"], npart, val_col="n_part", out_col="n",
     )
-    return _jaccard_from_counts(inter, sizes, threshold, join_partitions(32))
+    return _jaccard_from_counts(inter, sizes, threshold, npart)
 
 
 def _jaccard_from_counts(
@@ -396,8 +460,6 @@ def minhash_lsh_pairs(
     signature of gramless docs — are non-discriminative and would make
     the pairing quadratic). The SQL oracle applies the identical cap.
     """
-    from ray.data.aggregate import Count, Sum
-
     from ..context import actor_pool_size, configure_shuffle, join_partitions
 
     configure_shuffle(32)
@@ -450,11 +512,14 @@ def minhash_lsh_pairs(
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     nbuckets = join_partitions(64)
+    npart = join_partitions(32)
     cand = (
-        buckets.repartition(nbuckets, keys=["band", "bhash"])
-        .map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_m"))  # distinct pairs across bands
+        grouped_reduce(  # distinct pairs across bands
+            buckets.repartition(nbuckets, keys=["band", "bhash"]).map_batches(
+                bucket_pairs, batch_format="pyarrow", batch_size=None
+            ),
+            ["a", "b"], npart, out_col="_m",
+        )
         .map_batches(lambda t: t.drop_columns(["_m"]), batch_format="pyarrow")
         # split the DAG here: one streaming execution holding the actor
         # pool + repartition + groupby AND the 4 verify joins below
@@ -463,23 +528,56 @@ def minhash_lsh_pairs(
         .materialize()
     )
 
-    # exact verify: candidates ⋈ gram relation (a side) ⋈ (b side) →
-    # intersection count, sizes by join — candidates only, all distributed
+    # exact verify: candidates ⋈ gram relation (a side) ⋈ (b side), sizes
+    # riding along on the gram rows (with_counts) — candidates only, all
+    # distributed, and the whole tail is 2 joins + 1 keyed reduce
     grams = ds.map_batches(
-        lambda t: explode_trigrams(t, text_col, id_col), batch_format="pyarrow"
+        lambda t: explode_trigrams(t, text_col, id_col, with_counts=True),
+        batch_format="pyarrow",
     ).materialize()
-    npart = join_partitions(32)
     ga = grams.map_batches(
-        lambda t: t.rename_columns(["a", "gram"]), batch_format="pyarrow"
+        lambda t: t.rename_columns(["a", "gram", "na"]), batch_format="pyarrow"
     )
     gb = grams.map_batches(
-        lambda t: t.rename_columns(["b", "gram"]), batch_format="pyarrow"
+        lambda t: t.rename_columns(["b", "gram", "nb"]), batch_format="pyarrow"
     )
     j1 = cand.join(ga, join_type="inner", num_partitions=npart, on=("a",))
     j2 = j1.join(gb, join_type="inner", num_partitions=npart, on=("b", "gram"))
-    inter = j2.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
-    sizes = grams.groupby("doc_id").aggregate(Count(alias_name="n"))
-    return _jaccard_from_counts(inter, sizes, threshold, npart)
+
+    def pair_reduce(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b, na, nb = a[order], b[order], na[order], nb[order]
+        change = np.zeros(len(a), dtype=bool)
+        change[0] = True
+        change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(change)
+        ns = np.diff(np.append(starts, len(a)))  # |A ∩ B|
+        jac = ns / np.maximum(na[starts] + nb[starts] - ns, 1)
+        out = pa.table(
+            {
+                "a": pa.array(a[starts]),
+                "b": pa.array(b[starts]),
+                "jaccard": pa.array(jac.astype(np.float64)),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return j2.repartition(npart, keys=["a", "b"]).map_batches(
+        pair_reduce, batch_format="pyarrow", batch_size=None
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -546,8 +644,6 @@ def simhash_pairs(
     is non-discriminative and would make the pairing quadratic. Skipped
     buckets trade recall for boundedness; they are the SimHash analogue
     of the n-gram df cap, and the SQL oracle applies the identical cap."""
-    from ray.data.aggregate import Min as _Min
-
     from ..context import configure_shuffle, join_partitions
 
     configure_shuffle(32)
@@ -654,8 +750,8 @@ def simhash_pairs(
         out = pa.table({"a": t["a"], "b": t["b"], "ham": pa.array(ham)})
         return out.filter(pc.less_equal(out["ham"], max_hamming))
 
-    return (
-        paired.map_batches(verify, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(_Min("ham", alias_name="ham"))  # distinct pairs
+    return grouped_reduce(  # distinct pairs (ham identical per pair)
+        paired.map_batches(verify, batch_format="pyarrow"),
+        ["a", "b"], join_partitions(32), val_col="ham", reduce="min",
+        out_col="ham",
     )

@@ -93,6 +93,143 @@ def infer_formats(col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.Array]:
     return ids.take(idx), codes.take(idx)
 
 
+# --- date-format translation (T10) ------------------------------------------
+#
+# Excel date codes → strftime layouts, including the minute-vs-month
+# disambiguation: an `m`/`mm` token flanked by hour/second tokens means
+# MINUTE (the reference resolves this with its `h.*m.*s` regex scan,
+# /root/reference/commonxl/formats.go:94-128; layout table
+# dates.go:47-78). Tokens are matched longest-first.
+
+_DATE_TOKENS = [
+    ("yyyy", "%Y"), ("yy", "%y"),
+    ("mmmm", "%B"), ("mmm", "%b"),
+    ("dddd", "%A"), ("ddd", "%a"), ("dd", "%d"), ("d", "%-d"),
+    ("hh", "%H"), ("h", "%-H"),
+    ("ss", "%S"), ("s", "%-S"),
+    ("am/pm", "%p"), ("a/p", "%p"),
+]
+
+
+def translate_date_code(code: str) -> str:
+    """Excel date/time format code → strftime layout. Two passes:
+    tokenize, then resolve each ``m`` run — MINUTE iff the nearest time
+    token before it is an hour, or (failing that) the nearest time token
+    after it is a second; month otherwise."""
+    toks: list[tuple[str, str]] = []  # (kind, text) kind ∈ {tok, m, lit}
+    i, n = 0, len(code)
+    low = code.lower()
+    while i < n:
+        matched = False
+        for tok, fmt in _DATE_TOKENS:
+            if low.startswith(tok, i):
+                toks.append(("tok", fmt))
+                i += len(tok)
+                matched = True
+                break
+        if matched:
+            continue
+        if low[i] == "m":
+            run = 1
+            while i + run < n and low[i + run] == "m":
+                run += 1
+            toks.append(("m", "mm" if run >= 2 else "m"))
+            i += run
+        else:
+            toks.append(("lit", code[i]))
+            i += 1
+
+    def time_kind(fmt: str) -> str | None:
+        if fmt in ("%H", "%-H"):
+            return "h"
+        if fmt in ("%S", "%-S"):
+            return "s"
+        return None
+
+    out: list[str] = []
+    for j, (kind, text) in enumerate(toks):
+        if kind != "m":
+            out.append(text)
+            continue
+        prev_t = next(
+            (time_kind(t) for k, t in reversed(toks[:j]) if k == "tok" and time_kind(t)),
+            None,
+        )
+        next_t = next(
+            (time_kind(t) for k, t in toks[j + 1 :] if k == "tok" and time_kind(t)),
+            None,
+        )
+        minute = prev_t == "h" or (prev_t is None and next_t == "s")
+        if minute:
+            out.append("%M" if text == "mm" else "%-M")
+        else:
+            out.append("%m" if text == "mm" else "%-m")
+    return "".join(out)
+
+
+def render_datetime(col: pa.ChunkedArray | pa.Array, code: str) -> pa.Array | pa.ChunkedArray:
+    """Render a timestamp column through an Excel date code (vectorized
+    Arrow strftime). Non-padded / locale tokens (%-d, %B, %p) fall back to
+    pandas dt.strftime."""
+    import pyarrow.compute as pc
+
+    fmt = translate_date_code(code)
+    if "%-" not in fmt and "%B" not in fmt and "%p" not in fmt:
+        # Arrow's %S appends the fractional part for sub-second timestamp
+        # TYPES; Excel ss is whole seconds — cast to second resolution
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        secs = pc.cast(col, pa.timestamp("s"), safe=False)  # truncate
+        return pc.strftime(secs, format=fmt)
+    s = (col.to_pandas() if hasattr(col, "to_pandas") else col).dt.strftime(fmt)
+    return pa.array(s, pa.string())
+
+
+# --- fraction approximation (T11) --------------------------------------------
+
+
+def approx_fraction(value: float, max_digits: int) -> tuple[int, int, int]:
+    """Best rational approximation (whole, num, den) of ``value`` with the
+    denominator budgeted to ``max_digits`` decimal digits (the `# ?/?`
+    format family, /root/reference/commonxl/numbers.go:10-74 — same
+    continued-fraction idea, independent implementation). Returns
+    (whole_part, numerator, denominator) with 0 ≤ num/den < 1."""
+    import math
+
+    sign = -1 if value < 0 else 1
+    value = abs(value)
+    whole = int(math.floor(value))
+    frac = value - whole
+    limit = 10**max_digits - 1
+    # Stern–Brocot walk: best approximation with den ≤ limit
+    best_n, best_d, best_err = 0, 1, frac
+    lo_n, lo_d, hi_n, hi_d = 0, 1, 1, 1
+    for _ in range(64):
+        mid_n, mid_d = lo_n + hi_n, lo_d + hi_d
+        if mid_d > limit:
+            break
+        err = abs(frac - mid_n / mid_d)
+        if err < best_err:
+            best_n, best_d, best_err = mid_n, mid_d, err
+        if mid_n / mid_d < frac:
+            lo_n, lo_d = mid_n, mid_d
+        else:
+            hi_n, hi_d = mid_n, mid_d
+    if abs(frac - 1.0) < best_err:
+        whole, best_n, best_d = whole + 1, 0, 1
+    return sign * whole, best_n, best_d
+
+
+def render_fraction(value: float, max_digits: int = 1) -> str:
+    """`# ?/?` rendering: '<whole> <num>/<den>', fraction omitted when 0."""
+    whole, n, d = approx_fraction(value, max_digits)
+    if n == 0:
+        return str(whole)
+    if whole == 0:
+        return f"{n}/{d}"
+    return f"{whole} {n}/{d}"
+
+
 def render_strings(t: pa.Table) -> pa.Table:
     """The ``Strings()`` projection (T4): every column rendered to its
     General string form (/root/reference/commonxl/sheet.go:129-148)."""

@@ -68,6 +68,28 @@ METRICS_SCHEMA = pa.schema(
 )
 
 
+_DICT_COLS = ("op", "role", "tool", "conv_id")
+
+
+def _dict_encode_cols(t: pa.Table) -> pa.Table:
+    """Dictionary-encode the low-cardinality string columns (+ conv_id,
+    which repeats across turn keys) BEFORE the hash exchange — the shuffle
+    then ships 1-4-byte indices instead of repeated strings. Decoded at
+    the merger boundary; text stays plain (unique per row)."""
+    for c in _DICT_COLS:
+        if c in t.column_names and not pa.types.is_dictionary(t.schema.field(c).type):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.dictionary_encode(t[c].combine_chunks()))
+    return t
+
+
+def _decode_dict_cols(t: pa.Table) -> pa.Table:
+    for i, f in enumerate(t.schema):
+        if pa.types.is_dictionary(f.type):
+            t = t.set_column(i, f.name, t[f.name].cast(f.type.value_type))
+    return t
+
+
 class PartitionMerger:
     """Actor-pool merge stage (one call per partition group).
 
@@ -78,6 +100,7 @@ class PartitionMerger:
     """
 
     SNAPSHOT_EVERY = 8  # delta commits between full snapshots
+    MAX_CACHE_ROWS = 4_000_000  # per-actor merge-buffer bound (SURVEY §4)
 
     def __init__(self, lake_dir: str, lsn_lo: int, lsn_hi: int):
         self.lake_dir = lake_dir
@@ -85,12 +108,22 @@ class PartitionMerger:
         self.lsn_hi = lsn_hi
         self.state_cache: dict[int, pa.Table] = {}
 
+    def _cache_put(self, part: int, state: pa.Table) -> None:
+        """Bounded merge-buffer cache: partition states are re-derivable
+        from (snapshot + deltas) on disk, so when cached rows exceed the
+        bound we evict everything but the newest entry rather than let
+        actor memory grow with the number of partitions served."""
+        self.state_cache[part] = state
+        total = sum(t.num_rows for t in self.state_cache.values())
+        if total > self.MAX_CACHE_ROWS:
+            self.state_cache = {part: state}
+
     def _metrics_row(self, part: int, counts: dict | None, live: int, skipped: bool) -> pa.Table:
         counts = counts or {}
-        n = counts.get("cnt_events", 0)
         n_i = counts.get("cnt_i", 0)
         n_u = counts.get("cnt_u", 0)
         n_d = counts.get("cnt_d", 0)
+        n = n_i + n_u + n_d  # cnt_events is derived, not shipped
         return pa.table(
             {
                 "part": pa.array([part], pa.int32()),
@@ -108,7 +141,7 @@ class PartitionMerger:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = group["part"][0].as_py()
-        events = group.drop_columns(["part"])
+        events = _decode_dict_cols(group.drop_columns(["part"]))
 
         hw = committed_lsn(self.lake_dir, part)
         if hw is not None and hw >= self.lsn_hi:
@@ -146,7 +179,7 @@ class PartitionMerger:
             reduced if state is None or state.num_rows == 0
             else merge_into_state(state, reduced)
         )
-        self.state_cache[part] = new_state
+        self._cache_put(part, new_state)
         live = int(pc.sum(pc.cast(pc.not_equal(new_state["op"], "D"), pa.int64())).as_py() or 0)
         # write amplification bound (SURVEY.md §4): commit only this
         # micro-batch's winners (O(delta) bytes) and roll a full snapshot
@@ -233,7 +266,7 @@ def ingest(
     binlog_path: str,
     lake_dir: str,
     num_partitions: int = 32,
-    files_per_microbatch: int = 8,
+    files_per_microbatch: int | None = 8,
     max_microbatches: int | None = None,
     merger_concurrency: int | tuple[int, int] | None = None,
     hot_keys: frozenset[str] | None = None,
@@ -259,6 +292,20 @@ def ingest(
     write_lake_config(lake_dir, num_partitions)
     files = list_binlog_files(binlog_path)
     ranges = _chunk_lsn_ranges(files)
+
+    if files_per_microbatch is None:
+        # auto: scale the micro-batch to the cluster so each batch keeps
+        # every CPU busy, without collapsing a small cluster's run into
+        # one oversized batch (per-micro-batch fixed cost ≈ seconds;
+        # measured at 30M events: 4 CPUs prefers ~16 files/batch, 32
+        # CPUs prefers one 31-file batch)
+        import ray as _ray
+
+        try:
+            cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        files_per_microbatch = max(16, cpus)
 
     # global resume point: files whose entire lsn range is committed by
     # EVERY partition can be pruned at the read. Partitions that receive
@@ -311,10 +358,14 @@ def ingest(
                 if hot_keys:
                     from ..stages.partition import add_salted_partition_column
 
-                    return add_salted_partition_column(
-                        reduced, num_partitions, num_salts, hot_keys
+                    return _dict_encode_cols(
+                        add_salted_partition_column(
+                            reduced, num_partitions, num_salts, hot_keys
+                        )
                     )
-                return add_partition_column(reduced, num_partitions)
+                return _dict_encode_cols(
+                    add_partition_column(reduced, num_partitions)
+                )
 
             parts.append(
                 d.map_batches(
@@ -363,6 +414,41 @@ def ingest(
     if not metrics_tables:
         return METRICS_SCHEMA.empty_table()
     return pa.concat_tables(metrics_tables)
+
+
+def read_all_metrics(lake_dir: str) -> pa.Table:
+    """Lineage metrics across every commit of every partition (one row per
+    non-empty commit): the durable record of what was applied — each
+    source event appears in exactly one commit's counts."""
+    from ..state.manifest import lineage
+
+    parts, lsn_lo, lsn_hi, n_i, n_u, n_d, n_ev, kinds = [], [], [], [], [], [], [], []
+    for p in list_partitions(lake_dir):
+        for m in lineage(lake_dir, p):
+            if m.get("kind") == "empty":
+                continue
+            c = m.get("metrics") or {}
+            i, u, d = c.get("cnt_i", 0), c.get("cnt_u", 0), c.get("cnt_d", 0)
+            parts.append(p)
+            lsn_lo.append(m["lsn_lo"])
+            lsn_hi.append(m["lsn_hi"])
+            n_i.append(i)
+            n_u.append(u)
+            n_d.append(d)
+            n_ev.append(i + u + d)
+            kinds.append(m.get("kind", "snapshot"))
+    return pa.table(
+        {
+            "part": pa.array(parts, pa.int32()),
+            "lsn_lo": pa.array(lsn_lo, pa.int64()),
+            "lsn_hi": pa.array(lsn_hi, pa.int64()),
+            "n_events": pa.array(n_ev, pa.int64()),
+            "n_inserts": pa.array(n_i, pa.int64()),
+            "n_updates": pa.array(n_u, pa.int64()),
+            "n_deletes": pa.array(n_d, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+        }
+    )
 
 
 def export_lake(

@@ -1,13 +1,21 @@
 """Stream-shaped operators over the ordered ``events`` log.
 
 Ray Data has no event-time window primitives (SURVEY.md §2.9); these
-express the two standard shapes the engine needs:
+express the shapes the engine needs:
 
 - tumbling windows: a derived window-start column + groupby — embarrassingly
   parallel, the window column IS the shuffle key;
-- session windows: per-key ``map_groups`` over the ts-sorted group with a
-  vectorized gap-split (state never leaves the group = the partitioning
-  assumption, documented per the north-star custom-operator rule).
+- session windows / as-of join / range join: ONE hash repartition
+  co-locating each user, then a per-BLOCK kernel vectorized ACROSS users
+  (segment arithmetic over the (user, ts)-sorted block — numpy cummax /
+  searchsorted / reduceat). No per-user Python: a block with 10k users
+  costs one function call, not 10k (the per-group ``map_groups`` variant
+  pays ~ms of interpreter per user and dies at 100× user counts).
+
+Partitioning assumption (documented per the north-star custom-operator
+rule): one user's events fit in one block. True for per-user event
+streams; a pathological single-user firehose would need time-sharded
+pre-aggregation plus a stitch pass.
 """
 
 from __future__ import annotations
@@ -51,43 +59,90 @@ def tumbling_counts(sf_dir: str, minutes: int = 60) -> ray.data.Dataset:
     )
 
 
+def _by_user(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """ONE hash shuffle co-locating each user's events in one block."""
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    return ds.repartition(join_partitions(64), keys=["user_id"])
+
+
+def _sorted_block(t: pa.Table, cols: list[str]):
+    """Block sorted by (user_id, ts, event_id) → numpy views + user
+    segment codes/starts. Vectorized across all users in the block."""
+    df = t.select(cols).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    user = df["user_id"].to_numpy()
+    seg = np.zeros(len(df), dtype=np.int64)
+    if len(df):
+        seg[1:] = np.cumsum(user[1:] != user[:-1])
+    return df, seg
+
+
+_TS_UNIT = "datetime64[us]"
+
+
 def asof_join_events(
     sf_dir: str, left_type: str = "purchase", right_type: str = "click"
 ) -> ray.data.Dataset:
     """As-of join within the events log: for every ``left_type`` event,
     attach the user's most recent ``right_type`` event at-or-before its
-    ts (backward as-of, ts-inclusive; ties among right events at the same
-    ts resolve to that ts). Implemented as groupby(user) + per-group
-    ``pd.merge_asof`` over ts-sorted frames — the composition path for
-    as-of/range joins Ray Data lacks natively (partitioning assumption:
-    one user's history fits in a group)."""
+    ts (backward as-of, ts-inclusive). Vectorized across users: rows are
+    sorted (user, ts, right-before-left-on-ties) and a single segmented
+    running max yields the answer for every left row at once."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
-        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
-        if left.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype="datetime64[us]"),
-                    "last_right_ts": pd.Series([], dtype="datetime64[us]"),
-                }
-            )
-        out = pd.merge_asof(
-            left[["event_id", "user_id", "ts"]],
-            right[["ts"]].rename(columns={"ts": "last_right_ts"}),
-            left_on="ts",
-            right_on="last_right_ts",
-            direction="backward",
-            allow_exact_matches=True,
+    def per_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "last_right_ts": pa.array([], pa.timestamp("us")),
+            }
         )
-        return out
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        is_left = (df["event_type"] == left_type).to_numpy()
+        is_right = (df["event_type"] == right_type).to_numpy()
+        df = df.assign(_l=is_left, _r=is_right)
+        # right rows sort BEFORE left rows at equal ts ⇒ the running max
+        # below includes exact-ts matches (merge_asof allow_exact_matches)
+        df = df.sort_values(
+            ["user_id", "ts", "_l", "event_id"], kind="mergesort"
+        )
+        user = df["user_id"].to_numpy()
+        seg = np.zeros(len(df), dtype=np.int64)
+        seg[1:] = np.cumsum(user[1:] != user[:-1])
+        ts = df["ts"].to_numpy().astype(_TS_UNIT).view(np.int64)
+        off = ts - ts.min() + 1  # ≥ 1
+        K = off.max() + 2
+        right_mask = df["_r"].to_numpy()
+        vcomb = seg * K + np.where(right_mask, off, 0)
+        run = np.maximum.accumulate(vcomb)
+        last_off = run - seg * K  # 0 ⇒ no right event yet in this segment
+        left_mask = df["_l"].to_numpy()
+        lo = last_off[left_mask]
+        # int64 min IS NaT in datetime64 — rows with no prior right event
+        last_ts = np.where(
+            lo > 0, lo - 1 + ts.min(), np.int64(np.iinfo(np.int64).min)
+        )
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[left_mask],
+                "user_id": user[left_mask],
+                "ts": ts[left_mask].view(_TS_UNIT),
+                "last_right_ts": last_ts.view(_TS_UNIT),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(empty.schema)
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user(ds).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
 
 
 def range_join_trailing_count(
@@ -95,74 +150,101 @@ def range_join_trailing_count(
 ) -> ray.data.Dataset:
     """Range join within the events log: for every ``anchor_type`` event,
     count the user's events with ts in [anchor_ts - window, anchor_ts]
-    (inclusive both ends — mirrored in the oracle). Per-user group +
-    vectorized ``searchsorted`` over the sorted ts array; same
-    partitioning assumption as the as-of join."""
+    (inclusive both ends — mirrored in the oracle). Vectorized across
+    users: one searchsorted over composite (segment, ts) keys answers
+    every anchor in the block at once."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
-    w = np.timedelta64(window_minutes * 60 * 1_000_000, "us")
+    w_us = np.int64(window_minutes * 60 * 1_000_000)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        all_ts = g["ts"].to_numpy()
-        anchors = g[g["event_type"] == anchor_type]
-        if anchors.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype="datetime64[us]"),
-                    "n_in_window": pd.Series([], dtype="int64"),
-                }
-            )
-        a_ts = anchors["ts"].to_numpy()
-        lo = np.searchsorted(all_ts, a_ts - w, side="left")
-        hi = np.searchsorted(all_ts, a_ts, side="right")
-        return pd.DataFrame(
+    def per_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                "event_id": anchors["event_id"].to_numpy(),
-                "user_id": anchors["user_id"].to_numpy(),
-                "ts": a_ts,
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "n_in_window": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df, seg = _sorted_block(t, ["event_id", "user_id", "event_type", "ts"])
+        ts = df["ts"].to_numpy().astype(_TS_UNIT).view(np.int64)
+        off = (ts - ts.min()).astype(np.int64)
+        K = off.max() + w_us + 2
+        comb = seg * K + off
+        anchor = (df["event_type"] == anchor_type).to_numpy()
+        a_comb = comb[anchor]
+        lo = np.searchsorted(comb, a_comb - w_us, side="left")
+        hi = np.searchsorted(comb, a_comb, side="right")
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[anchor],
+                "user_id": df["user_id"].to_numpy()[anchor],
+                "ts": ts[anchor].view(_TS_UNIT),
                 "n_in_window": (hi - lo).astype("int64"),
             }
         )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(empty.schema)
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user(ds).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session windows per user: a new session starts when the gap from the
     previous event exceeds ``gap_minutes``. Output: one row per session
-    (user_id, session_id, n_events, t_start, t_end).
-
-    Partitioning assumption: one user's events fit in one group (true for
-    per-user event streams; a pathological single-user firehose would need
-    time-sharded pre-sessionization plus a stitch pass).
-    """
+    (user_id, session_id, n_events, t_start, t_end). Vectorized across
+    users: gap breaks + segment-relative cumsum + reduceat aggregation."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        brk = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            brk[1:] = (ts[1:] - ts[:-1] > gap).astype(np.int64)
-        sess = np.cumsum(brk)
-        g = g.assign(session_id=sess)
-        out = (
-            g.groupby("session_id")
-            .agg(
-                user_id=("user_id", "first"),
-                n_events=("event_id", "size"),
-                t_start=("ts", "min"),
-                t_end=("ts", "max"),
-            )
-            .reset_index()
+    def per_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "t_start": pa.array([], pa.timestamp("us")),
+                "t_end": pa.array([], pa.timestamp("us")),
+            }
         )
-        return out[["user_id", "session_id", "n_events", "t_start", "t_end"]]
+        if t.num_rows == 0:
+            return empty
+        df, seg = _sorted_block(t, ["event_id", "user_id", "ts"])
+        ts = df["ts"].to_numpy().astype(_TS_UNIT).view(np.int64)
+        n = len(df)
+        brk = np.ones(n, dtype=np.int64)  # first row of each user breaks
+        if n > 1:
+            same_user = seg[1:] == seg[:-1]
+            brk[1:] = np.where(
+                same_user & (ts[1:] - ts[:-1] <= gap_us), 0, 1
+            )
+        sess_global = np.cumsum(brk)
+        # session_id restarts at 1 per user: subtract the user's base
+        seg_starts = np.zeros(n, dtype=bool)
+        seg_starts[0] = True
+        seg_starts[1:] = seg[1:] != seg[:-1]
+        base = np.repeat(sess_global[seg_starts] - 1, np.diff(np.append(np.flatnonzero(seg_starts), n)))
+        sess = sess_global - base
+        # one output row per (user, session): reduceat over session runs
+        s_starts = np.flatnonzero(brk)
+        s_lens = np.diff(np.append(s_starts, n))
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy()[s_starts],
+                "session_id": sess[s_starts],
+                "n_events": s_lens.astype("int64"),
+                "t_start": ts[s_starts].view(_TS_UNIT),
+                "t_end": np.maximum.reduceat(ts, s_starts).view(_TS_UNIT),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(empty.schema)
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user(ds).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )

@@ -30,8 +30,14 @@ from ..schema import PAYLOAD_COLS
 
 def _key_codes(t: pa.Table) -> np.ndarray:
     """Dense int64 group codes for (conv_id, turn_idx) — vectorized via
-    dictionary-encoding the string key (cheap: unique values only)."""
-    conv_codes = pc.dictionary_encode(t["conv_id"].combine_chunks()).indices
+    dictionary-encoding the string key (cheap: unique values only).
+    Already-dictionary-encoded conv_id (the slim shuffle payload) reuses
+    its indices directly."""
+    conv_arr = t["conv_id"].combine_chunks()
+    if pa.types.is_dictionary(conv_arr.type):
+        conv_codes = conv_arr.indices
+    else:
+        conv_codes = pc.dictionary_encode(conv_arr).indices
     conv = conv_codes.to_numpy(zero_copy_only=False).astype(np.int64)
     turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
     return (conv << 32) | (turn & 0xFFFFFFFF)
@@ -56,7 +62,9 @@ def lww_reduce(t: pa.Table) -> pa.Table:
     return t.take(pa.array(winners))
 
 
-COUNT_COLS = ["cnt_events", "cnt_i", "cnt_u", "cnt_d"]
+# slim shuffle payload: 3 × int32 (cnt_events is derived as i+u+d by the
+# consumer — 20 fewer bytes per exchanged row than 4 × int64)
+COUNT_COLS = ["cnt_i", "cnt_u", "cnt_d"]
 
 
 def lww_reduce_counted(t: pa.Table) -> pa.Table:
@@ -64,12 +72,10 @@ def lww_reduce_counted(t: pa.Table) -> pa.Table:
     partial reduces (so commit metrics count each source event once even
     though the shuffle only ships winners). Count columns are initialized
     from ``op`` on first application and summed per key-run afterwards."""
-    if "cnt_events" not in t.column_names:
+    if COUNT_COLS[0] not in t.column_names:
         op = t["op"].combine_chunks()
-        ones = np.ones(t.num_rows, dtype=np.int64)
-        t = t.append_column("cnt_events", pa.array(ones))
         for col, val in (("cnt_i", "I"), ("cnt_u", "U"), ("cnt_d", "D")):
-            t = t.append_column(col, pc.cast(pc.equal(op, val), pa.int64()))
+            t = t.append_column(col, pc.cast(pc.equal(op, val), pa.int32()))
     if t.num_rows <= 1:
         return t
     code = _key_codes(t)
@@ -87,9 +93,9 @@ def lww_reduce_counted(t: pa.Table) -> pa.Table:
     winners = order[is_last]
     out = t.drop_columns(COUNT_COLS).take(pa.array(winners))
     for col in COUNT_COLS:
-        vals = t[col].to_numpy(zero_copy_only=False)[order]
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
         sums = np.add.reduceat(vals, run_starts)
-        out = out.append_column(col, pa.array(sums))
+        out = out.append_column(col, pa.array(sums.astype(np.int32)))
     return out
 
 

@@ -1,0 +1,69 @@
+"""Date-format translation (T10), fraction approximation (T11), RK decode
+(T12) kernel tests — the reference's fmt/frac unit-test strategy
+(SURVEY.md §5.3) applied to the engine's own kernels."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_translate_date_code_minute_vs_month():
+    from grate_ray.functions.format import translate_date_code as tr
+
+    # m flanked by date tokens is MONTH
+    assert tr("yyyy-mm-dd") == "%Y-%m-%d"
+    assert tr("m/d/yyyy") == "%-m/%-d/%Y"
+    # m after an hour (or before a second) is MINUTE
+    assert tr("hh:mm:ss") == "%H:%M:%S"
+    assert tr("h:mm") == "%-H:%M"
+    assert tr("mm:ss") == "%M:%S"
+    # mixed: date month AND time minute in one code
+    assert tr("yyyy-mm-dd hh:mm:ss") == "%Y-%m-%d %H:%M:%S"
+
+
+def test_render_datetime_truncates_to_seconds():
+    import pandas as pd
+
+    from grate_ray.functions.format import render_datetime
+
+    ts = pa.array([pd.Timestamp("2024-03-05 07:09:03.789")]).cast(pa.timestamp("us"))
+    assert render_datetime(ts, "yyyy-mm-dd hh:mm:ss").to_pylist() == [
+        "2024-03-05 07:09:03"
+    ]
+    assert render_datetime(ts, "m/d/yyyy").to_pylist() == ["3/5/2024"]
+
+
+def test_approx_fraction_known_values():
+    from grate_ray.functions.format import approx_fraction, render_fraction
+
+    assert approx_fraction(0.5, 1) == (0, 1, 2)
+    assert approx_fraction(2.75, 1) == (2, 3, 4)
+    # pi: best 1-digit denominator is 1/7 of the fractional part (22/7)
+    assert approx_fraction(np.pi, 1) == (3, 1, 7)
+    # best 3-digit approximation of pi is the famous 355/113
+    w, n, d = approx_fraction(np.pi, 3)
+    assert (w, n, d) == (3, 16, 113)  # 3 + 16/113 == 355/113
+    assert render_fraction(2.75, 1) == "2 3/4"
+    assert render_fraction(3.0, 1) == "3"
+    assert render_fraction(0.5, 1) == "1/2"
+    # rounding up across the integer boundary
+    assert render_fraction(1.999999, 1) == "2"
+
+
+def test_rk_decode_all_modes():
+    from grate_ray.functions.rk import decode_rk, encode_rk_int
+
+    # int mode round trip incl. negatives and x100
+    vals = np.array([0, 1, -1, 12345, -536870912, 536870911])
+    w = encode_rk_int(vals)
+    assert decode_rk(w).tolist() == vals.astype(float).tolist()
+    w100 = encode_rk_int(vals, mul100=np.ones(len(vals), dtype=bool))
+    assert decode_rk(w100).tolist() == (vals / 100.0).tolist()
+
+    # float mode: high 30 bits of an IEEE double (low 34 bits zero)
+    for x in (1.0, -2.5, 1024.0):
+        bits = int(np.array([x], dtype=np.float64).view(np.uint64)[0])
+        assert bits & ((1 << 34) - 1) == 0  # representable as RK
+        word = np.array([(bits >> 32) & 0xFFFFFFFC], dtype=np.uint32)
+        assert decode_rk(word)[0] == x
+        word100 = word | 1
+        assert decode_rk(word100)[0] == x / 100.0
