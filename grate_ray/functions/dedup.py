@@ -460,16 +460,17 @@ def minhash_lsh_pairs(
     signature of gramless docs — are non-discriminative and would make
     the pairing quadratic). The SQL oracle applies the identical cap.
     """
-    from ..context import actor_pool_size, configure_shuffle, join_partitions
+    from ..context import configure_shuffle, join_partitions
 
     configure_shuffle(32)
     rows_per_band = k // bands
 
+    # MinHasher's per-worker state (64 coefficient pairs) is trivial to
+    # rebuild, so ship a pickled instance to PLAIN tasks — an actor pool
+    # here only pays multi-second pool startup for no amortization (pools
+    # are for expensive setup: models, compiled patterns, indexes)
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(k, 7, text_col, id_col),
-        batch_format="pyarrow",
-        concurrency=actor_pool_size(),
+        MinHasher(k, 7, text_col, id_col), batch_format="pyarrow"
     )
 
     def to_buckets(t: pa.Table) -> pa.Table:
