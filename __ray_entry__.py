@@ -386,6 +386,45 @@ def q_text_langid(sf_dir: str):
     return ds.groupby("pred_lang").aggregate(Count(alias_name="n"))
 
 
+def q_extract_links(sf_dir: str):
+    """T15 hyperlink projection (recast): plant a URL mid-text per doc,
+    extract the first URL by regex on BOTH sides (the oracle runs the
+    same RE2 pattern), render as 'display <url>'."""
+    import ray.data
+    from grate_ray.functions.text import extract_first_link
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        planted = pc.binary_join_element_wise(
+            pa.scalar("see https://ex.example/d"),
+            pc.cast(pc.multiply(pc.cast(ids, pa.int64()), 7), pa.string()),
+            pa.scalar(" "),
+            pc.fill_null(t["text"], ""),
+            "",
+        )
+        url = extract_first_link(planted)
+        display = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(pc.fill_null(t["text"], ""), 0, 10),
+            pa.scalar(" <"),
+            pc.fill_null(url, ""),
+            pa.scalar(">"),
+            "",
+        )
+        return pa.table({"doc_id": ids, "url": url, "display": display})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def q_window_hopping(sf_dir: str):
+    """Hopping (overlapping) event-time windows: 60-min windows every
+    15 min — the 1→N flat-map applied to windowed aggregation."""
+    from grate_ray.pipelines.windows import hopping_counts
+
+    return hopping_counts(sf_dir)
+
+
 def q_doc_fingerprint(sf_dir: str):
     """64-bit content fingerprints — md5 low 8 bytes little-endian, which
     is exactly DuckDB's md5_number_lower(), so the oracle is a full
@@ -508,6 +547,19 @@ def q_ann_lsh(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return lsh_topk(ds, qids, qmat, k=5, nbits=4)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (coarse Voronoi quantizer, nprobe cells per
+    query) — the inverted-file scale path alongside ann_lsh."""
+    import ray.data
+    from grate_ray.functions.ann import ivf_topk
+
+    qids, qmat = _queries_mat(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ivf_topk(ds, qids, qmat, k=5, ncentroids=16, nprobe=4)
 
 
 def q_cell_types(sf_dir: str):
@@ -645,6 +697,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_normalize": q_text_normalize,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "extract_links": q_extract_links,
+    "window_hopping": q_window_hopping,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -652,6 +706,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_features": q_multimodal_features,
@@ -961,6 +1016,58 @@ SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def _ann_ivf_sql(
+    k: int = 5, ncentroids: int = 16, nprobe: int = 4, seed: int = 9
+) -> str:
+    """Exact SQL mirror of ann.ivf_topk: centroid literals in a VALUES
+    table; cell = argmax dot (ties → lower id, same as numpy argmax);
+    query probes its nprobe nearest cells; cosine in float64, 6dp."""
+    from grate_ray.functions.ann import ivf_centroids
+
+    cent = ivf_centroids(64, ncentroids, seed)
+    rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in cent[i]))
+        for i in range(ncentroids)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), centroids(i, c) AS (
+  VALUES {rows}
+), dots AS (
+  SELECT e.vec_id, c.i, list_dot_product(e.emb, c.c) AS d
+  FROM e CROSS JOIN centroids c
+), cell AS (
+  SELECT vec_id, i AS cell FROM (
+    SELECT vec_id, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, i) AS rn
+    FROM dots
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id % 50 = 0
+), qcells AS (
+  SELECT query_id, i AS cell FROM (
+    SELECT d.vec_id AS query_id, d.i,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.d DESC, d.i) AS rn
+    FROM dots d WHERE d.vec_id % 50 = 0
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT q.query_id, v.vec_id,
+         round(list_cosine_similarity(ev.emb, q.qe), 6) AS sim
+  FROM q
+  JOIN qcells qc ON qc.query_id = q.query_id
+  JOIN cell v ON v.cell = qc.cell
+  JOIN e ev ON ev.vec_id = v.vec_id
+  WHERE v.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def _embedding_lsh_sql(
     threshold: float = 0.9, nbits: int = 8, seed: int = 5, bucket_cap: int = 500
 ) -> str:
@@ -1126,6 +1233,26 @@ WHERE trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') <> ''""",
         "doc_fingerprint": (
             "SELECT doc_id, md5_number_lower(coalesce(text, '')) AS fp FROM documents"
         ),
+        "extract_links": r"""
+WITH planted AS (
+  SELECT doc_id,
+         'see https://ex.example/d' || CAST(doc_id * 7 AS VARCHAR) || ' '
+           || coalesce(text, '') AS p,
+         coalesce(text, '') AS t0
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(p, 'https?://[^ ]+') AS url,
+       substr(t0, 1, 10) || ' <' || regexp_extract(p, 'https?://[^ ]+') || '>'
+         AS display
+FROM planted""",
+        "window_hopping": """
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                      - i * 900000000) AS w,
+       count(*) AS n
+FROM events, UNNEST(range(4)) AS s(i)
+GROUP BY 1, 2""",
         "dedup_exact": """
 WITH u AS (
   SELECT doc_id, text FROM documents
@@ -1142,6 +1269,7 @@ WHERE rn = 1""",
         "dedup_simhash": _simhash_sql(max_hamming=8, bucket_cap=200),
         "ann_bruteforce": _ANN_SQL,
         "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
+        "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),
         "dedup_embedding": """
 WITH u AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings

@@ -148,6 +148,101 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_centroids(d: int, ncentroids: int, seed: int) -> np.ndarray:
+    """Seeded spherical centroids (unit vectors) — the coarse quantizer.
+    Derived deterministically from (seed, d, n) so every task regenerates
+    them locally and the SQL oracle embeds the identical literals. (A
+    production build would k-means a sample; seeded directions keep the
+    partition deterministic and oracle-mirrorable.)"""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((ncentroids, d))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+class _IVFScorer:
+    """Actor: holds queries + centroids; scores each batch's vectors only
+    against queries probing the vector's Voronoi cell."""
+
+    def __init__(self, q_ref, ncentroids, nprobe, seed, id_col, emb_col):
+        q_ids, q_mat = ray.get(q_ref)
+        self.q_ids = q_ids
+        self.q = _normalize(q_mat)
+        self.ncentroids = ncentroids
+        self.seed = seed
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.cent = ivf_centroids(q_mat.shape[1], ncentroids, seed)  # (c, d)
+        qd = self.q @ self.cent.T  # (m, c)
+        # nprobe nearest cells per query (ties broken by lower cell id —
+        # argsort on (-dot, id) — mirrored by the SQL row_number key)
+        self.q_cells = np.argsort(-qd, axis=1, kind="stable")[:, :nprobe]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        x = _normalize(_stack(t[self.emb_col]))
+        cells = np.argmax(x @ self.cent.T, axis=1)  # (n,)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            mask = np.isin(cells, self.q_cells[qi])
+            if not mask.any():
+                continue
+            sims = x[mask] @ self.q[qi]
+            out_q.append(np.full(int(mask.sum()), qid))
+            out_v.append(ids[mask])
+            out_s.append(np.round(sims, 6))
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+    ncentroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """IVF-style approximate top-k: a coarse quantizer (Voronoi cells
+    over seeded spherical centroids) restricts each query to its nprobe
+    nearest cells — the inverted-file scale path alongside the
+    hyperplane-LSH variant. Cell assignment is norm-invariant
+    (argmax c·x == argmax c·x̂), which is what lets the SQL oracle use
+    raw embedding dot products."""
+    import pandas as pd
+
+    q_ref = ray.put((np.asarray(query_ids), np.asarray(query_mat, dtype=np.float64)))
+    scored = ds.map_batches(
+        _IVFScorer,
+        fn_constructor_args=(q_ref, ncentroids, nprobe, seed, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["query_id"] != g["vec_id"]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def hyperplanes(d: int, nbits: int, seed: int) -> np.ndarray:
     """Seeded (d, nbits) hyperplane matrix — derived deterministically
     from (seed, d, nbits), so every task regenerates it locally (nothing

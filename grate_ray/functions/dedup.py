@@ -55,17 +55,39 @@ def _md5_lower64(values: np.ndarray) -> np.ndarray:
 def exact_dedup(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Keep the min-id row per identical text: ONE vectorized hash
-    aggregate (group key = the content itself, so no collision handling
-    is needed and no per-group Python ever runs)."""
-    from ray.data.aggregate import Min
-
-    from ..context import configure_shuffle
+    """Keep the min-id row per identical text: ONE keyed hash shuffle on
+    the content itself (no collision handling needed), then a vectorized
+    per-block min — group cardinality ≈ distinct documents, which is
+    exactly the regime where Ray's HashAggregate degrades (see
+    ``grouped_reduce``), so the reduction is factorize + minimum.reduceat
+    per co-located block instead."""
+    from ..context import configure_shuffle, join_partitions
 
     configure_shuffle(32)
-    agg = ds.groupby(text_col).aggregate(Min(id_col, alias_name=id_col))
-    return agg.map_batches(
-        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+
+    def block_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), text_col: pa.array([], pa.string())}
+            )
+        codes, uniques = pd.factorize(t[text_col].to_pandas())
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        change = np.empty(len(sc), dtype=bool)
+        change[0] = True
+        change[1:] = sc[1:] != sc[:-1]
+        starts = np.flatnonzero(change)
+        mins = np.minimum.reduceat(ids[order], starts)
+        return pa.table(
+            {
+                id_col: pa.array(mins),
+                text_col: pa.array(uniques[sc[starts]], pa.string()),
+            }
+        )
+
+    return ds.repartition(join_partitions(64), keys=[text_col]).map_batches(
+        block_min, batch_format="pyarrow", batch_size=None
     )
 
 

@@ -105,6 +105,20 @@ def lang_id(norm: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.if_else(done, guess, pa.scalar("und"))
 
 
+URL_PATTERN = r"(?P<url>https?://[^ ]+)"
+
+
+def extract_first_link(col: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:
+    """First URL per document, rendered as the reference's hyperlink cell
+    form ``display <url>`` (T15 recast,
+    /root/reference/xls/hyperlinks.go:11-146 — the moniker archaeology is
+    a non-goal; the *projection* of link targets out of cell text is the
+    data-processing behavior kept). Vectorized ``pc.extract_regex``;
+    null when the document has no URL."""
+    hit = pc.extract_regex(col, pattern=URL_PATTERN)
+    return pc.struct_field(hit, "url")
+
+
 def fingerprint64(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Deterministic 64-bit document fingerprint: the low 8 md5 digest
     bytes, little-endian — bit-identical to DuckDB's

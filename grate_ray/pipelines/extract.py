@@ -48,13 +48,13 @@ def frame_rows(
 
 
 def decode_payloads(
-    payloads: ray.data.Dataset, ncols: int, concurrency=(1, 4)
+    payloads: ray.data.Dataset, ncols: int, concurrency=None
 ) -> ray.data.Dataset:
+    """Decode/sniff is a STATELESS stage (SURVEY.md §7.2) — the registry
+    import is the only per-worker setup, so a pickled callable instance on
+    plain tasks beats paying actor-pool startup per pipeline."""
     return payloads.map_batches(
-        PayloadDecoder,
-        fn_constructor_args=(ncols,),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        PayloadDecoder(ncols), batch_format="pyarrow"
     )
 
 

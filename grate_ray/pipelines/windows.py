@@ -59,6 +59,49 @@ def tumbling_counts(sf_dir: str, minutes: int = 60) -> ray.data.Dataset:
     )
 
 
+def hopping_counts(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15
+) -> ray.data.Dataset:
+    """HOPPING (overlapping) windows: each event belongs to
+    window/hop windows; a vectorized flat-map emits one row per covering
+    window start, then the window column is the shuffle key (the 1→N
+    flat-map pattern of T16 applied to event-time windowing)."""
+    from ray.data.aggregate import Count
+
+    assert window_minutes % hop_minutes == 0
+    k = window_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "w": pa.array([], pa.timestamp("us")),
+                }
+            )
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * hop_us  # newest covering window start
+        starts = base[:, None] - (np.arange(k) * hop_us)[None, :]  # (n, k)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": pa.array(np.repeat(et, k)),
+                "w": pa.array(starts.reshape(-1)).cast(pa.timestamp("us")),
+            }
+        )
+
+    return (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["event_type", "w"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def _by_user(ds: ray.data.Dataset) -> ray.data.Dataset:
     """ONE hash shuffle co-locating each user's events in one block."""
     from ..context import configure_shuffle, join_partitions

@@ -145,3 +145,63 @@ def test_frame_sampler_plumbing(ray_session, sf_dir):
     first = b["frames"][0].as_py()
     assert first[0].startswith(b"IMG0")  # frame 0 = payload head
     assert all(len(f) <= 8 for f in first)
+
+
+def test_ngram_jaccard_matches_bruteforce_random(ray_session):
+    """Seeded random corpus: pipeline output must equal an in-memory
+    brute-force over ALL pairs (df_cap high enough to never drop a gram,
+    so candidate generation must be lossless)."""
+    import itertools
+
+    rng = np.random.default_rng(123)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+        for _ in range(60)
+    ]
+    # planted near-dups: truncated copies (real pairs the pipeline MUST
+    # find); random docs alone share almost no trigrams
+    for i in range(0, 60, 4):
+        w = texts[i].split(" ")
+        texts.append(" ".join(w[: max(3, len(w) - 2)]))
+    n = len(texts)
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts})
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.dedup import ngram_jaccard_pairs
+
+    configure_shuffle(8)
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=16
+    )
+    got = ngram_jaccard_pairs(ds, threshold=0.2, df_cap=200).to_pandas()
+    got_pairs = (
+        {(a, b): round(j, 12) for a, b, j in zip(got["a"], got["b"], got["jaccard"])}
+        if len(got)
+        else {}
+    )
+
+    def grams(s):
+        w = s.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    gsets = [grams(s) for s in texts]
+    expect = {}
+    for a, b in itertools.combinations(range(n), 2):
+        inter = len(gsets[a] & gsets[b])
+        union = len(gsets[a] | gsets[b])
+        if union and inter / union >= 0.2:
+            expect[(a, b)] = round(inter / union, 12)
+    assert got_pairs == expect
+
+
+def test_ann_ivf_recall(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    bf = E.queries()["ann_bruteforce"](sf_dir).to_pandas()
+    ivf = E.queries()["ann_ivf"](sf_dir).to_pandas()
+    top1 = bf[bf["rank"] == 1][["query_id", "vec_id"]]
+    hits = 0
+    for q, v in zip(top1.query_id, top1.vec_id):
+        hits += v in ivf[ivf.query_id == q]["vec_id"].tolist()
+    assert hits / max(1, len(top1)) >= 0.3

@@ -209,3 +209,41 @@ def test_hll_accuracy_and_merge():
     c = hll_from_values(vals[:30_000])
     est2 = hll_estimate(hll_merge([a, c]))
     assert abs(est2 - 30_000) / 30_000 < 0.03, est2
+
+
+def test_grouped_reduce_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.dedup import grouped_reduce
+
+    configure_shuffle(8)
+    rng = np.random.default_rng(0)
+    n = 50_000
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 500, n),
+            "b": rng.integers(0, 50, n),
+            "v": rng.integers(-100, 100, n),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=1000
+    )
+    for val, red, ref in [
+        (None, "sum", df.groupby(["a", "b"]).size()),
+        ("v", "sum", df.groupby(["a", "b"])["v"].sum()),
+        ("v", "min", df.groupby(["a", "b"])["v"].min()),
+    ]:
+        got = (
+            grouped_reduce(ds, ["a", "b"], 8, val_col=val, reduce=red, out_col="x")
+            .to_pandas()
+            .set_index(["a", "b"])["x"]
+            .sort_index()
+        )
+        expect = ref.sort_index().astype("int64")
+        expect.name = "x"
+        pd.testing.assert_series_equal(got, expect)
