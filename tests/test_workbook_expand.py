@@ -176,3 +176,30 @@ def test_empty_partition_gets_hw_commit(ray_session, tmp_path):
         if all(m.get("kind") == "empty" for m in lineage(lake, p))
     ]
     assert len(empty_parts) >= 5
+
+
+def test_schema_evolution_across_delta_chain(ray_session, tmp_path):
+    """Mixed-epoch binlog ingested in many small micro-batches: deltas of
+    different physical schemas stack on one chain; reconstruction must
+    unify (widen) and match a plain full replay."""
+    from grate_ray.genlog import GenSpec, generate_binlog
+    from grate_ray.pipelines.cdc import replay
+    from grate_ray.pipelines.ingest import ingest, read_lake
+
+    binlog = str(tmp_path / "binlog")
+    lake = str(tmp_path / "lake")
+    generate_binlog(
+        binlog,
+        GenSpec(num_events=30_000, chunk_rows=3_000, seed=11, num_convs=40,
+                epoch0_frac=0.5),
+    )
+    ingest(binlog, lake, num_partitions=4, files_per_microbatch=1)
+    lake_df = (
+        read_lake(lake).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    replay_df = (
+        replay(binlog, num_partitions=4).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert lake_df.equals(replay_df[lake_df.columns.tolist()])
