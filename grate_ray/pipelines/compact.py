@@ -1,5 +1,6 @@
 """Lake compaction: collapse delta chains into snapshots, unify
-per-partition snapshot schemas, GC superseded files.
+per-partition snapshot schemas, GC superseded files — DISTRIBUTED, one
+task per partition.
 
 Per SURVEY.md §7.4, mid-stream schema evolution writes commits in
 whatever unified schema their *last commit* saw — partitions untouched
@@ -9,6 +10,10 @@ Compaction (a) reconstructs each partition's latest state, (b) rewrites
 it as ONE snapshot in the widened union of all live schemas, and (c)
 garbage-collects files no longer on any kept commit's reconstruction
 chain (manifests — the lineage log — are never deleted).
+
+Planning is driver-side but footer-only (``pq.read_schema`` of the chain
+files); the state rewrite — the heavy part — runs as one Ray task per
+partition over a partition-id Dataset, like ``read_lake``.
 
 Compaction rewrites bytes but MUST NOT change logical state: the
 rewritten snapshot is re-committed under the same ``lsn_hi`` (explicit
@@ -26,6 +31,7 @@ import pyarrow.parquet as pq
 
 from ..stages.evolve import reconcile, unify
 from ..state.manifest import (
+    chain_files,
     committed_lsn,
     gc_superseded_states,
     list_partitions,
@@ -35,57 +41,92 @@ from ..state.manifest import (
 )
 
 
-def compact_lake(
-    lake_dir: str, num_partitions: int | None = None, keep: int = 1
-) -> dict:
-    """Returns {partitions_compacted, schemas_unified, snapshots_gced}.
-    Partitions are discovered from the manifest tree; ``num_partitions``
-    is accepted for API compatibility and ignored."""
-    live: list[tuple[int, int, pa.Table]] = []
-    for part in list_partitions(lake_dir):
-        hw = committed_lsn(lake_dir, part)
-        if hw is None:
-            continue
-        st = read_state(lake_dir, part, hw)
-        if st is None:
-            continue
-        live.append((part, hw, st))
-    if not live:
-        return {"partitions_compacted": 0, "schemas_unified": 0, "snapshots_gced": 0}
-
-    target = unify([t.schema for _, _, t in live])
+def _compact_partition(
+    lake_dir: str, part: int, target: pa.Schema, keep: int
+) -> tuple[int, int]:
+    """(rewritten, gced) for one partition — runs inside a Ray task."""
+    hw = committed_lsn(lake_dir, part)
+    if hw is None:
+        return 0, 0
+    mpath = manifest_path(lake_dir, part, hw)
+    with open(mpath) as f:
+        m = json.load(f)
+    files = chain_files(lake_dir, part, hw)
+    needs_rewrite = m.get("kind", "snapshot") != "snapshot" or len(files) > 1
     rewritten = 0
-    for part, hw, state in live:
-        mpath = manifest_path(lake_dir, part, hw)
-        with open(mpath) as f:
-            m = json.load(f)
-        schema_ok = state.schema.equals(target)
-        if schema_ok and m.get("kind", "snapshot") == "snapshot":
-            continue  # already one snapshot in the target schema
-        new_state = (
-            state if schema_ok else reconcile(state, target).select(target.names)
-        )
+    if not needs_rewrite and files:
+        schema = pq.read_schema(os.path.join(lake_dir, files[0]))
+        needs_rewrite = not schema.equals(target)
+    if needs_rewrite:
+        state = read_state(lake_dir, part, hw)
+        if state is None:
+            return 0, 0
+        if not state.schema.equals(target):
+            state = reconcile(state, target).select(target.names)
         spath = state_path(lake_dir, part, hw)
         tmp = spath + ".compact.tmp"
-        pq.write_table(new_state, tmp)
+        pq.write_table(state, tmp)
         os.replace(tmp, spath)
         # flip the manifest to a snapshot commit in place (same commit key)
         m["kind"] = "snapshot"
         m["state_file"] = os.path.relpath(spath, lake_dir)
-        m["state_rows"] = int(new_state.num_rows)
+        m["state_rows"] = int(state.num_rows)
         m["schema"] = target.to_string()
         m["compacted"] = True
         tmpm = mpath + ".compact.tmp"
         with open(tmpm, "w") as f:
             json.dump(m, f)
         os.replace(tmpm, mpath)
-        rewritten += 1
+        rewritten = 1
+    gced = len(gc_superseded_states(lake_dir, part, keep=keep))
+    return rewritten, gced
 
-    gced = 0
-    for part, _, _ in live:
-        gced += len(gc_superseded_states(lake_dir, part, keep=keep))
+
+def compact_lake(
+    lake_dir: str, num_partitions: int | None = None, keep: int = 1
+) -> dict:
+    """Returns {partitions_compacted, schemas_unified, snapshots_gced}.
+    Partitions are discovered from the manifest tree; ``num_partitions``
+    is accepted for API compatibility and ignored."""
+    import ray.data
+
+    parts = [p for p in list_partitions(lake_dir) if committed_lsn(lake_dir, p) is not None]
+    if not parts:
+        return {"partitions_compacted": 0, "schemas_unified": 0, "snapshots_gced": 0}
+
+    # footer-only schema planning: the unified target over every live
+    # chain file (cheap — no data pages are read on the driver)
+    schemas = []
+    for p in parts:
+        for f in chain_files(lake_dir, p):
+            schemas.append(pq.read_schema(os.path.join(lake_dir, f)))
+    if not schemas:
+        return {"partitions_compacted": 0, "schemas_unified": 0, "snapshots_gced": 0}
+    target = unify(schemas)
+
+    ds = ray.data.from_items([{"part": p} for p in parts]).repartition(len(parts))
+
+    def work(t: pa.Table) -> pa.Table:
+        rw, gc = [], []
+        for p in t["part"].to_pylist():
+            r, g = _compact_partition(lake_dir, int(p), target, keep)
+            rw.append(r)
+            gc.append(g)
+        return pa.table(
+            {"rewritten": pa.array(rw, pa.int64()), "gced": pa.array(gc, pa.int64())}
+        )
+
+    out = pa.concat_tables(
+        list(
+            ds.map_batches(work, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    import pyarrow.compute as pc
+
     return {
-        "partitions_compacted": len(live),
-        "schemas_unified": rewritten,
-        "snapshots_gced": gced,
+        "partitions_compacted": len(parts),
+        "schemas_unified": int(pc.sum(out["rewritten"]).as_py() or 0),
+        "snapshots_gced": int(pc.sum(out["gced"]).as_py() or 0),
     }

@@ -14,7 +14,6 @@ query-processing idioms at scale (SURVEY.md §2.5/§2.4/§2.6):
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray

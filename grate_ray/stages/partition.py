@@ -81,7 +81,6 @@ def find_hot_keys(ds, col: str = "conv_id", threshold_frac: float = 0.05, sample
     map_batches emits (key, partial_count) for each batch's top keys, a tiny
     groupby-sum on the driver-side aggregates them. Keys holding more than
     ``threshold_frac`` of sampled events are 'hot'."""
-    import pandas as pd
 
     def partial_counts(t: pa.Table) -> pa.Table:
         vc = t[col].combine_chunks().value_counts()
