@@ -675,6 +675,29 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+def q_multimodal_bmp(sf_dir: str):
+    """REAL image decode end to end: deterministic 24-bit BMPs are
+    synthesized per doc (true file format: headers, bottom-up rows, BGR),
+    decoded by the actor-pool BmpFeatureExtractor with pure header
+    parsing + numpy pixel math — no stub. The oracle reproduces the
+    channel means from the generation arithmetic."""
+    from grate_ray.functions.multimodal import (
+        BmpFeatureExtractor,
+        synthesize_bmp_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_bmp_column, batch_format="pyarrow")
+        .map_batches(
+            BmpFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,  # media batches stay small (payload-size aware)
+            concurrency=(1, 4),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_apply": q_cdc_apply,
     "cdc_apply_salted": q_cdc_apply_salted,
@@ -710,6 +733,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_features": q_multimodal_features,
+    "multimodal_bmp": q_multimodal_bmp,
     "cell_types": q_cell_types,
     "range_join": lambda sf: __import__(
         "grate_ray.pipelines.windows", fromlist=["x"]
@@ -1290,6 +1314,14 @@ SELECT doc_id,
        (octet_length(CAST(text AS BLOB)) + 4) % 640 AS width,
        (octet_length(CAST(text AS BLOB)) + 4) % 480 AS height
 FROM documents""",
+        "multimodal_bmp": """
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+       round(avg((doc_id * 7 + i * 3) % 256), 6) AS mean_r,
+       round(avg((doc_id * 7 + i * 3 + 11) % 256), 6) AS mean_g,
+       round(avg((doc_id * 7 + i * 3 + 22) % 256), 6) AS mean_b
+FROM documents CROSS JOIN (SELECT UNNEST(range(48)) AS i) px
+GROUP BY doc_id""",
         "agg_pushdown": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -67,3 +67,23 @@ def test_rk_decode_all_modes():
         assert decode_rk(word)[0] == x
         word100 = word | 1
         assert decode_rk(word100)[0] == x / 100.0
+
+
+def test_bmp_codec_roundtrip():
+    """Real BMP semantics: bottom-up row order and BGR channel order must
+    be undone exactly — an asymmetric image catches flips."""
+    from grate_ray.functions.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    blob = encode_bmp(img)
+    assert blob[:2] == b"BM"
+    w, h, back = decode_bmp(blob)
+    assert (w, h) == (8, 6)
+    assert np.array_equal(back, img)
+    # corner checks: top-left pixel of the logical image is the LAST row
+    # in the file (bottom-up), stored B,G,R
+    offset = int.from_bytes(blob[10:14], "little")
+    row_bytes = 8 * 3
+    last_row = blob[offset + 5 * row_bytes : offset + 6 * row_bytes]
+    assert last_row[0:3] == bytes(img[0, 0, ::-1])
