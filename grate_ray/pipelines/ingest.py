@@ -294,18 +294,23 @@ def ingest(
     ranges = _chunk_lsn_ranges(files)
 
     if files_per_microbatch is None:
-        # auto: scale the micro-batch to the cluster so each batch keeps
-        # every CPU busy, without collapsing a small cluster's run into
-        # one oversized batch (per-micro-batch fixed cost ≈ seconds;
-        # measured at 30M events: 4 CPUs prefers ~16 files/batch, 32
-        # CPUs prefers one 31-file batch)
+        # auto: scale the micro-batch to the cluster AND the backlog.
+        # Per-micro-batch fixed cost is seconds, so a small cluster wants
+        # ≥16 files/batch and a big backlog wants ≤~4 batches (measured at
+        # 300M events/32 CPUs: 10 batches → 0.63M ev/s, 4 batches → 1.80M
+        # ev/s); but ONE oversized batch overflows the object store and
+        # spills (300M events in one shuffle → 0.44M ev/s). The ceiling
+        # keeps a single batch at ≲100 chunk files.
         import ray as _ray
 
         try:
             cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
         except Exception:
             cpus = 8
-        files_per_microbatch = max(16, cpus)
+        backlog = len(ranges)
+        files_per_microbatch = min(
+            max(16, cpus, (backlog + 3) // 4), 100
+        )
 
     # global resume point: files whose entire lsn range is committed by
     # EVERY partition can be pruned at the read. Partitions that receive
