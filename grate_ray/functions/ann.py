@@ -281,6 +281,9 @@ def cosine_neardup_pairs_lsh(
     from ..context import configure_shuffle, join_partitions
 
     configure_shuffle(32)
+    # three branches read the input (codes + both pack sides) — pin it in
+    # the object store once instead of re-scanning the source three times
+    ds = ds.materialize()
 
     def code_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
