@@ -131,8 +131,11 @@ def _ingest_lake(sf_dir: str) -> str:
     import os
 
     from grate_ray.pipelines.ingest import ingest
+    from grate_ray.sources.derive import BINLOG_SQL
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag includes the derivation contract so a changed derivation never
+    # reuses a stale scratch binlog across sessions
+    tag = hashlib.md5((sf_dir + BINLOG_SQL).encode()).hexdigest()[:8]
     binlog_dir = f"/tmp/graft_q/binlog_{tag}"
     lake_dir = f"/tmp/graft_q/lake_{tag}"
     if not os.path.exists(os.path.join(binlog_dir, "_OK")):
