@@ -8,7 +8,7 @@ the CDC core (stages/merge.py) is the reference's implicit dedup
 (SURVEY.md §2.7); the operators here are the *content* dedup family a
 100 TB text pipeline needs:
 
-- exact: ONE hash aggregate — min doc_id per identical text
+- exact: one keyed shuffle on the content, vectorized per-block min
 - n-gram Jaccard: key-colocated gram buckets → pairs + df cap + sizes in
   one pass, exact Jaccard via joins (fully SQL-mirrorable)
 - MinHash-LSH: vectorized banded signatures → bucket pairs → exact

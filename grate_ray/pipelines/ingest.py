@@ -9,7 +9,8 @@ micro-batch is ONE streaming Dataset execution:
       → groupby(part).map_groups(PartitionMerger, concurrency=N)
             # stateful actor pool: per-partition sorted merge buffer,
             # loads lake state once (ST1-ST3 load-once analogue,
-            # /root/reference/xls/xls.go:248-263), merges, commits manifest
+            # /root/reference/xls/xls.go:248-263), merges, commits a
+            # DELTA (snapshot every SNAPSHOT_EVERY deltas)
       → tiny metrics dataset (one row per partition commit)
 
 Exactly-once: Ray retries tasks at-least-once, so the *commit* is the only
