@@ -87,3 +87,42 @@ def test_bmp_codec_roundtrip():
     row_bytes = 8 * 3
     last_row = blob[offset + 5 * row_bytes : offset + 6 * row_bytes]
     assert last_row[0:3] == bytes(img[0, 0, ::-1])
+
+
+def test_sql_round_matches_duckdb_exactly():
+    """sql_round must be bit-for-bit DuckDB round(x, 2) — including the
+    half-away-from-zero cases Arrow/numpy get wrong."""
+    import duckdb
+    import pyarrow as pa
+
+    from grate_ray.functions.num import sql_round
+
+    rng = np.random.default_rng(7)
+    xs = np.concatenate(
+        [
+            rng.uniform(-1e9, 1e9, 200),
+            np.round(rng.uniform(-1e6, 1e6, 200), 3),  # many exact .xx5
+            np.array([133316085.785, -133316085.785, 0.005, -0.005, 2.675]),
+        ]
+    )
+    got = sql_round(pa.array(xs), 2).to_numpy(zero_copy_only=False)
+    con = duckdb.connect()
+    expect = np.array(
+        [con.sql(f"SELECT round(CAST({x!r} AS DOUBLE), 2)").fetchall()[0][0] for x in xs]
+    )
+    assert np.array_equal(got, expect)
+
+
+def test_md5_lower64_matches_duckdb_exactly():
+    """_md5_lower64 must equal DuckDB md5_number_lower, including unicode
+    and empty strings — the LSH oracles hang off this equality."""
+    import duckdb
+
+    from grate_ray.functions.dedup import _md5_lower64
+
+    vals = ["", "hello", "a b c", "的 世界", "x" * 1000, "naïve café", "11tok"]
+    got = _md5_lower64(np.array(vals, dtype=object))
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        (e,) = con.execute("SELECT md5_number_lower(?)", [v]).fetchone()
+        assert int(g) == int(e), v
