@@ -389,6 +389,28 @@ def q_text_langid(sf_dir: str):
     return ds.groupby("pred_lang").aggregate(Count(alias_name="n"))
 
 
+def q_token_counts(sf_dir: str):
+    """Token counting two ways per document: whitespace tokens and a
+    BPE-ish regex tokenizer (GPT-2-style pieces, RE2-safe so the oracle
+    counts with the identical pattern)."""
+    import ray.data
+    from grate_ray.functions.text import bpe_token_count, normalize_text, token_count
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_text(pc.fill_null(t["text"], ""))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ws_tokens": pc.cast(token_count(norm), pa.int64()),
+                "bpe_tokens": bpe_token_count(t["text"]),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
 def q_extract_links(sf_dir: str):
     """T15 hyperlink projection (recast): plant a URL mid-text per doc,
     extract the first URL by regex on BOTH sides (the oracle runs the
@@ -723,6 +745,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_normalize": q_text_normalize,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "token_counts": q_token_counts,
     "extract_links": q_extract_links,
     "window_hopping": q_window_hopping,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1260,6 +1283,21 @@ WHERE trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') <> ''""",
         "doc_fingerprint": (
             "SELECT doc_id, md5_number_lower(coalesce(text, '')) AS fp FROM documents"
         ),
+        "token_counts": r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '[ \n\r\t]+', ' ', 'g'), ' ') AS norm,
+         coalesce(text, '') AS t0
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN length(norm) = 0 THEN 0
+                 ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+            END AS BIGINT) AS ws_tokens,
+       CAST(length(regexp_extract_all(t0,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'
+       )) AS BIGINT) AS bpe_tokens
+FROM n""",
         "extract_links": r"""
 WITH planted AS (
   SELECT doc_id,

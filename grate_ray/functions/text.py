@@ -105,6 +105,21 @@ def lang_id(norm: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.if_else(done, guess, pa.scalar("und"))
 
 
+# BPE-ish tokenizer split pattern (GPT-2 style word/number/punct pieces,
+# RE2-safe — no lookaheads, so Arrow and DuckDB count identically)
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(col: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:
+    """Vectorized BPE-ish token count (one regex pass per batch); the SQL
+    mirror is ``length(regexp_extract_all(text, pattern))`` — same RE2
+    engine, same counts."""
+    return pc.cast(
+        pc.count_substring_regex(pc.fill_null(col, ""), pattern=BPE_PATTERN),
+        pa.int64(),
+    )
+
+
 URL_PATTERN = r"(?P<url>https?://[^ ]+)"
 
 
