@@ -389,6 +389,26 @@ def q_text_langid(sf_dir: str):
     return ds.groupby("pred_lang").aggregate(Count(alias_name="n"))
 
 
+def q_sample_documents(sf_dir: str):
+    """Deterministic content-hash sampling (§2.6's missing 'sampling'):
+    keep docs whose md5-low-64 of text lands in a 1-in-8 bucket —
+    reproducible across runs/engines (the right way to sample at 100 TB;
+    random sampling isn't resumable or oracle-checkable)."""
+    import ray.data
+    from grate_ray.functions.text import fingerprint64
+
+    def fn(t: pa.Table) -> pa.Table:
+        fp = fingerprint64(t["text"])
+        keep = pc.equal(
+            pc.bit_wise_and(fp, pa.scalar(7, pa.uint64())), pa.scalar(0, pa.uint64())
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"]}).filter(keep)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
 def q_token_counts(sf_dir: str):
     """Token counting two ways per document: whitespace tokens and a
     BPE-ish regex tokenizer (GPT-2-style pieces, RE2-safe so the oracle
@@ -745,6 +765,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "text_normalize": q_text_normalize,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "sample_documents": q_sample_documents,
     "token_counts": q_token_counts,
     "extract_links": q_extract_links,
     "window_hopping": q_window_hopping,
@@ -1283,6 +1304,9 @@ WHERE trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') <> ''""",
         "doc_fingerprint": (
             "SELECT doc_id, md5_number_lower(coalesce(text, '')) AS fp FROM documents"
         ),
+        "sample_documents": """
+SELECT doc_id, text FROM documents
+WHERE md5_number_lower(coalesce(text, '')) % 8 = 0""",
         "token_counts": r"""
 WITH n AS (
   SELECT doc_id,
