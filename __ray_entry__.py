@@ -47,9 +47,9 @@ def q_cdc_apply_salted(sf_dir: str):
     from grate_ray.stages.partition import find_hot_keys
 
     ds = _binlog(sf_dir)
-    # hot-key detection is a LIMIT-sampled prefix scan (find_hot_keys caps
-    # at 250k rows), not a second full pass; the replay reuses the same
-    # lazy dataset
+    # hot-key detection samples lsn % 64 == 0 uniformly ACROSS the whole
+    # log (late-emerging hot conversations included), emitting bounded
+    # per-batch partial counts — cheap but not prefix-biased
     hot = find_hot_keys(ds, threshold_frac=0.01)
     return apply_binlog(ds, num_partitions=16, hot_keys=hot, num_salts=4)
 
@@ -139,9 +139,19 @@ def _ingest_lake(sf_dir: str) -> str:
     binlog_dir = f"/tmp/graft_q/binlog_{tag}"
     lake_dir = f"/tmp/graft_q/lake_{tag}"
     if not os.path.exists(os.path.join(binlog_dir, "_OK")):
-        os.makedirs(binlog_dir, exist_ok=True)
-        _binlog(sf_dir).write_parquet(binlog_dir)
-        open(os.path.join(binlog_dir, "_OK"), "w").write("ok")
+        # crash-safe: a prior process may have died after a partial
+        # write_parquet — stage into a fresh temp dir and rename into
+        # place so a retry never mixes two file sets (overlapping LSN
+        # ranges would permanently fail _chunk_lsn_ranges)
+        import shutil
+        import uuid
+
+        shutil.rmtree(binlog_dir, ignore_errors=True)
+        staging = f"{binlog_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(staging, exist_ok=True)
+        _binlog(sf_dir).write_parquet(staging)
+        open(os.path.join(staging, "_OK"), "w").write("ok")
+        os.rename(staging, binlog_dir)
     ingest(binlog_dir, lake_dir, num_partitions=16, files_per_microbatch=4)
     return lake_dir
 
@@ -542,15 +552,16 @@ def q_dedup_ngram_jaccard(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup pairs (bands→buckets→verify); rows-only check,
-    recall asserted against ngram_jaccard in tests."""
+    """MinHash+LSH near-dup pairs (bands→buckets→verify); full SQL oracle
+    mirrors the entire md5/permutation/band/bucket-cap pipeline."""
     from grate_ray.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_with_truncated_copies(_docs(sf_dir)), threshold=0.6)
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash banded near-dup pairs (rows-only check)."""
+    """SimHash banded near-dup pairs; full SQL oracle mirrors the
+    sign-matrix votes, banding and Hamming verify."""
     from grate_ray.functions.dedup import simhash_pairs
 
     return simhash_pairs(_with_truncated_copies(_docs(sf_dir)), max_hamming=8)
@@ -583,7 +594,8 @@ def q_ann_bruteforce(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """Hyperplane-LSH bucketed ANN (scale path; rows-only check)."""
+    """Hyperplane-LSH bucketed ANN (scale path); full SQL oracle mirrors
+    the plane codes, multi-probe and bucket scoring."""
     import ray.data
     from grate_ray.functions.ann import lsh_topk
 

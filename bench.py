@@ -116,9 +116,12 @@ def run_queries() -> dict[str, float]:
     queries = entrymod.queries()
     timings = {name: run_one(fn) for name, fn in queries.items()}
     # shared-VM CPU-steal spikes inflate individual timings 2-5×; re-run
-    # the outliers once and keep the min (the engine's capability)
+    # the outliers once and keep the min (the engine's capability).
+    # Stateful/idempotent-resume queries (cdc_ingest_*) are excluded: a
+    # re-run against the already-committed lake is a resume no-op, and
+    # keeping its time would record a read-back as an ingest.
     for name, t in list(timings.items()):
-        if t > 10.0:
+        if t > 10.0 and not name.startswith("cdc_ingest"):
             timings[name] = min(t, run_one(queries[name]))
     return timings
 

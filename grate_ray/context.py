@@ -31,9 +31,10 @@ def join_partitions(desired: int = 32) -> int:
 
 
 def actor_pool_size(cap: int = 8) -> int:
-    """Fixed actor-pool size that leaves headroom for plain map tasks: a
-    pool of ``cpus`` actors starves its own upstream (measured deadlock
-    at num_cpus=4 with a 4-actor pool + a shuffle in one DAG)."""
+    """Upper bound for map_batches actor pools, leaving headroom for plain
+    map tasks: a pool of ``cpus`` actors starves its own upstream (measured
+    deadlock at num_cpus=4 with a 4-actor pool + a shuffle in one DAG).
+    Used as the autoscale ceiling for the ANN scorer pools."""
     import ray
 
     try:

@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..context import actor_pool_size
+
 
 def _stack(col) -> np.ndarray:
     """list<float> column → (n, d) float64 matrix (zero-copy-ish)."""
@@ -80,7 +82,7 @@ def brute_force_topk(
         _Scorer,
         fn_constructor_args=(q_ref, id_col, emb_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, actor_pool_size()),
     )
 
     def local_topk(t: pa.Table) -> pa.Table:
@@ -144,7 +146,7 @@ def cosine_neardup_pairs(
 
     return ds.map_batches(
         Pairer, fn_constructor_args=(ref, threshold),
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=(1, actor_pool_size()),
     )
 
 
@@ -231,7 +233,7 @@ def ivf_topk(
         _IVFScorer,
         fn_constructor_args=(q_ref, ncentroids, nprobe, seed, id_col, emb_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, actor_pool_size()),
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -489,7 +491,7 @@ def lsh_topk(
         _LSHScorer,
         fn_constructor_args=(q_ref, p_ref, id_col, emb_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, actor_pool_size()),
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:

@@ -71,6 +71,7 @@ def exact_dedup(
                 {id_col: pa.array([], pa.int64()), text_col: pa.array([], pa.string())}
             )
         codes, uniques = pd.factorize(t[text_col].to_pandas())
+        uniques = np.asarray(uniques, dtype=object)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(codes, kind="stable")
         sc = codes[order]
@@ -79,10 +80,18 @@ def exact_dedup(
         change[1:] = sc[1:] != sc[:-1]
         starts = np.flatnonzero(change)
         mins = np.minimum.reduceat(ids[order], starts)
+        # factorize codes nulls as -1 (one run, sorted first): emit a NULL
+        # text group — matching SQL's PARTITION BY text, which keeps NULLs
+        # as one partition with NULL text
+        gc = sc[starts]
+        if len(uniques) == 0:  # all-null block: one NULL group
+            texts = np.array([None], dtype=object)
+        else:
+            texts = np.where(gc >= 0, uniques[np.maximum(gc, 0)], None)
         return pa.table(
             {
                 id_col: pa.array(mins),
-                text_col: pa.array(uniques[sc[starts]], pa.string()),
+                text_col: pa.array(texts, pa.string()),
             }
         )
 

@@ -76,19 +76,44 @@ def spart_to_part(t: pa.Table, num_salts: int, spart: str = "spart", out: str = 
     return t.append_column(out, pa.array(part))
 
 
-def find_hot_keys(ds, col: str = "conv_id", threshold_frac: float = 0.05, sample_limit: int = 250_000) -> frozenset[str]:
-    """Detect hot keys from per-batch partial counts (no full shuffle):
-    map_batches emits (key, partial_count) for each batch's top keys, a tiny
-    groupby-sum on the driver-side aggregates them. Keys holding more than
-    ``threshold_frac`` of sampled events are 'hot'."""
+def find_hot_keys(
+    ds,
+    col: str = "conv_id",
+    threshold_frac: float = 0.05,
+    sample_mod: int = 64,
+    top_per_batch: int = 128,
+) -> frozenset[str]:
+    """Detect hot keys from per-batch partial counts over the WHOLE log
+    (no full shuffle, no prefix bias): each batch keeps a deterministic
+    ``lsn % sample_mod == 0`` hash sample — uniform across the stream, so a
+    conversation that becomes hot only in the log's tail is still seen —
+    and emits (key, partial_count) for its ``top_per_batch`` heaviest
+    sampled keys; a tiny driver-side groupby-sum aggregates the partials.
+    Keys holding ≥ ``threshold_frac`` of sampled events are 'hot'.
+
+    Driver-side data is bounded at top_per_batch × num_batches rows
+    regardless of log size (a truly hot key dominates most batches, so the
+    per-batch cap cannot hide it). Falls back to counting every row when
+    the dataset has no ``lsn`` column."""
 
     def partial_counts(t: pa.Table) -> pa.Table:
+        if "lsn" in t.column_names and sample_mod > 1:
+            t = t.filter(
+                pc.equal(
+                    pc.bit_wise_and(t["lsn"], pa.scalar(sample_mod - 1, pa.int64())),
+                    0,
+                )
+            )
         vc = t[col].combine_chunks().value_counts()
-        return pa.table({col: vc.field("values"), "n": vc.field("counts")})
+        keys, ns = vc.field("values"), vc.field("counts")
+        if len(ns) > top_per_batch:
+            order = pc.select_k_unstable(
+                pa.table({"n": ns}), top_per_batch, [("n", "descending")]
+            )
+            keys, ns = keys.take(order), ns.take(order)
+        return pa.table({col: keys, "n": ns})
 
-    partials = ds.limit(sample_limit).map_batches(
-        partial_counts, batch_format="pyarrow"
-    ).to_pandas()
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow").to_pandas()
     if partials.empty:
         return frozenset()
     totals = partials.groupby(col)["n"].sum()

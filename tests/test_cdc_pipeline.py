@@ -75,3 +75,26 @@ def test_output_sorted_within_partition(tmp_path_factory):
             assert (g.index.to_numpy()[1:] - g.index.to_numpy()[:-1] == 1).all(), conv
             seen.append(conv)
         assert len(seen) == len(set(seen))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_find_hot_keys_sees_tail_only_hot_key():
+    # a conversation that blows up LATE in the log (after the old 250k-row
+    # prefix) must still be detected: sampling is lsn % 64 == 0 across the
+    # whole stream, not a limit() prefix scan
+    import numpy as np
+    import ray
+
+    n = 320_000
+    conv = np.array([f"conv{i % 997}" for i in range(n)], dtype=object)
+    conv[270_000:] = "tailhot"  # ~15.6% of events, all past row 270k
+    t = pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    hot = find_hot_keys(ray.data.from_arrow(t), threshold_frac=0.05)
+    assert "tailhot" in hot
+    # no cold key sneaks in: each conv{i} holds ~0.08% of events
+    assert all(k == "tailhot" for k in hot)

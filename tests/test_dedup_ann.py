@@ -205,3 +205,35 @@ def test_ann_ivf_recall(ray_session, sf_dir):
     for q, v in zip(top1.query_id, top1.vec_id):
         hits += v in ivf[ivf.query_id == q]["vec_id"].tolist()
     assert hits / max(1, len(top1)) >= 0.3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_null_text():
+    # SQL PARTITION BY text keeps NULLs as ONE group with NULL text; an
+    # all-null block must not raise and the min doc_id must win the group
+    import ray
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.dedup import exact_dedup
+
+    configure_shuffle(8)  # keyed repartition needs HASH_SHUFFLE at ds creation
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 3, 5, 2, 9], pa.int64()),
+            "text": pa.array(["a", None, "a", None, None], pa.string()),
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [2, 5]
+    assert out["text"].tolist()[0] is None and out["text"].tolist()[1] == "a"
+
+    all_null = pa.table(
+        {
+            "doc_id": pa.array([4, 1], pa.int64()),
+            "text": pa.array([None, None], pa.string()),
+        }
+    )
+    out2 = exact_dedup(ray.data.from_arrow(all_null)).to_pandas()
+    assert out2["doc_id"].tolist() == [1] and out2["text"].tolist() == [None]
