@@ -357,6 +357,81 @@ def q_rk_decode(sf_dir: str):
     ).map_batches(fn, batch_format="pyarrow")
 
 
+def q_format_custom(sf_dir: str):
+    """T8 FULL custom number-format compiler: customer cells rendered
+    through custom format codes exercising every combinator the reference's
+    makeFormatter builds (/root/reference/commonxl/formats.go:76-196 +
+    fmt.go:24-55,150-212): comma grouping, percent ×100, scientific,
+    prefix/suffix surround, pos/neg/zero sections with static zero text,
+    and the built-in zero-dash accounting format (id 41). The Formatter is
+    per-actor state (ST2) — compiled once in __init__, applied per batch
+    via the vectorized renderer where the code allows."""
+    import ray.data
+
+    class Render:
+        def __init__(self):
+            from grate_ray.functions.numfmt import Formatter
+
+            self.fmt = Formatter()
+            self.fmt.add(164, '0;(0);"zero"')
+            self.sections = self.fmt.get(164)
+            self.dash = self.fmt.get(41)  # zero-dash accounting built-in
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from grate_ray.functions.numfmt import render_column
+
+            bal = t["c_acctbal"]
+            key = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sec_val = key % 5 - 2
+            dash_val = key % 4 - 1
+            return pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "acct_commas": render_column(bal, "#,##0.00"),
+                    "usd": render_column(bal, '"$"#,##0.00'),
+                    "pct": render_column(bal, "0.00%"),
+                    "sci": render_column(bal, "0.00E+00"),
+                    "sections": pa.array(
+                        [self.sections(int(v)) for v in sec_val], pa.string()
+                    ),
+                    "dash": pa.array(
+                        [self.dash(int(v)) for v in dash_val], pa.string()
+                    ),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    return ds.map_batches(Render, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_render_strings(sf_dir: str):
+    """T4 ``Strings()`` projection, vectorized: every customer cell
+    rendered to its General form (int/float/bool/string fast paths are
+    Arrow casts / numpy shortest-repr; no per-value loop on the common
+    path — /root/reference/commonxl/sheet.go:129-148)."""
+    import ray.data
+    from grate_ray.functions.format import render_strings
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.append_column("positive", pc.greater(t["c_acctbal"], 0.0))
+        r = render_strings(t)
+        return pa.table(
+            {
+                "custkey_s": r["c_custkey"],
+                "acctbal_s": r["c_acctbal"],
+                "name_s": r["c_name"],
+                "positive_s": r["positive"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal", "c_name"]
+    )
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_text_normalize(sf_dir: str):
     """T18 whitespace normalization + blank-row drop over documents."""
     import ray.data
@@ -773,6 +848,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_merged_ranges": q_cdc_merged_ranges,
     "cell_formats": q_cell_formats,
     "render_datetime": q_render_datetime,
+    "format_custom": q_format_custom,
+    "render_strings": q_render_strings,
     "rk_decode": q_rk_decode,
     "text_normalize": q_text_normalize,
     "text_quality": q_text_quality,
@@ -1280,6 +1357,40 @@ SELECT event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso,
        strftime(ts, '%-m/%-d/%Y') AS us
 FROM events""",
+        "format_custom": """
+WITH base AS (
+  SELECT c_custkey, c_acctbal,
+         printf('%.2f', abs(c_acctbal)) AS r2,
+         c_acctbal < 0 AS neg,
+         CAST(c_custkey % 5 AS BIGINT) - 2 AS sec_val,
+         CAST(c_custkey % 4 AS BIGINT) - 1 AS dash_val
+  FROM customer
+), c AS (
+  SELECT *,
+         (CASE WHEN neg THEN '-' ELSE '' END)
+           || format('{:,}', CAST(split_part(r2, '.', 1) AS BIGINT))
+           || '.' || split_part(r2, '.', 2) AS commas2
+  FROM base
+)
+SELECT c_custkey,
+       commas2 AS acct_commas,
+       '$' || commas2 AS usd,
+       printf('%.2f', c_acctbal * 100) || '%' AS pct,
+       printf('%.2E', c_acctbal) AS sci,
+       CASE WHEN sec_val = 0 THEN 'zero'
+            WHEN sec_val < 0 THEN '(' || CAST(sec_val AS VARCHAR) || ')'
+            ELSE CAST(sec_val AS VARCHAR) END AS sections,
+       CASE WHEN dash_val = 0 THEN '-'
+            ELSE CAST(dash_val AS VARCHAR) END AS dash
+FROM c""",
+        "render_strings": """
+SELECT CAST(c_custkey AS VARCHAR) AS custkey_s,
+       CASE WHEN c_acctbal = trunc(c_acctbal)
+            THEN CAST(CAST(c_acctbal AS BIGINT) AS VARCHAR)
+            ELSE CAST(c_acctbal AS VARCHAR) END AS acctbal_s,
+       c_name AS name_s,
+       CASE WHEN c_acctbal > 0 THEN 'TRUE' ELSE 'FALSE' END AS positive_s
+FROM customer""",
         "rk_decode": """
 SELECT event_id,
        CASE WHEN event_id % 3 = 0

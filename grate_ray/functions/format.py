@@ -230,12 +230,69 @@ def render_fraction(value: float, max_digits: int = 1) -> str:
     return f"{whole} {n}/{d}"
 
 
+def _render_float_general(arr) -> pa.Array:
+    """Vectorized General rendering of a float64 column, bit-identical to
+    ``format_general``: integral values < 1e11 render as ints, others via
+    numpy's shortest round-trip repr (== Python ``repr`` for doubles); the
+    rare > 11-char strings get the scientific budget loop per value."""
+    import numpy as np
+
+    v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    valid = ~np.isnan(v) if arr.null_count else np.ones(len(v), dtype=bool)
+    safe = np.where(valid, v, 0.0)
+    is_int = (safe == np.trunc(safe)) & (np.abs(safe) < 1e11)
+    out = np.empty(len(v), dtype=object)
+    if is_int.any():
+        ints = safe[is_int].astype(np.int64).astype("U")
+        out[is_int] = ints
+    rest = ~is_int
+    if rest.any():
+        reprs = safe[rest].astype("U32")
+        out[rest] = reprs
+    # integral strings can exceed 11 chars only at |v| ≥ 1e11 (excluded
+    # above); non-integral > 11 chars fall back to the scalar budget
+    lens = np.char.str_len(out.astype("U32"))
+    for i in np.flatnonzero((lens > MAX_GENERAL_WIDTH) & valid):
+        out[i] = format_general(float(v[i]))
+    out[~valid] = ""
+    return pa.array(out, pa.string())
+
+
 def render_strings(t: pa.Table) -> pa.Table:
     """The ``Strings()`` projection (T4): every column rendered to its
-    General string form (/root/reference/commonxl/sheet.go:129-148)."""
+    General string form (/root/reference/commonxl/sheet.go:129-148).
+    Vectorized on the hot paths — int/float/bool/string columns render via
+    Arrow casts / numpy repr; only exotic column types (timestamps through
+    General, nested) take the per-value Python fallback."""
+    import pyarrow.compute as pc
+
     cols = {}
     for name in t.column_names:
-        cols[name] = pa.array(
-            [format_general(v) for v in t[name].to_pylist()], pa.string()
-        )
+        col = t[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        typ = col.type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            cols[name] = pc.fill_null(col, "")
+        elif pa.types.is_boolean(typ):
+            cols[name] = pc.fill_null(
+                pc.if_else(col, pa.scalar("TRUE"), pa.scalar("FALSE")), ""
+            )
+        elif pa.types.is_integer(typ):
+            # int64 maxes at 19 digits > 11: route the long ones through
+            # the float fallback like format_general does
+            s = pc.fill_null(pc.cast(col, pa.string()), "")
+            long = pc.greater(pc.utf8_length(s), MAX_GENERAL_WIDTH)
+            if pc.any(long).as_py():
+                fixed = pa.array(
+                    [format_general(v) for v in col.to_pylist()], pa.string()
+                )
+                s = pc.if_else(long, fixed, s)
+            cols[name] = s
+        elif pa.types.is_floating(typ):
+            cols[name] = _render_float_general(pc.cast(col, pa.float64()))
+        else:
+            cols[name] = pa.array(
+                [format_general(v) for v in col.to_pylist()], pa.string()
+            )
     return pa.table(cols)
