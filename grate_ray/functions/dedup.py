@@ -410,14 +410,23 @@ def minhash_coeffs(k: int = 64, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 class MinHasher:
     """k-permutation MinHash over md5-hashed distinct word-3-grams;
     seeded, deterministic, batch-vectorized. Stateful stage: coefficients
-    built once per actor; per batch the permutation matrix is computed
-    over every (doc, gram) row at once and reduced per doc with
+    built once per actor/task; per batch the permutation matrix is
+    computed over every (doc, gram) row at once and reduced per doc with
     ``np.minimum.reduceat`` — no per-document Python.
+
+    Consumes either raw documents (text_col present) or a pre-exploded
+    (doc_id, gram[, n]) relation — the latter lets ``minhash_lsh_pairs``
+    share ONE gram pass between signatures and the verify join. Gram
+    input relies on explode_trigrams' contract: a doc's gram rows are
+    contiguous within one block and never straddle blocks (each doc row
+    lives in exactly one upstream batch).
 
     Arithmetic contract (mirrored literally in the SQL oracle):
     ``((a * h) mod 2^64 + b) mod 2^64 mod (2^61 - 1)`` with h =
     md5_number_lower(gram); docs with no grams get the sentinel 2^61-1
-    in every slot."""
+    in every slot (gram input simply omits them — their all-sentinel
+    signatures can only inhabit the degenerate sentinel bucket, whose
+    pairs carry no grams and die at the verify join)."""
 
     def __init__(self, k: int = 64, seed: int = 7, text_col: str = "text", id_col: str = "doc_id"):
         self.a, self.b = minhash_coeffs(k, seed)
@@ -426,31 +435,45 @@ class MinHasher:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        grams = explode_trigrams(t, self.text_col, self.id_col)
-        n = len(ids)
-        sigs = np.full((n, self.k), MERSENNE61, dtype=np.uint64)
-        if grams.num_rows:
-            gdoc = grams["doc_id"].to_numpy(zero_copy_only=False)
-            codes, uniques = pd.factorize(grams["gram"].to_pandas())
-            hu = _md5_lower64(uniques.to_numpy())
-            h = hu[codes]  # (nnz,) uint64, doc-contiguous
-            # (k, nnz): wrapping mod-2^64 mul/add, then mod Mersenne
-            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _U64(MERSENNE61)
-            # doc run boundaries (explode output is doc-contiguous)
-            change = np.empty(len(gdoc), dtype=bool)
-            change[0] = True
-            change[1:] = gdoc[1:] != gdoc[:-1]
-            starts = np.flatnonzero(change)
-            mins = np.minimum.reduceat(vals, starts, axis=1)  # (k, ndocs_with)
-            docs_with = gdoc[starts]
-            pos = {d: i for i, d in enumerate(ids)}
-            rows = np.array([pos[d] for d in docs_with], dtype=np.int64)
-            sigs[rows, :] = mins.T
+        if "gram" in t.column_names:  # pre-exploded relation
+            grams = t
+            ids = None
+        else:
+            ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            grams = explode_trigrams(t, self.text_col, self.id_col)
+        if not grams.num_rows:
+            n = 0 if ids is None else len(ids)
+            sigs = np.full((n, self.k), MERSENNE61, dtype=np.uint64)
+            return self._table(
+                np.array([], np.int64) if ids is None else ids, sigs
+            )
+        gdoc = grams["doc_id"].to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(grams["gram"].to_pandas())
+        hu = _md5_lower64(uniques.to_numpy())
+        h = hu[codes]  # (nnz,) uint64, doc-contiguous
+        # (k, nnz): wrapping mod-2^64 mul/add, then mod Mersenne
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _U64(MERSENNE61)
+        # doc run boundaries (explode output is doc-contiguous)
+        change = np.empty(len(gdoc), dtype=bool)
+        change[0] = True
+        change[1:] = gdoc[1:] != gdoc[:-1]
+        starts = np.flatnonzero(change)
+        mins = np.minimum.reduceat(vals, starts, axis=1).T  # (ndocs_with, k)
+        docs_with = gdoc[starts]
+        if ids is None:
+            return self._table(docs_with.astype(np.int64), mins)
+        sigs = np.full((len(ids), self.k), MERSENNE61, dtype=np.uint64)
+        pos = {d: i for i, d in enumerate(ids)}
+        rows = np.array([pos[d] for d in docs_with], dtype=np.int64)
+        sigs[rows, :] = mins
+        return self._table(ids, sigs)
+
+    def _table(self, ids: np.ndarray, sigs: np.ndarray) -> pa.Table:
+        flat = pa.array(np.ascontiguousarray(sigs).reshape(-1).view(np.int64))
         return pa.table(
             {
                 "doc_id": pa.array(ids),
-                "sig": pa.array(list(sigs.astype(np.int64))),
+                "sig": pa.FixedSizeListArray.from_arrays(flat, self.k),
             }
         )
 
@@ -496,12 +519,26 @@ def minhash_lsh_pairs(
     configure_shuffle(32)
     rows_per_band = k // bands
 
+    # ONE corpus gram pass, shared by the signature stage and the verify
+    # joins (previously each exploded trigrams separately — a full extra
+    # pass of the corpus through split/dedup). At sf0.1 wall-time is flat
+    # (~18s A/B both ways: fixed per-wide-op scheduling dominates); the
+    # saved pass pays off when the corpus, not the DAG, is the cost.
+    grams = ds.map_batches(
+        lambda t: explode_trigrams(t, text_col, id_col, with_counts=True),
+        batch_format="pyarrow",
+    ).materialize()
+
     # MinHasher's per-worker state (64 coefficient pairs) is trivial to
     # rebuild, so ship a pickled instance to PLAIN tasks — an actor pool
     # here only pays multi-second pool startup for no amortization (pools
-    # are for expensive setup: models, compiled patterns, indexes)
-    sigs = ds.map_batches(
-        MinHasher(k, 7, text_col, id_col), batch_format="pyarrow"
+    # are for expensive setup: models, compiled patterns, indexes).
+    # batch_size=None: a doc's gram run never straddles a block, which the
+    # per-doc reduceat relies on.
+    sigs = grams.map_batches(
+        MinHasher(k, 7, text_col, id_col),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
     def to_buckets(t: pa.Table) -> pa.Table:
@@ -514,9 +551,10 @@ def minhash_lsh_pairs(
                 }
             )
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sig = np.stack(
-            [np.asarray(s, dtype=np.int64) for s in t["sig"].to_pylist()]
-        )
+        sc = t["sig"]
+        if isinstance(sc, pa.ChunkedArray):
+            sc = sc.combine_chunks()
+        sig = sc.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
         bh = band_hashes(sig, bands, rows_per_band)
         n = len(ids)
         return pa.table(
@@ -562,11 +600,8 @@ def minhash_lsh_pairs(
 
     # exact verify: candidates ⋈ gram relation (a side) ⋈ (b side), sizes
     # riding along on the gram rows (with_counts) — candidates only, all
-    # distributed, and the whole tail is 2 joins + 1 keyed reduce
-    grams = ds.map_batches(
-        lambda t: explode_trigrams(t, text_col, id_col, with_counts=True),
-        batch_format="pyarrow",
-    ).materialize()
+    # distributed, and the whole tail is 2 joins + 1 keyed reduce over the
+    # SAME materialized gram relation the signatures came from
     ga = grams.map_batches(
         lambda t: t.rename_columns(["a", "gram", "na"]), batch_format="pyarrow"
     )
