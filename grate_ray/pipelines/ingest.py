@@ -44,12 +44,14 @@ from ..stages.merge import (
 )
 from ..stages.partition import add_partition_column
 from ..state.manifest import (
+    append_batch_plan,
     commit_delta,
     commit_empty,
     commit_partition,
     committed_lsn,
     deltas_since_snapshot,
     list_partitions,
+    read_batch_plan,
     read_state,
     write_lake_config,
 )
@@ -155,8 +157,9 @@ class PartitionMerger:
         if hw is not None:
             # drop replayed winners at-or-below the high-water mark so
             # metrics count each event exactly once under a resume (merge
-            # itself is idempotent either way); exactness assumes stable
-            # micro-batch boundaries across resumes
+            # itself is idempotent either way); micro-batch windows are
+            # pinned by the persisted plan (read_batch_plan), so boundaries
+            # can't drift across resumes regardless of files_per_microbatch
             events = events.filter(pc.greater(events["lsn"], hw))
 
         # exact raw-event counts carried through the partial reduces
@@ -323,15 +326,49 @@ def ingest(
     global_hw = min(known) if len(known) == num_partitions else None
 
     pending = [r for r in ranges if global_hw is None or r[2] > global_hw]
+
+    # micro-batch windows come from the PERSISTED plan, so a resume with a
+    # different files_per_microbatch replays the exact same (lsn_lo, lsn_hi)
+    # windows it first planned — the invariant commit metrics need (a window
+    # straddling an old high-water mark would mix already-counted raw events
+    # into reduced rows whose winner lsn clears the mark). Files beyond the
+    # plan (append-only binlog tail) get new windows, persisted up front so
+    # even a crash mid-first-batch pins the boundaries.
+    plan = read_batch_plan(lake_dir)
+    used = [False] * len(pending)
+    batches: list[tuple[list, int, int]] = []
+    for lo, hi in plan:
+        grp = [
+            r for j, r in enumerate(pending)
+            if not used[j] and lo <= r[1] and r[2] <= hi
+        ]
+        for j, r in enumerate(pending):
+            if not used[j] and lo <= r[1] and r[2] <= hi:
+                used[j] = True
+        if grp:
+            batches.append((grp, lo, hi))
+    rest = [r for j, r in enumerate(pending) if not used[j]]
+    if plan and rest and rest[0][1] <= plan[-1][1]:
+        raise ValueError(
+            f"binlog chunk {rest[0][0]} (lsn {rest[0][1]}-{rest[0][2]}) "
+            "straddles the persisted micro-batch plan; the binlog must be "
+            "append-only"
+        )
+    new_windows: list[list[int]] = []
+    for i in range(0, len(rest), files_per_microbatch):
+        grp = rest[i : i + files_per_microbatch]
+        lo = min(b[1] for b in grp)
+        hi = max(b[2] for b in grp)
+        new_windows.append([lo, hi])
+        batches.append((grp, lo, hi))
+    append_batch_plan(lake_dir, new_windows)
+
     metrics_tables: list[pa.Table] = []
     n_batches = 0
-    for i in range(0, len(pending), files_per_microbatch):
+    for batch, lsn_lo, lsn_hi in batches:
         if max_microbatches is not None and n_batches >= max_microbatches:
             break
-        batch = pending[i : i + files_per_microbatch]
         fpaths = [b[0] for b in batch]
-        lsn_lo = min(b[1] for b in batch)
-        lsn_hi = max(b[2] for b in batch)
 
         by_schema: dict[str, tuple[pa.Schema, list[str]]] = {}
         for f in fpaths:

@@ -62,6 +62,37 @@ def lake_config_path(lake_dir: str) -> str:
     return os.path.join(lake_dir, "_lake.json")
 
 
+def batch_plan_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_batch_plan.json")
+
+
+def read_batch_plan(lake_dir: str) -> list[list[int]]:
+    """Persisted micro-batch LSN windows [[lo, hi], ...], ascending.
+
+    Commit metrics are exact only if a resumed run replays the SAME
+    micro-batch windows it first planned (a window straddling an old
+    high-water mark would mix already-counted raw events into reduced
+    rows whose winner lsn is above the mark). Persisting the plan makes
+    boundaries independent of the resume's ``files_per_microbatch``."""
+    p = batch_plan_path(lake_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f).get("batches", [])
+
+
+def append_batch_plan(lake_dir: str, new_batches: list[list[int]]) -> None:
+    """Extend the persisted plan (atomic rewrite; windows append-only)."""
+    if not new_batches:
+        return
+    batches = read_batch_plan(lake_dir) + [list(b) for b in new_batches]
+    os.makedirs(lake_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=lake_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"batches": batches}, f)
+    os.replace(tmp, batch_plan_path(lake_dir))
+
+
 def write_lake_config(lake_dir: str, num_partitions: int) -> None:
     """Persist (or validate) the lake's partition count. The hash mapping
     key→partition is fixed at first ingest; re-ingesting with a different

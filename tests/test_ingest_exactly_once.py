@@ -192,3 +192,30 @@ def test_compaction_unifies_lagging_schemas(tmp_path_factory):
     df = read_lake(lake, num_partitions=P).to_pandas().sort_values("conv_id")
     assert df["text"].tolist() == ["old", "new"]
     assert df["tool"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_resume_with_different_batch_size(tmp_path_factory):
+    """The persisted micro-batch plan pins LSN windows: a resume with a
+    DIFFERENT files_per_microbatch must still count every event exactly
+    once (without the plan, a window straddling the old high-water mark
+    mixes already-counted raw events into reduced rows whose winner lsn
+    clears the mark)."""
+    d = str(tmp_path_factory.mktemp("rbinlog"))
+    lake = str(tmp_path_factory.mktemp("rlake"))
+    generate_binlog(
+        d, GenSpec(num_events=16_000, num_convs=120, seed=44, chunk_rows=2_000)
+    )
+    # killed run plans 1-file windows, completes 3 of 8
+    m1 = ingest(d, lake, num_partitions=P, files_per_microbatch=1, max_microbatches=3)
+    # resume asks for much bigger batches — plan must override
+    m2 = ingest(d, lake, num_partitions=P, files_per_microbatch=5)
+    _assert_lake_matches(lake, d)
+    both = pa.concat_tables([m1, m2]).to_pandas()
+    applied = both[~both["skipped"]]
+    assert applied["n_events"].sum() == 16_000
+    # and the plan really was honored: resumed commits reuse 1-file windows
+    from grate_ray.state.manifest import read_batch_plan
+
+    plan = read_batch_plan(lake)
+    assert len(plan) == 8  # one window per chunk file, planned up front
