@@ -610,6 +610,65 @@ def _with_truncated_copies(ds):
     return ds.union(ds.map_batches(trunc, batch_format="pyarrow"))
 
 
+def q_pipeline_llm_prep(sf_dir: str):
+    """End-to-end LLM data-prep composition — the pipeline a 100 TB user
+    actually runs, as ONE lazy DAG with ONE SQL oracle:
+
+      normalize → quality filter → exact dedup → minhash near-dup drop
+      → token count
+
+    Each stage is an already-oracle-checked operator (text_normalize,
+    text_quality, dedup_exact, dedup_minhash, token_counts); this query
+    proves they COMPOSE. Near-dup drop keeps the lower doc_id of each
+    verified pair (drop set = all ``b`` sides, broadcast via ray.put —
+    the pair list is tiny relative to the corpus by LSH construction;
+    a corpus where it isn't would switch to a distributed anti-join)."""
+    import ray
+    import ray.data
+    from grate_ray.functions.dedup import exact_dedup, minhash_lsh_pairs
+    from grate_ray.functions.text import (
+        bpe_token_count,
+        normalize_text,
+        quality_features,
+        token_count,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = quality_features(t)  # row-aligned features over raw text
+        norm = normalize_text(pc.fill_null(t["text"], ""))
+        keep = pc.and_(
+            pc.equal(q["quality_ok"], 1), pc.not_equal(norm, "")
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": norm}).filter(keep)
+
+    clean = ds.map_batches(prep, batch_format="pyarrow")
+    # dd feeds BOTH the near-dup pass and the final projection: pin it so
+    # the read+prep+dedup shuffle doesn't execute twice
+    dd = exact_dedup(clean).materialize()
+    pairs = minhash_lsh_pairs(dd, threshold=0.6).materialize()
+    drop_ids = pa.concat_tables(
+        list(pairs.select_columns(["b"]).iter_batches(batch_format="pyarrow"))
+    )["b"].combine_chunks()
+    drop_ref = ray.put(drop_ids)
+
+    def survivors_tokens(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t["doc_id"], value_set=ray.get(drop_ref)))
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ws_tokens": pc.cast(token_count(t["text"]), pa.int64()),
+                "bpe_tokens": bpe_token_count(t["text"]),
+            }
+        )
+
+    return dd.map_batches(survivors_tokens, batch_format="pyarrow")
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact content dedup: hash-partition by fingerprint, keep min doc_id
     per identical text (SURVEY.md §2.7 made explicit)."""
@@ -830,6 +889,50 @@ def q_multimodal_bmp(sf_dir: str):
     )
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Video-style frame sampling (FrameSampler): binary payloads →
+    every-4th 16-byte frame slice as list<binary>, then per-doc frame
+    count + sampled-byte total. Payloads are the deterministic IMG0+text
+    blobs, so the oracle reproduces both aggregates from octet lengths
+    (frame extraction is pure byte arithmetic — the declared stub; the
+    nested list<binary> schema and actor-pool plumbing are the real
+    part)."""
+    import ray.data
+    from grate_ray.functions.multimodal import FrameSampler, synthesize_binary_column
+
+    ds = (
+        _docs(sf_dir)
+        .map_batches(synthesize_binary_column, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.drop_columns(["text"]), batch_format="pyarrow"
+        )
+        .map_batches(
+            FrameSampler,
+            batch_format="pyarrow",
+            batch_size=256,  # media batches stay small (payload-size aware)
+            concurrency=(1, 4),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        fr = t["frames"]
+        if isinstance(fr, pa.ChunkedArray):
+            fr = fr.combine_chunks()
+        lens = pc.binary_length(fr.flatten()).to_numpy(zero_copy_only=False)
+        offs = fr.offsets.to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(lens.astype(np.int64))])
+        total = csum[offs[1:]] - csum[offs[:-1]]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_frames": t["n_frames"],
+                "total_bytes": pa.array(total, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_apply": q_cdc_apply,
     "cdc_apply_salted": q_cdc_apply_salted,
@@ -859,6 +962,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "extract_links": q_extract_links,
     "window_hopping": q_window_hopping,
     "doc_fingerprint": q_doc_fingerprint,
+    "pipeline_llm_prep": q_pipeline_llm_prep,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -870,6 +974,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_features": q_multimodal_features,
     "multimodal_bmp": q_multimodal_bmp,
+    "multimodal_frames": q_multimodal_frames,
     "cell_types": q_cell_types,
     "range_join": lambda sf: __import__(
         "grate_ray.pipelines.windows", fromlist=["x"]
@@ -1013,12 +1118,15 @@ _W64 = "18446744073709551616"  # 2^64 (numpy uint64 wrap modulus)
 _M61 = "2305843009213693951"  # 2^61 - 1 (MinHash permutation modulus)
 
 
-def _minhash_sql(threshold: float = 0.6, bucket_cap: int = 50) -> str:
+def _minhash_sql(
+    threshold: float = 0.6, bucket_cap: int = 50, corpus: str | None = None
+) -> str:
     """Exact SQL mirror of dedup.minhash_lsh_pairs: identical md5 gram
     hashes, identical wrapping permutation arithmetic, identical band
     folds, identical bucket cap, identical exact-Jaccard verify — so the
     LSH candidate set (and therefore the output relation) matches
-    row-for-row."""
+    row-for-row. ``corpus`` overrides the planted near-dup corpus (used
+    by the pipeline_llm_prep composition)."""
     from grate_ray.functions.dedup import minhash_coeffs
 
     a, b = minhash_coeffs(64, 7)
@@ -1032,7 +1140,7 @@ def _minhash_sql(threshold: float = 0.6, bucket_cap: int = 50) -> str:
     )
     return f"""
 WITH u AS (
-{_CORPUS_SQL}
+{corpus if corpus is not None else _CORPUS_SQL}
 ), words AS (
   SELECT doc_id, str_split(coalesce(text, ''), ' ') AS w FROM u
 ), grams AS (
@@ -1085,6 +1193,53 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE CAST(i.ns AS DOUBLE) / (sa.n + sb.n - i.ns) >= {threshold}"""
+
+
+_LLM_PREP_CORPUS_SQL = r"""
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') AS ntext,
+             trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') AS text,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+      FROM documents
+    )
+    WHERE ntext <> ''
+      AND (CASE WHEN length(ntext) = 0 THEN 0
+                ELSE length(ntext) - length(replace(ntext, ' ', '')) + 1
+           END) BETWEEN 5 AND 1000
+      AND CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) < 0.2
+      AND CAST(n_digits AS DOUBLE) / greatest(n_chars, 1) < 0.3
+  ) WHERE rn = 1
+"""
+
+
+def _llm_prep_sql() -> str:
+    """Composition mirror: the minhash pipeline SQL runs over the
+    normalize→quality→exact-dedup corpus; survivors drop every pair's
+    ``b`` side; token counts over the normalized surviving text."""
+    pairs = _minhash_sql(threshold=0.6, bucket_cap=50, corpus=_LLM_PREP_CORPUS_SQL)
+    return f"""
+WITH corpus AS (
+{_LLM_PREP_CORPUS_SQL}
+), pairs AS (
+  SELECT * FROM ({pairs})
+), survivors AS (
+  SELECT doc_id, text FROM corpus
+  WHERE doc_id NOT IN (SELECT b FROM pairs)
+)
+SELECT doc_id,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+                 ELSE length(text) - length(replace(text, ' ', '')) + 1
+            END AS BIGINT) AS ws_tokens,
+       CAST(length(regexp_extract_all(text,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'
+       )) AS BIGINT) AS bpe_tokens
+FROM survivors"""
 
 
 def _simhash_sql(max_hamming: int = 8, bucket_cap: int = 200, seed: int = 11) -> str:
@@ -1476,6 +1631,7 @@ FROM (SELECT doc_id, text,
              row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
       FROM u)
 WHERE rn = 1""",
+        "pipeline_llm_prep": _llm_prep_sql(),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_minhash": _minhash_sql(threshold=0.6, bucket_cap=50),
         "dedup_simhash": _simhash_sql(max_hamming=8, bucket_cap=200),
@@ -1510,6 +1666,23 @@ SELECT doc_id,
        round(avg((doc_id * 7 + i * 3 + 22) % 256), 6) AS mean_b
 FROM documents CROSS JOIN (SELECT UNNEST(range(48)) AS i) px
 GROUP BY doc_id""",
+        "multimodal_frames": """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(coalesce(text, ''))) + 4 AS L
+  FROM documents
+), f AS (
+  SELECT doc_id, L,
+         (L + 15) // 16 AS n_total,
+         ((L + 15) // 16 + 3) // 4 AS n_frames
+  FROM b
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(CASE WHEN L = 0 THEN 0
+                 WHEN (n_total - 1) % 4 = 0
+                 THEN 16 * (n_frames - 1) + (L - 16 * (n_total - 1))
+                 ELSE 16 * n_frames END AS BIGINT) AS total_bytes
+FROM f""",
         "agg_pushdown": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
