@@ -82,6 +82,28 @@ def _compact_partition(
     return rewritten, gced
 
 
+def needs_compaction(lake_dir: str, max_chain: int = 8) -> bool:
+    """Footer-only trigger check for the auto-compaction pass at the end
+    of ``ingest``: true when any partition's reconstruction chain exceeds
+    ``max_chain`` files (read amplification) or partitions' NEWEST chain
+    files disagree on schema (a mid-stream evolution left lagging
+    snapshots). O(partitions) manifest walks + parquet footer reads —
+    no data pages touched."""
+    schemas: set[str] = set()
+    for p in list_partitions(lake_dir):
+        if committed_lsn(lake_dir, p) is None:
+            continue
+        files = chain_files(lake_dir, p)
+        if len(files) > max_chain:
+            return True
+        if files:
+            newest = os.path.join(lake_dir, files[-1])
+            schemas.add(pq.read_schema(newest).to_string())
+            if len(schemas) > 1:
+                return True
+    return False
+
+
 def compact_lake(
     lake_dir: str, num_partitions: int | None = None, keep: int = 1
 ) -> dict:

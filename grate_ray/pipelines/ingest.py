@@ -275,9 +275,18 @@ def ingest(
     merger_concurrency: int | tuple[int, int] | None = None,
     hot_keys: frozenset[str] | None = None,
     num_salts: int = 8,
+    auto_compact: bool = True,
+    compact_max_chain: int | None = None,
 ) -> pa.Table:
     """Tail the binlog into the lake; returns the metrics table (one row per
-    partition commit across all micro-batches run)."""
+    partition commit across all micro-batches run).
+
+    ``auto_compact``: after the tail drains, run the distributed compaction
+    pass iff a cheap footer-only check says it's needed — any partition's
+    reconstruction chain longer than ``compact_max_chain`` (default: the
+    merger's SNAPSHOT_EVERY) or partitions disagreeing on newest schema
+    (lagging snapshots from an older engine epoch). Keeps read
+    amplification and schema drift bounded without a manual pass."""
     from .cdc import list_binlog_files
 
     if merger_concurrency is None:
@@ -453,6 +462,13 @@ def ingest(
             if p not in seen_parts:
                 commit_empty(lake_dir, p, lsn_lo, lsn_hi)
         n_batches += 1
+
+    if auto_compact and metrics_tables:
+        from .compact import compact_lake, needs_compaction
+
+        max_chain = compact_max_chain or PartitionMerger.SNAPSHOT_EVERY
+        if needs_compaction(lake_dir, max_chain=max_chain):
+            compact_lake(lake_dir)
 
     if not metrics_tables:
         return METRICS_SCHEMA.empty_table()

@@ -219,3 +219,29 @@ def test_ingest_resume_with_different_batch_size(tmp_path_factory):
 
     plan = read_batch_plan(lake)
     assert len(plan) == 8  # one window per chunk file, planned up front
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_auto_compacts(tmp_path_factory):
+    """Ingest with mixed-epoch chunks and a low chain threshold must end
+    single-snapshot, unified-schema per partition WITHOUT a manual
+    compact_lake call (plus: a lagging legacy-schema snapshot planted
+    before the tail is unified by the same auto pass)."""
+    from grate_ray.state.manifest import chain_files
+
+    d = str(tmp_path_factory.mktemp("abinlog"))
+    lake = str(tmp_path_factory.mktemp("alake"))
+    generate_binlog(
+        d,
+        GenSpec(num_events=12_000, num_convs=80, seed=77, epoch0_frac=0.4, chunk_rows=1_500),
+    )
+    ingest(d, lake, num_partitions=P, files_per_microbatch=1, compact_max_chain=2)
+    _assert_lake_matches(lake, d)
+    schemas = set()
+    for p in range(P):
+        files = chain_files(lake, p)
+        if not files:
+            continue
+        assert len(files) == 1, f"partition {p} chain not compacted: {files}"
+        schemas.add(pq.read_schema(os.path.join(lake, files[0])).to_string())
+    assert len(schemas) == 1  # one unified schema across partitions
