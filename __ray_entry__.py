@@ -247,6 +247,15 @@ def q_workbook_list(sf_dir: str):
     return workbook_list_visible(sf_dir)
 
 
+def q_workbook_shared_strings(sf_dir: str):
+    """S6 shared-string table as a first-class stage: per-book string
+    dictionary parsed once, @idx cells resolved by vectorized take with
+    the reference's hard bounds check; round trip restores customer."""
+    from grate_ray.pipelines.extract import workbook_sst_roundtrip
+
+    return workbook_sst_roundtrip(sf_dir)
+
+
 def q_scan_strict(sf_dir: str):
     """T7 strict Scan: corrupted cells route their ROWS out; only
     cleanly-typed rows survive."""
@@ -947,6 +956,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decode_sniff_counts": q_decode_sniff_counts,
     "workbook_get": q_workbook_get,
     "workbook_list": q_workbook_list,
+    "workbook_shared_strings": q_workbook_shared_strings,
     "scan_strict": q_scan_strict,
     "cdc_merged_ranges": q_cdc_merged_ranges,
     "cell_formats": q_cell_formats,
@@ -1502,6 +1512,10 @@ FROM ({BINLOG_SQL}) base,
 SELECT c_mktsegment AS table_name,
        CAST(count(DISTINCT c_custkey % 8) AS BIGINT) AS n_books
 FROM customer WHERE c_mktsegment <> 'FURNITURE' GROUP BY 1""",
+        "workbook_shared_strings": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+            "FROM customer"
+        ),
         "scan_strict": (
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
             "FROM customer WHERE c_custkey % 11 <> 0"

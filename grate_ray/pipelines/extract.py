@@ -173,6 +173,69 @@ def frame_books(
     )
 
 
+def frame_sst_books(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    dict_col: str,
+    group_mod: int,
+    key_col: str,
+    name_col: str,
+) -> ray.data.Dataset:
+    """Frame rows into shared-string books (S6): per book, the distinct
+    values of ``dict_col`` become the ``#strings`` dictionary (sorted —
+    deterministic) and every cell of that column is written as an
+    ``@<idx>`` reference (≅ LabelSst cells referencing the workbook SST,
+    /root/reference/xls/sheets.go:307-322)."""
+    from ..sources.sst import encode_sst_book
+
+    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        df["grp"] = (df[key_col] % group_mod).astype("int64")
+        return df
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_col)
+        strings = sorted(g[dict_col].astype(str).unique())
+        ref = {s: f"@{i}" for i, s in enumerate(strings)}
+        enc = g.copy()
+        enc[dict_col] = enc[dict_col].astype(str).map(ref)
+        sections = []
+        for name in sorted(g[name_col].unique()):
+            rows = enc[g[name_col].to_numpy() == name]
+            lines = rows[cols].astype(str).agg("\t".join, axis=1).tolist()
+            sections.append((str(name), False, lines))
+        return pd.DataFrame(
+            {
+                "payload_id": [int(g["grp"].iloc[0])],
+                "payload": [encode_sst_book(strings, sections)],
+            }
+        )
+
+    return (
+        ds.map_batches(add_grp, batch_format="pandas")
+        .groupby("grp")
+        .map_groups(frame, batch_format="pandas")
+    )
+
+
+def workbook_sst_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """S6 round trip: customer framed as shared-string books (mktsegment
+    dictionary-referenced), registry-sniffed (sst_book outranks book),
+    refs resolved against the per-payload dictionary, typed scan back —
+    the oracle is the original table."""
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols)
+    books = frame_sst_books(
+        ds, cols, dict_col="c_mktsegment", group_mod=8,
+        key_col="c_custkey", name_col="c_mktsegment",
+    )
+    decoded = decode_payloads(books, ncols=5)
+    return scan_typed(
+        decoded, cols,
+        [pa.int64(), pa.string(), pa.int32(), pa.float64(), pa.string()],
+    )
+
+
 def workbook_get_building(sf_dir: str) -> ray.data.Dataset:
     """S5 `Get`: frame customer into multi-table books keyed by market
     segment, then extract ONE named table from every book and scan it

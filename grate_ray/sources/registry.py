@@ -73,6 +73,7 @@ def _install_builtins() -> None:
     if "csv" not in registered():
         register("csv", 15, decode_csv)
     from . import workbook  # noqa: F401  (self-registers "book" @ 3)
+    from . import sst  # noqa: F401  (self-registers "sst_book" @ 2)
 
 
 _install_builtins()

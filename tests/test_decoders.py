@@ -72,7 +72,7 @@ def test_custom_register_overrides_and_prioritizes():
 
         return _to_table(rows)
 
-    register("pipe", 2, decode_pipe)  # outranks book=3 and the builtins
+    register("pipe", 1, decode_pipe)  # outranks every builtin (sst_book=2)
     try:
         assert registered()[0] == "pipe"
         fmt, t = open_payload("a|b\nc|d")
@@ -127,3 +127,58 @@ def test_jsonl_decoder_and_priority():
     # json line payloads don't get mis-sniffed by tsv/csv, and vice versa
     assert open_payload("a\tb\n1\t2")[0] == "tsv"
     assert open_payload("a,b\n1,2")[0] == "csv"
+
+
+def test_sst_book_roundtrip_and_bounds():
+    """S6: per-payload dictionary parsed once, @refs resolved vectorized;
+    invalid index is a HARD error (UnknownFormat → dead-letter), not a
+    fall-through to another format."""
+    import pytest
+
+    from grate_ray.sources.registry import UnknownFormat, open_payload
+    from grate_ray.sources.sst import decode_sst_book, encode_sst_book
+
+    payload = encode_sst_book(
+        ["alpha", "beta"],
+        [("t1", False, ["1\t@0", "2\t@1"]), ("t2", False, ["3\t@0", "4\tplain"])],
+    )
+    fmt, grid = open_payload(payload)
+    assert fmt == "sst_book"
+    assert grid["c1"].to_pylist() == ["alpha", "beta", "alpha", "plain"]
+    assert grid["_table"].to_pylist() == ["t1", "t1", "t2", "t2"]
+
+    bad = encode_sst_book(["only"], [("t", False, ["1\t@7"])])
+    with pytest.raises(UnknownFormat):
+        decode_sst_book(bad)
+    # a plain book payload is NOT claimed by the sst decoder
+    from grate_ray.sources.workbook import encode_book
+
+    fmt2, _ = open_payload(encode_book([("t", False, ["1\tx"])]))
+    assert fmt2 == "book"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shared_string_resolver_actor_stage():
+    """ST1 load-once: dictionary ray.put once, resolved per batch by an
+    actor pool."""
+    import ray
+    import ray.data
+
+    from grate_ray.sources.sst import SharedStringResolver
+
+    dictionary = pa.array(["red", "green", "blue"])
+    ref = ray.put(dictionary)
+    t = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "color": pa.array([2, 0, 1, 2], pa.int64())})
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            SharedStringResolver,
+            fn_constructor_args=(ref, ["color"]),
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["color"].tolist() == ["blue", "red", "green", "blue"]

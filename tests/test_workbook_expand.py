@@ -44,7 +44,7 @@ def test_book_list_hidden_filter():
 def test_book_sniffs_before_tsv():
     from grate_ray.sources.registry import open_payload, registered
 
-    assert registered()[0] == "book"
+    assert registered()[:2] == ["sst_book", "book"]  # containers outrank plaintext
     # a plain tsv payload must NOT be claimed by the book decoder
     fmt, _ = open_payload("1\ta\n2\tb")
     assert fmt == "tsv"
