@@ -69,7 +69,11 @@ def scan_typed(
     ``strict=False`` (default): the lenient parse-from-string variant
     (/root/reference/simple/simple.go:74-108) — Arrow string→typed casts,
     a malformed cell fails the whole batch cast (caller guarantees clean
-    cells).
+    cells). Timestamp destinations are REJECTED up front, mirroring the
+    reference's lenient scan refusing ``*time.Time``
+    (/root/reference/simple/simple.go:99) — use ``strict=True`` for
+    typed timestamp extraction (the commonxl matrix supports it,
+    sheet.go:208-213).
 
     ``strict=True``: the commonxl ``Scan`` contract
     (/root/reference/commonxl/sheet.go:178-222) — a cell that does not
@@ -78,6 +82,14 @@ def scan_typed(
     Detection is vectorized (pandas to_numeric/to_datetime coercion)."""
     import numpy as np
     import pandas as pd
+
+    if not strict:
+        for typ in types:
+            if pa.types.is_timestamp(typ):
+                raise TypeError(
+                    "lenient Scan cannot extract into timestamps "
+                    "(simple.go:99 contract); use strict=True"
+                )
 
     def cast(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["format"], "deadletter"))

@@ -182,3 +182,33 @@ def test_shared_string_resolver_actor_stage():
         .sort_values("k")
     )
     assert out["color"].tolist() == ["blue", "red", "green", "blue"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scan_strict_lenient_timestamp_matrix(sf_dir):
+    """The reference's Scan matrix: strict supports *time.Time
+    (commonxl/sheet.go:208-213), lenient rejects it (simple.go:99)."""
+    import ray.data
+
+    from grate_ray.pipelines.extract import decode_payloads, frame_rows, scan_typed
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def iso(df):
+        df = df.copy()
+        df["ts"] = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+        return df
+
+    framed = frame_rows(
+        ds.limit(64).map_batches(iso, batch_format="pandas"),
+        ["event_id", "ts"], group_mod=4, key_col="event_id",
+    )
+    decoded = decode_payloads(framed, ncols=2)
+    # strict: ISO timestamps parse into timestamp columns
+    got = scan_typed(
+        decoded, ["event_id", "ts"], [pa.int64(), pa.timestamp("us")], strict=True
+    ).to_pandas()
+    assert len(got) == 64 and got["ts"].notna().all()
+    # lenient: timestamp destination rejected up front
+    with pytest.raises(TypeError, match="lenient Scan"):
+        scan_typed(decoded, ["event_id", "ts"], [pa.int64(), pa.timestamp("us")])
