@@ -711,16 +711,25 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def _queries_mat(sf_dir: str):
-    import pyarrow.parquet as pq
-    import numpy as np
+    """Query selection as a FILTERED distributed read: only the 1-in-50
+    query rows (a tiny relation) ever reach the driver — the corpus stays
+    in the cluster."""
+    import ray.data
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(pick, batch_format="pyarrow")
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
-    sel = ids % 50 == 0
-    mat = np.stack(
-        [np.asarray(e, dtype=np.float64) for e, m in zip(t["embedding"].to_pylist(), sel) if m]
+    emb = t["embedding"].combine_chunks()
+    mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(
+        len(ids), -1
     )
-    return ids[sel], mat
+    return ids, mat
 
 
 def q_ann_bruteforce(sf_dir: str):

@@ -14,7 +14,16 @@ same code tunes itself at num_cpus=8 and 32 (and on a real cluster).
 
 from __future__ import annotations
 
-REDUCE_BATCH_SIZE = 500_000  # rows per partial-reduce batch
+import os
+
+# rows per partial-reduce batch; GRAFT_REDUCE_BATCH overrides for tuning
+# experiments (bench sweeps — see BASELINE.md's shuffle experiment log).
+# Round-3 sweep on the 30M-event headline: 250k → 1.72M ev/s, 500k →
+# 1.89M, 1M → 2.45M (reproduced 2.39M), 2M → 2.23M at 32 CPUs; neutral
+# at 8 CPUs (767k both) — the larger partial reduce collapses more
+# duplicate keys BEFORE the hash exchange, cutting the bandwidth-bound
+# shuffle bytes that cap the high-CPU leg on a single box.
+REDUCE_BATCH_SIZE = int(os.environ.get("GRAFT_REDUCE_BATCH", "1000000"))
 
 
 def join_partitions(desired: int = 32) -> int:
@@ -56,7 +65,10 @@ def configure_shuffle(num_partitions: int) -> None:
     except Exception:
         cpus = 8
     ctx.default_hash_shuffle_parallelism = max(8, min(num_partitions, cpus))
-    ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+    aggs = os.environ.get("GRAFT_SHUFFLE_AGGS")
+    ctx.max_hash_shuffle_aggregators = (
+        int(aggs) if aggs else max(2, cpus // 4)
+    )
     # aggregator actors must not reserve whole CPU slots: at small CPU
     # counts (tests run at 4) full-slot aggregators + any actor-pool map
     # stage starve the map tasks and the pipeline deadlocks

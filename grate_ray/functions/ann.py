@@ -86,15 +86,30 @@ def brute_force_topk(
     )
 
     def local_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        # Arrow/numpy-native per-query head-k (no pandas copy): one sort,
+        # then rank-within-run via the sorted query-id boundaries
         if exclude_self:
-            df = df[df["query_id"] != df["vec_id"]]
-        df = df.sort_values(
-            ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+            t = t.filter(pc.not_equal(t["query_id"], t["vec_id"]))
+        if t.num_rows == 0:
+            return t
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("query_id", "ascending"),
+                ("sim", "descending"),
+                ("vec_id", "ascending"),
+            ],
         )
-        return pa.Table.from_pandas(
-            df.groupby("query_id", sort=False).head(k), preserve_index=False
+        t = t.take(order)
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(q), dtype=bool)
+        change[0] = True
+        change[1:] = q[1:] != q[:-1]
+        starts = np.flatnonzero(change)
+        rank = np.arange(len(q), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(q)))
         )
+        return t.filter(pa.array(rank < k))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
