@@ -224,6 +224,28 @@ def q_decode_roundtrip_customer(sf_dir: str):
     )
 
 
+def q_cfb_container(sf_dir: str):
+    """S8 CFB/OLE2 container parse: customer packed into real compound
+    files (header/DIFAT/FAT/miniFAT/directory per MS-CFB, one TSV stream
+    per market segment), streamed back through read_binary_files → the
+    container-extraction actor pool → registry decode → typed Scan. The
+    round trip must restore the table exactly."""
+    from grate_ray.pipelines.container import cfb_roundtrip
+
+    return cfb_roundtrip(sf_dir, encrypt=False)
+
+
+def q_rc4_decrypt(sf_dir: str):
+    """S10 basic-RC4 decryption: orders packed into ENCRYPTED CFB
+    containers (FilePass stream + MS-OFFCRYPTO std97 key derivation +
+    1024-byte block rekeying, default VelvetSweatshop password); the
+    extraction stage verifies the password and decrypts every stream
+    before decode. Round trip restores the table."""
+    from grate_ray.pipelines.container import rc4_orders_roundtrip
+
+    return rc4_orders_roundtrip(sf_dir)
+
+
 def q_decode_sniff_counts(sf_dir: str):
     """Mixed tsv/csv/malformed corpus → per-detected-format counts;
     malformed payloads dead-letter, never crash."""
@@ -963,6 +985,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decode_roundtrip_nation": q_decode_roundtrip_nation,
     "decode_roundtrip_customer": q_decode_roundtrip_customer,
     "decode_sniff_counts": q_decode_sniff_counts,
+    "cfb_container": q_cfb_container,
+    "rc4_decrypt": q_rc4_decrypt,
     "workbook_get": q_workbook_get,
     "workbook_list": q_workbook_list,
     "workbook_shared_strings": q_workbook_shared_strings,
@@ -1589,6 +1613,12 @@ FROM ({lww}) lake GROUP BY conv_id, role""",
         "decode_roundtrip_nation": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "decode_roundtrip_customer": (
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+        ),
+        "cfb_container": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+        ),
+        "rc4_decrypt": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"
         ),
         "decode_sniff_counts": """
 SELECT CASE doc_id % 3 WHEN 0 THEN 'tsv' WHEN 1 THEN 'csv'
