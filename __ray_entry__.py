@@ -437,6 +437,17 @@ def q_format_custom(sf_dir: str):
     return ds.map_batches(Render, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def q_styled_render(sf_dir: str):
+    """S7 styles/numFmt sidecar end-to-end: books carry a ``#styles``
+    section (custom numFmt registrations + stylexf/cellxf inheritance);
+    the apply stage parses it once per ingest unit, resolves each cell's
+    style index through the xfs table and renders via the T8 compiler —
+    the full parseStyles flow (/root/reference/xlsx/workbook.go:104-182)."""
+    from grate_ray.pipelines.extract import styled_render
+
+    return styled_render(sf_dir)
+
+
 def q_render_strings(sf_dir: str):
     """T4 ``Strings()`` projection, vectorized: every customer cell
     rendered to its General form (int/float/bool/string fast paths are
@@ -995,6 +1006,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cell_formats": q_cell_formats,
     "render_datetime": q_render_datetime,
     "format_custom": q_format_custom,
+    "styled_render": q_styled_render,
     "render_strings": q_render_strings,
     "rk_decode": q_rk_decode,
     "text_normalize": q_text_normalize,
@@ -1584,6 +1596,36 @@ SELECT c_custkey,
             ELSE CAST(sec_val AS VARCHAR) END AS sections,
        CASE WHEN dash_val = 0 THEN '-'
             ELSE CAST(dash_val AS VARCHAR) END AS dash
+FROM c""",
+        "styled_render": """
+WITH base AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(c_custkey % 5 AS BIGINT) AS s,
+         printf('%.2f', abs(c_acctbal)) AS r2,
+         c_acctbal < 0 AS neg
+  FROM customer
+), c AS (
+  SELECT *,
+         (CASE WHEN neg THEN '-' ELSE '' END)
+           || format('{:,}', CAST(split_part(r2, '.', 1) AS BIGINT))
+           || '.' || split_part(r2, '.', 2) AS commas2
+  FROM base
+)
+SELECT c_custkey,
+       CAST(CASE s WHEN 0 THEN 0 WHEN 1 THEN 164 WHEN 2 THEN 2
+                   WHEN 3 THEN 165 ELSE 166 END AS INTEGER) AS fmt_id,
+       CASE s WHEN 0 THEN 'General' WHEN 1 THEN '#,##0.00'
+              WHEN 2 THEN '0.00' WHEN 3 THEN '\"$\"#,##0.00'
+              ELSE '0.00%' END AS fmt_code,
+       CASE s
+         WHEN 0 THEN (CASE WHEN c_acctbal = trunc(c_acctbal)
+                           THEN CAST(CAST(c_acctbal AS BIGINT) AS VARCHAR)
+                           ELSE CAST(c_acctbal AS VARCHAR) END)
+         WHEN 1 THEN commas2
+         WHEN 2 THEN printf('%.2f', c_acctbal)
+         WHEN 3 THEN '$' || commas2
+         ELSE printf('%.2f', c_acctbal * 100) || '%'
+       END AS rendered
 FROM c""",
         "render_strings": """
 SELECT CAST(c_custkey AS VARCHAR) AS custkey_s,

@@ -152,6 +152,7 @@ def frame_books(
     key_col: str,
     name_col: str,
     hidden_names: frozenset[str] = frozenset(),
+    styles: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Frame rows into MULTI-TABLE container payloads (S5): one book per
     ``key % group_mod`` group; inside each book, one named table per
@@ -174,7 +175,7 @@ def frame_books(
         return pd.DataFrame(
             {
                 "payload_id": [int(g["grp"].iloc[0])],
-                "payload": [encode_book(sections)],
+                "payload": [encode_book(sections, styles=styles)],
             }
         )
 
@@ -346,3 +347,118 @@ def sniff_mixed_documents(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Count
 
     return decoded.groupby("format").aggregate(Count(alias_name="n"))
+
+
+STYLE_SIDECAR = [
+    "numfmt 164 #,##0.00",
+    'numfmt 165 "$"#,##0.00',
+    "numfmt 166 0.00%",
+    "stylexf 0 0",
+    "stylexf 2 1",
+    "cellxf 9 0 0",    # apply off → strips to General (workbook.go:149-152)
+    "cellxf 164 1 1",  # custom comma-grouped
+    "cellxf 2 1 0",    # built-in 0.00
+    "cellxf 165 1 1",  # custom currency
+    "cellxf 166 1 0",  # custom percent
+]
+
+
+class StyledRenderer:
+    """S7 apply stage (actor pool): parse each ingest unit's styles
+    sidecar ONCE (cached per actor by sidecar text — ST1), then resolve
+    every cell's style index through the xfs table and render the value
+    column via the T8 compiler, one vectorized ``render_column`` per
+    distinct format in the batch."""
+
+    def __init__(self):
+        self._cache: dict[str, object] = {}
+
+    def _sidecar(self, text: str):
+        sc = self._cache.get(text)
+        if sc is None:
+            from ..state.styles import parse_styles
+
+            sc = parse_styles(text.split("\n"))
+            self._cache[text] = sc
+        return sc
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..functions.format import _render_float_general
+        from ..state.styles import format_codes, format_ids, render_styled
+
+        t = t.filter(pc.is_valid(t["styles"]))
+        keys = t["c0"].combine_chunks().cast(pa.int64())
+        vals = t["c1"].combine_chunks().cast(pa.float64())
+        sidx = t["c2"].combine_chunks().cast(pa.int64())
+        out_id = np.empty(len(t), dtype=np.int32)
+        out_code = np.empty(len(t), dtype=object)
+        out_render = np.empty(len(t), dtype=object)
+        sty = t["styles"].to_pylist()
+        order = np.argsort(np.asarray(sty, dtype=object), kind="stable")
+        pos = 0
+        arr = np.asarray(sty, dtype=object)[order]
+        while pos < len(arr):
+            end = pos
+            while end < len(arr) and arr[end] == arr[pos]:
+                end += 1
+            rows = pa.array(order[pos:end], pa.int64())
+            sc = self._sidecar(arr[pos])
+            si, v = sidx.take(rows), vals.take(rows)
+            out_id[order[pos:end]] = format_ids(sc, si).to_numpy()
+            out_code[order[pos:end]] = format_codes(sc, si).to_numpy(
+                zero_copy_only=False
+            )
+            rendered = render_styled(sc, v, si).to_numpy(zero_copy_only=False)
+            # fmt 0 (General) renders through the vectorized General
+            # kernel for exact Strings() parity, not the numfmt planner
+            fid = sc.xfs[np.asarray(si)]
+            gmask = fid == 0
+            if gmask.any():
+                gen = _render_float_general(
+                    v.take(pa.array(np.flatnonzero(gmask), pa.int64()))
+                ).to_numpy(zero_copy_only=False)
+                rendered = rendered.copy()
+                rendered[gmask] = gen
+            out_render[order[pos:end]] = rendered
+            pos = end
+        return pa.table(
+            {
+                "c_custkey": keys,
+                "fmt_id": pa.array(out_id, pa.int32()),
+                "fmt_code": pa.array(out_code, pa.string()),
+                "rendered": pa.array(out_render, pa.string()),
+            }
+        )
+
+
+def styled_render(sf_dir: str) -> ray.data.Dataset:
+    """S7 end-to-end: customer framed into books that CARRY a styles
+    sidecar (custom numFmts + stylexf/cellxf inheritance), decoded by the
+    registry, then rendered through each cell's resolved style — the
+    full parseStyles → xfs → Formatter.Apply flow of the reference
+    (/root/reference/xlsx/workbook.go:104-182, commonxl/formats.go)."""
+    import pandas as pd  # noqa: F401  (frame_books dependency)
+
+    cols = ["c_custkey", "c_acctbal"]
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols)
+
+    def add_style(df):
+        df = df.copy()
+        df["style_idx"] = (df["c_custkey"] % 5).astype("int64")
+        return df
+
+    framed = frame_books(
+        ds.map_batches(add_style, batch_format="pandas"),
+        ["c_custkey", "c_acctbal", "style_idx"],
+        group_mod=8,
+        key_col="c_custkey",
+        name_col="style_idx",
+        styles=STYLE_SIDECAR,
+    )
+    decoded = decode_payloads(framed, ncols=3)
+    return decoded.map_batches(
+        StyledRenderer, batch_format="pyarrow", concurrency=(1, 4)
+    )

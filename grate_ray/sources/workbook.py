@@ -36,11 +36,21 @@ from .registry import NotInFormat, register
 from .textual import _to_table
 
 HEADER = "#table "
+STYLES_HEADER = "#styles"
 
 
-def encode_book(sections: list[tuple[str, bool, list[str]]]) -> str:
-    """sections = [(name, hidden, tsv_lines)] → one book payload."""
+def encode_book(
+    sections: list[tuple[str, bool, list[str]]],
+    styles: list[str] | None = None,
+) -> str:
+    """sections = [(name, hidden, tsv_lines)] → one book payload.
+    ``styles`` rows (S7 sidecar, see ``state/styles.py``) are emitted as
+    a leading ``#styles`` block — per-ingest-unit state, like the xlsx
+    styles part parsed before any sheet (workbook.go:72-78)."""
     out: list[str] = []
+    if styles:
+        out.append(STYLES_HEADER)
+        out.extend(styles)
     for name, hidden, lines in sections:
         out.append(f"{HEADER}{name} hidden" if hidden else f"{HEADER}{name}")
         out.extend(lines)
@@ -53,6 +63,14 @@ def decode_book(payload: str) -> pa.Table:
     engine's fixed-width decode contract); each section body passes the
     same 80% heuristic as the plaintext decoders."""
     lines = payload.split("\n")
+    styles_rows: list[str] = []
+    if lines and lines[0] == STYLES_HEADER:
+        i = 1
+        while i < len(lines) and not lines[i].startswith(HEADER):
+            if lines[i]:
+                styles_rows.append(lines[i])
+            i += 1
+        lines = lines[i:]
     if not lines or not lines[0].startswith(HEADER):
         raise NotInFormat("no #table header")
     sections: list[tuple[str, bool, list[str]]] = []
@@ -83,6 +101,11 @@ def decode_book(payload: str) -> pa.Table:
             )
         t = t.append_column("_table", pa.array([name] * t.num_rows, pa.string()))
         t = t.append_column("_hidden", pa.array([hidden] * t.num_rows, pa.bool_()))
+        if styles_rows:
+            sidecar = "\n".join(styles_rows)
+            t = t.append_column(
+                "_styles", pa.array([sidecar] * t.num_rows, pa.string())
+            )
         parts.append(t)
     if not parts:
         raise NotInFormat("empty book")

@@ -39,6 +39,7 @@ class PayloadDecoder:
         ids, fmts, row_idx, payload_keep = [], [], [], []
         tnames: list[str | None] = []
         hiddens: list[bool | None] = []
+        styles: list[str | None] = []
         cells: list[list[str | None]] = [[] for _ in range(self.ncols)]
         pids = batch["payload_id"].to_pylist()
         payloads = batch["payload"].to_pylist()
@@ -57,6 +58,7 @@ class PayloadDecoder:
                 payload_keep.append(payload)
                 tnames.append(None)
                 hiddens.append(None)
+                styles.append(None)
                 for c in range(self.ncols):
                     cells[c].append(None)
                 continue
@@ -71,6 +73,9 @@ class PayloadDecoder:
             hiddens.extend(
                 t["_hidden"].to_pylist() if "_hidden" in t.column_names else [None] * n
             )
+            styles.extend(
+                t["_styles"].to_pylist() if "_styles" in t.column_names else [None] * n
+            )
             for c in range(self.ncols):
                 cells[c].extend(t[f"c{c}"].to_pylist())
         data = {
@@ -80,6 +85,7 @@ class PayloadDecoder:
             "payload": pa.array(payload_keep, pa.string()),
             "table_name": pa.array(tnames, pa.string()),
             "hidden": pa.array(hiddens, pa.bool_()),
+            "styles": pa.array(styles, pa.string()),
         }
         for c in range(self.ncols):
             data[f"c{c}"] = pa.array(cells[c], pa.string())
