@@ -652,6 +652,56 @@ def _with_truncated_copies(ds):
     return ds.union(ds.map_batches(trunc, batch_format="pyarrow"))
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub over documents: deterministic email/phone plants (the
+    tables carry none) redacted to typed placeholders — two vectorized
+    RE2 passes per batch, patterns mirrored verbatim in the oracle."""
+    import ray.data
+
+    from grate_ray.functions.text import redact_pii
+
+    def plant_and_redact(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = t["doc_id"].to_numpy()
+        s = pd.Series(did).astype(str)
+        ph = pd.Series(did % 10000).astype(str).str.zfill(4)
+        txt = pc.fill_null(t["text"], "").to_pandas()
+        planted = pa.array(
+            "contact u" + s + "@ex.example or +1-555-" + ph + " " + txt,
+            pa.string(),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "red_text": redact_pii(planted)}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(plant_and_redact, batch_format="pyarrow")
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style within-document repetition stats: total vs distinct
+    words per doc and the repetitive flag (distinct*2 < total). One
+    split + one drop_duplicates + two bincounts per batch."""
+    import ray.data
+
+    from grate_ray.functions.text import word_repetition
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(word_repetition, batch_format="pyarrow")
+
+
+def q_shard_pack(sf_dir: str):
+    """Token-budgeted training-shard assignment (distributed exclusive
+    prefix sum: per-partition token totals to the driver — P rows — then
+    co-located per-partition cumsum)."""
+    from grate_ray.pipelines.llmprep import shard_pack
+
+    return shard_pack(sf_dir, budget=4096, part_docs=1024)
+
+
 def q_pipeline_llm_prep(sf_dir: str):
     """End-to-end LLM data-prep composition — the pipeline a 100 TB user
     actually runs, as ONE lazy DAG with ONE SQL oracle:
@@ -1018,6 +1068,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "window_hopping": q_window_hopping,
     "doc_fingerprint": q_doc_fingerprint,
     "pipeline_llm_prep": q_pipeline_llm_prep,
+    "pii_redact": q_pii_redact,
+    "doc_repetition": q_doc_repetition,
+    "shard_pack": q_shard_pack,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1680,6 +1733,53 @@ WHERE trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') <> ''""",
         "sample_documents": """
 SELECT doc_id, text FROM documents
 WHERE md5_number_lower(coalesce(text, '')) % 8 = 0""",
+        "pii_redact": r"""
+WITH planted AS (
+  SELECT doc_id,
+         'contact u' || CAST(doc_id AS VARCHAR) || '@ex.example or +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+           || coalesce(text, '') AS p
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(p, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
+         '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS red_text
+FROM planted""",
+        "doc_repetition": r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '[ \n\r\t]+', ' ', 'g'), ' ') AS norm
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END AS n_words,
+         CASE WHEN length(norm) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(list_distinct(string_split(norm, ' '))) AS BIGINT) END
+           AS n_uniq_words
+  FROM n
+)
+SELECT doc_id, n_words, n_uniq_words,
+       n_uniq_words * 2 < n_words AS repetitive
+FROM w""",
+        "shard_pack": r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '[ \n\r\t]+', ' ', 'g'), ' ') AS norm
+  FROM documents
+), tk AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(norm) = 0 THEN 0
+              ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+              END AS BIGINT) AS n_tokens
+  FROM n
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(CAST(coalesce(SUM(n_tokens) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS DOUBLE) / 4096) AS BIGINT) AS shard_id
+FROM tk""",
         "token_counts": r"""
 WITH n AS (
   SELECT doc_id,

@@ -148,3 +148,56 @@ def fingerprint64(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
         d = hashlib.md5((v or "").encode("utf-8")).digest()
         out[i] = int.from_bytes(d[8:16], "little")
     return pa.array(out)
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# RE2-safe patterns, mirrored verbatim in the SQL oracle
+EMAIL_PATTERN = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+PHONE_PATTERN = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Replace emails/phones with typed placeholders — the standard
+    LLM-corpus scrub, fully vectorized (two RE2 passes per batch)."""
+    out = pc.replace_substring_regex(
+        col, pattern=EMAIL_PATTERN, replacement="[EMAIL]"
+    )
+    return pc.replace_substring_regex(
+        out, pattern=PHONE_PATTERN, replacement="[PHONE]"
+    )
+
+
+# --- within-document repetition (Gopher-style quality signal) ---------------
+
+
+def word_repetition(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc duplicate-word statistics: total words, distinct words,
+    and the repetitive flag (distinct*2 < total — a Gopher-style
+    repetition filter). Vectorized: one split, one flatten, one
+    drop_duplicates over (doc, word) pairs, two bincounts."""
+    import pandas as pd
+
+    norm = pc.fill_null(normalize_text(t[text_col].combine_chunks()), "")
+    words = pc.split_pattern(norm, pattern=" ")
+    lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    n = len(t)
+    parent = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten().to_numpy(zero_copy_only=False)
+    pairs = pd.DataFrame({"d": parent, "w": flat}).drop_duplicates()
+    uniq = np.bincount(pairs["d"].to_numpy(), minlength=n).astype(np.int64)
+    total = lengths.astype(np.int64)
+    # empty text: split('') yields one '' token; count it as zero words
+    empty = pc.equal(pc.utf8_length(norm), 0).to_numpy(zero_copy_only=False)
+    total[empty] = 0
+    uniq[empty] = 0
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(total),
+            "n_uniq_words": pa.array(uniq),
+            "repetitive": pa.array(uniq * 2 < total),
+        }
+    )

@@ -1,0 +1,84 @@
+"""LLM training-data preparation pipelines over the documents table.
+
+Composable single-purpose stages (the building blocks a 100 TB corpus
+run chains): PII scrubbing and repetition filtering live as kernels in
+``functions/text.py``; this module holds the pipelines that need
+cross-row coordination.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def shard_pack(
+    sf_dir: str, budget: int = 4096, part_docs: int = 1024
+) -> ray.data.Dataset:
+    """Token-budgeted shard assignment: documents in doc_id order are
+    packed greedily into shards of ``budget`` whitespace tokens (a doc
+    lands in the shard its FIRST token falls in — exclusive prefix sum).
+
+    Distributed two-phase prefix sum, the scale-safe shape:
+
+      1. one pass over the text computes per-doc token counts and a
+         coarse partition key ``doc_id // part_docs`` (text is dropped
+         immediately — everything downstream is 3 small int columns);
+      2. per-partition token totals (one tiny groupby — #partitions
+         rows) come to the driver, which computes exclusive partition
+         offsets (P values, broadcast via closure);
+      3. each partition independently cumsums its own docs and adds its
+         offset — ``groupby(part).map_groups``, co-located, vectorized.
+
+    Never materializes the corpus; the only driver-side data is one row
+    per partition."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import normalize_text, token_count
+
+    def toks(t: pa.Table) -> pa.Table:
+        norm = pc.fill_null(normalize_text(t["text"]), "")
+        n = pc.cast(token_count(norm), pa.int64())
+        part = pc.cast(
+            pc.floor(pc.divide(pc.cast(t["doc_id"], pa.float64()), part_docs)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": n, "part": part}
+        )
+
+    t1 = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(toks, batch_format="pyarrow")
+
+    # phase 2: P rows to the driver (P = ceil(n_docs / part_docs))
+    sums = (
+        t1.groupby("part")
+        .aggregate(Sum(on="n_tokens", alias_name="part_tokens"))
+        .to_pandas()
+        .sort_values("part")
+    )
+    excl = sums["part_tokens"].cumsum() - sums["part_tokens"]
+    offsets = dict(zip(sums["part"].astype(int), excl.astype(int)))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        start = (
+            offsets[int(g["part"].iloc[0])]
+            + g["n_tokens"].cumsum()
+            - g["n_tokens"]
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+                "shard_id": (start.to_numpy() // budget).astype(np.int64),
+            }
+        )
+
+    return t1.groupby("part").map_groups(assign, batch_format="pandas")

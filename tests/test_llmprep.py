@@ -1,0 +1,61 @@
+"""LLM-prep operators: PII redaction, word repetition, shard packing."""
+
+import pyarrow as pa
+
+from grate_ray.functions.text import redact_pii, word_repetition
+
+
+def test_redact_pii_emails_and_phones():
+    col = pa.array(
+        [
+            "mail bob.s@ex.example today",
+            "call +1-555-0199 or +1-555-1234 now",
+            "a.b_c9@sub.ex.example and +1-555-0000",
+            "nothing here",
+            None,
+        ]
+    )
+    out = redact_pii(col).to_pylist()
+    assert out == [
+        "mail [EMAIL] today",
+        "call [PHONE] or [PHONE] now",
+        "[EMAIL] and [PHONE]",
+        "nothing here",
+        None,
+    ]
+
+
+def test_word_repetition_stats():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4]),
+            "text": pa.array(["a b a b a", "x  y \t z", "", None]),
+        }
+    )
+    out = word_repetition(t).to_pydict()
+    assert out["n_words"] == [5, 3, 0, 0]
+    assert out["n_uniq_words"] == [2, 3, 0, 0]
+    assert out["repetitive"] == [True, False, False, False]
+
+
+def test_shard_pack_prefix_sum(ray_session, sf_dir):
+    """Shard ids must equal the serial exclusive-prefix-sum assignment
+    regardless of partitioning."""
+    import numpy as np
+
+    from grate_ray.pipelines.llmprep import shard_pack
+
+    budget = 512
+    df = (
+        shard_pack(sf_dir, budget=budget, part_docs=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    start = df["n_tokens"].cumsum() - df["n_tokens"]
+    assert (df["shard_id"].to_numpy() == (start // budget).to_numpy()).all()
+    # shards are contiguous, start at 0, and no shard except possibly the
+    # last is underfull by more than one doc's tokens
+    sid = df["shard_id"].to_numpy()
+    assert sid[0] == 0
+    assert (np.diff(np.unique(sid)) == 1).all()
