@@ -175,3 +175,34 @@ def test_wrong_password_deadletters_container(ray_session, tmp_path):
     out = decode_payloads(extracted, ncols=2).to_pandas()
     assert (out["format"] == "deadletter").all()
     assert "verification failed" in out["payload"].iloc[0]
+
+
+# -- property: arbitrary stream dicts survive the round trip ---------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("L", "N"), max_codepoint=0x2FF
+            ),
+            min_size=1,
+            max_size=31,
+        ),
+        st.binary(max_size=12_000),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cfb_roundtrip_property(streams):
+    doc = cfb.parse(cfb.write_cfb(streams))
+    assert doc.list_streams() == sorted(
+        (n, len(b)) for n, b in streams.items()
+    )
+    for n, b in streams.items():
+        assert doc.read_stream(n) == b
