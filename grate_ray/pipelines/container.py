@@ -179,7 +179,14 @@ def synthesize_container_dir(
         .materialize()
     )
     open(os.path.join(staging, "_OK"), "w").write("ok")
-    os.rename(staging, out_dir)
+    try:
+        os.rename(staging, out_dir)
+    except OSError:
+        # concurrent synthesizer won the rename — theirs is identical
+        # (deterministic content); keep it and drop our staging
+        if not os.path.exists(os.path.join(out_dir, "_OK")):
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
     return out_dir
 
 
