@@ -152,7 +152,10 @@ def _ingest_lake(sf_dir: str) -> str:
         _binlog(sf_dir).write_parquet(staging)
         open(os.path.join(staging, "_OK"), "w").write("ok")
         os.rename(staging, binlog_dir)
-    ingest(binlog_dir, lake_dir, num_partitions=16, files_per_microbatch=4)
+    # auto-size micro-batches (backlog-aware); resume metrics stay exact
+    # regardless of sizing since the LSN windows are pinned in the lake's
+    # batch plan on first run
+    ingest(binlog_dir, lake_dir, num_partitions=16, files_per_microbatch=None)
     return lake_dir
 
 
