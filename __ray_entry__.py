@@ -1037,6 +1037,54 @@ def q_multimodal_frames(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def q_multimodal_png(sf_dir: str):
+    """REAL PNG decode end to end: deterministic 8-bit RGB PNGs are
+    synthesized per doc (true file format: signature, CRC-checked chunks,
+    zlib IDAT, rows cycling through ALL five scanline filters), decoded by
+    the actor-pool PngFeatureExtractor (inflate + unfilter + numpy pixel
+    math) — no stub. The oracle reproduces the channel means from the
+    generation arithmetic, so a single mis-reconstructed filter byte
+    anywhere fails the hash."""
+    from grate_ray.functions.multimodal import (
+        PngFeatureExtractor,
+        synthesize_png_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_png_column, batch_format="pyarrow")
+        .map_batches(
+            PngFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,  # media batches stay small (payload-size aware)
+            concurrency=(1, 4),
+        )
+    )
+
+
+def q_multimodal_wav(sf_dir: str):
+    """REAL audio decode end to end: deterministic 16-bit PCM WAVs are
+    synthesized per doc (true RIFF layout), decoded by the actor-pool
+    WavFeatureExtractor (chunk walk + frombuffer) → per-clip duration and
+    amplitude stats. Oracle reproduces the stats from the generation
+    arithmetic."""
+    from grate_ray.functions.multimodal import (
+        WavFeatureExtractor,
+        synthesize_wav_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_wav_column, batch_format="pyarrow")
+        .map_batches(
+            WavFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,  # media batches stay small (payload-size aware)
+            concurrency=(1, 4),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_apply": q_cdc_apply,
     "cdc_apply_salted": q_cdc_apply_salted,
@@ -1085,6 +1133,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_features": q_multimodal_features,
     "multimodal_bmp": q_multimodal_bmp,
+    "multimodal_png": q_multimodal_png,
+    "multimodal_wav": q_multimodal_wav,
     "multimodal_frames": q_multimodal_frames,
     "cell_types": q_cell_types,
     "range_join": lambda sf: __import__(
@@ -1863,6 +1913,23 @@ SELECT doc_id,
        round(avg((doc_id * 7 + i * 3 + 11) % 256), 6) AS mean_g,
        round(avg((doc_id * 7 + i * 3 + 22) % 256), 6) AS mean_b
 FROM documents CROSS JOIN (SELECT UNNEST(range(48)) AS i) px
+GROUP BY doc_id""",
+        "multimodal_png": """
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+       round(avg((doc_id * 5 + i * 3) % 256), 6) AS mean_r,
+       round(avg((doc_id * 5 + i * 3 + 7) % 256), 6) AS mean_g,
+       round(avg((doc_id * 5 + i * 3 + 14) % 256), 6) AS mean_b
+FROM documents CROSS JOIN (SELECT UNNEST(range(48)) AS i) px
+GROUP BY doc_id""",
+        "multimodal_wav": """
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(8.0 AS DOUBLE) AS duration_ms,
+       round(avg(abs((doc_id * 13 + i * 7) % 65536 - 32768)), 6) AS mean_abs,
+       max(abs((doc_id * 13 + i * 7) % 65536 - 32768)) AS peak
+FROM documents CROSS JOIN (SELECT UNNEST(range(64)) AS i) s
 GROUP BY doc_id""",
         "multimodal_frames": """
 WITH b AS (

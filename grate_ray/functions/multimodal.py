@@ -1,7 +1,13 @@
 """Multimodal (binary-payload) operators: real Ray-side schema/batch/actor
-mechanics throughout; one REAL dependency-free codec (uncompressed 24-bit
-BMP — pure header parsing + numpy pixel math), with the external-lib
-codecs (jpeg/png/audio) STUBBED behind ``NotImplementedError``.
+mechanics throughout, with THREE real dependency-free codecs:
+
+- uncompressed 24-bit BMP (header parsing + numpy pixel math),
+- PNG (8-bit gray/RGB/RGBA, non-interlaced: zlib inflate, chunk CRC
+  verification, and all five scanline filters — None/Sub/Up/Average/Paeth),
+- WAV (RIFF chunk walk, 16-bit PCM).
+
+Only the codecs with no stdlib path (jpeg, compressed audio, real video
+containers) remain STUBBED behind ``NotImplementedError`` in MediaDecoder.
 
 Pattern for 100 TB media pipelines: binary columns stay in Arrow
 (``batch_format="pyarrow"`` end to end — binary does not survive pandas
@@ -12,6 +18,7 @@ the decoder is an actor pool whose (real) model/codec loads once per actor.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -138,6 +145,295 @@ class FrameSampler:
         out = out.append_column(
             "n_frames", pc.cast(pc.list_value_length(out["frames"]), pa.int64())
         )
+        return out
+
+
+# --- real PNG codec (stdlib zlib + numpy; no external libs) -------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_W, PNG_H = 8, 6  # synthesized size (small media payloads, many rows)
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, truecolor RGB, RGBA
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c))
+
+
+def encode_png(pixels: np.ndarray, row_filters=None) -> bytes:
+    """(H, W, C) uint8 (C∈{1,3,4}) → real PNG bytes: signature, IHDR,
+    one zlib-compressed IDAT of filtered scanlines, IEND — with correct
+    per-chunk CRC32s.
+
+    ``row_filters`` picks the filter id (0-4) per row; the default cycles
+    ``row % 5`` so every filter type (None/Sub/Up/Average/Paeth) appears in
+    the stream and the decoder's unfilter path is genuinely exercised.
+    Filtering on encode predicts from the ORIGINAL bytes (what the decoder
+    will have reconstructed), so it is fully vectorized per row.
+    """
+    h, w, ch = pixels.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch
+    px = pixels.astype(np.int32)
+    raw = bytearray()
+    prior = np.zeros(w * ch, np.int32)
+    for r in range(h):
+        row = px[r].reshape(-1)
+        f = int(row_filters[r]) if row_filters is not None else r % 5
+        left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prior[:-bpp]])
+        if f == 0:
+            out = row
+        elif f == 1:
+            out = row - left
+        elif f == 2:
+            out = row - prior
+        elif f == 3:
+            out = row - ((left + prior) >> 1)
+        elif f == 4:
+            out = row - _paeth_vec(left, prior, upleft)
+        else:
+            raise ValueError(f"bad PNG filter id {f}")
+        raw.append(f)
+        raw += (out & 0xFF).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG bytes → (width, height, (H, W, C) uint8). REAL decode:
+    signature + chunk walk with CRC32 verification, multi-IDAT concat,
+    zlib inflate, and reconstruction of all five scanline filters.
+
+    Supports 8-bit gray / RGB / RGBA, non-interlaced (the overwhelmingly
+    common storage layout); 16-bit, palette and Adam7 raise
+    ``NotImplementedError`` so callers dead-letter rather than mis-decode.
+    Sub/Average/Paeth reconstruction is sequential within a scanline by
+    definition (each byte depends on the reconstructed left neighbour);
+    the Up filter and whole-row ops stay vectorized.
+    """
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, []
+    w = h = depth = ctype = interlace = None
+    while pos + 12 <= len(blob):
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        payload = blob[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + ln)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA PNG supported (depth={depth} ctype={ctype})"
+        )
+    if interlace:
+        raise NotImplementedError("Adam7 interlacing not supported")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    recon = np.zeros((h, stride), np.uint8)
+    prior = np.zeros(stride, np.int32)
+    rp = 0
+    for r in range(h):
+        f = raw[rp]
+        row = np.frombuffer(raw, np.uint8, stride, rp + 1).astype(np.int32)
+        rp += 1 + stride
+        if f == 0:
+            cur = row
+        elif f == 2:
+            cur = (row + prior) & 0xFF
+        elif f in (1, 3, 4):
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter id {f}")
+        recon[r] = cur
+        prior = cur
+    return w, h, recon.reshape(h, w, ch)
+
+
+def synthesize_png_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic real PNG payloads: channel c of flat pixel i is
+    ``(doc_id*5 + i*3 + c*7) % 256`` — pure arithmetic, so the SQL oracle
+    reproduces the decoded channel means exactly. Rows cycle through all
+    five scanline filters (``row % 5``) so decode exercises each one."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_px = PNG_W * PNG_H
+    i = np.arange(n_px, dtype=np.int64)
+    blobs = []
+    for d in ids:
+        chans = [
+            ((d * 5 + i * 3 + c * 7) % 256).astype(np.uint8) for c in range(3)
+        ]
+        rgb = np.stack(chans, axis=1).reshape(PNG_H, PNG_W, 3)
+        blobs.append(encode_png(rgb))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+class PngFeatureExtractor:
+    """Actor-pool stage: REAL PNG decode (CRC-checked chunk walk, inflate,
+    all-filter reconstruction) → per-image (width, height, channel means).
+    Same contract as BmpFeatureExtractor; per-image loop is inherent to
+    per-payload codec work and bounded by payload-aware batch sizes."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, mr, mg, mb = [], [], [], [], []
+        for blob in t[self.payload_col].to_pylist():
+            w, h, px = decode_png(blob)
+            if px.shape[2] == 1:  # gray → replicate for a uniform schema
+                px = np.repeat(px, 3, axis=2)
+            ws.append(w)
+            hs.append(h)
+            means = px.reshape(-1, px.shape[2])[:, :3].mean(axis=0)
+            mr.append(round(float(means[0]), 6))
+            mg.append(round(float(means[1]), 6))
+            mb.append(round(float(means[2]), 6))
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column("mean_r", pa.array(mr, pa.float64()))
+        out = out.append_column("mean_g", pa.array(mg, pa.float64()))
+        out = out.append_column("mean_b", pa.array(mb, pa.float64()))
+        return out
+
+
+# --- real WAV/PCM codec (no external libs) ------------------------------------
+
+WAV_RATE, WAV_N = 8000, 64  # synthesized sample rate / samples per doc
+
+
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE, channels: int = 1) -> bytes:
+    """int16 samples (n,) or (n, channels) → real RIFF/WAVE bytes
+    (PCM fmt chunk + data chunk, little-endian 16-bit)."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """WAV bytes → (sample_rate, channels, (n, channels) int16). REAL
+    RIFF chunk walk (fmt /data discovery, odd-size pad bytes, unknown
+    chunks skipped); 16-bit integer PCM only — compressed codecs raise
+    ``NotImplementedError`` so callers dead-letter rather than mis-decode."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", blob, pos + 4)
+        payload = blob[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, 0
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit integer PCM supported (fmt={audio_fmt} bits={bits})"
+                )
+        elif tag == b"data":
+            data = payload
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)
+    else:
+        samples = samples.reshape(-1, 1)
+    return rate, channels, samples
+
+
+def synthesize_wav_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic real WAV payloads: sample i of doc d is
+    ``((d*13 + i*7) % 65536) - 32768`` — pure arithmetic, so the SQL
+    oracle reproduces the decoded amplitude stats exactly."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    i = np.arange(WAV_N, dtype=np.int64)
+    blobs = []
+    for d in ids:
+        s = ((d * 13 + i * 7) % 65536 - 32768).astype(np.int16)
+        blobs.append(encode_wav(s, rate=WAV_RATE, channels=1))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+class WavFeatureExtractor:
+    """Actor-pool stage: REAL WAV decode (RIFF walk, PCM frombuffer) →
+    per-clip (n_samples, sample_rate, duration_ms, mean_abs, peak)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ns, rates, durs, means, peaks = [], [], [], [], []
+        for blob in t[self.payload_col].to_pylist():
+            rate, _ch, samples = decode_wav(blob)
+            flat = samples.astype(np.int64).reshape(-1)
+            n = samples.shape[0]
+            ns.append(n)
+            rates.append(rate)
+            durs.append(round(n * 1000.0 / rate, 6))
+            means.append(round(float(np.abs(flat).mean()), 6))
+            peaks.append(int(np.abs(flat).max()) if len(flat) else 0)
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("n_samples", pa.array(ns, pa.int64()))
+        out = out.append_column("sample_rate", pa.array(rates, pa.int64()))
+        out = out.append_column("duration_ms", pa.array(durs, pa.float64()))
+        out = out.append_column("mean_abs", pa.array(means, pa.float64()))
+        out = out.append_column("peak", pa.array(peaks, pa.int64()))
         return out
 
 
