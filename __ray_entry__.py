@@ -190,6 +190,73 @@ def q_cdc_ingest_metrics(sf_dir: str):
     )
 
 
+def _timetravel_lake(sf_dir: str) -> tuple[str, int]:
+    """Dedicated mini-lake for the time-travel query: the binlog is
+    re-chunked into FOUR files with deterministic LSN-range boundaries
+    (bucket k = lsn in [k*W, (k+1)*W), W = max_lsn//4 + 1) and ingested
+    one file per micro-batch, so every commit boundary is a pure function
+    of max(lsn) that the SQL oracle can reproduce. Returns
+    (lake_dir, W). The per-bucket repartition(1) is fixture scaffolding —
+    a production tail writes range-bucketed chunks in one partitioned
+    pass; the engine under test is the same ingest/manifest machinery."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from grate_ray.pipelines.ingest import ingest
+    from grate_ray.sources.derive import BINLOG_SQL
+
+    tag = hashlib.md5((sf_dir + BINLOG_SQL + "tt").encode()).hexdigest()[:8]
+    binlog_dir = f"/tmp/graft_q/ttbinlog_{tag}"
+    lake_dir = f"/tmp/graft_q/ttlake_{tag}"
+    wpath = os.path.join(binlog_dir, "_W")
+    if not os.path.exists(os.path.join(binlog_dir, "_OK")):
+        shutil.rmtree(binlog_dir, ignore_errors=True)
+        staging = f"{binlog_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(staging, exist_ok=True)
+        ds = _binlog(sf_dir)
+        max_lsn = int(ds.max("lsn"))
+        w = max_lsn // 4 + 1
+        for k in range(4):
+            lo, hi = k * w, (k + 1) * w
+
+            def bucket(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+                keep = pc.and_(
+                    pc.greater_equal(t["lsn"], lo), pc.less(t["lsn"], hi)
+                )
+                return t.filter(keep)
+
+            sub = os.path.join(staging, f"bucket={k}")
+            # one file per bucket → disjoint chunk LSN ranges for ingest
+            ds.map_batches(bucket, batch_format="pyarrow").repartition(
+                1
+            ).write_parquet(sub)
+            for f in os.listdir(sub):
+                os.rename(
+                    os.path.join(sub, f), os.path.join(staging, f"chunk-{k}-{f}")
+                )
+            os.rmdir(sub)
+        open(os.path.join(staging, "_W"), "w").write(str(w))
+        open(os.path.join(staging, "_OK"), "w").write("ok")
+        os.rename(staging, binlog_dir)
+    w = int(open(wpath).read())
+    ingest(binlog_dir, lake_dir, num_partitions=8, files_per_microbatch=1)
+    return lake_dir, w
+
+
+def q_cdc_timetravel(sf_dir: str):
+    """TIME TRAVEL: read the committed lake AS OF the second micro-batch's
+    commit boundary (asof_lsn = 2W-1) — the historical state halfway
+    through the replay, reconstructed purely from the immutable manifest
+    chain (nearest snapshot ≤ asof + deltas ≤ asof per partition). The
+    oracle applies LWW over only the binlog prefix lsn < 2W."""
+    from grate_ray.pipelines.ingest import read_lake
+
+    lake, w = _timetravel_lake(sf_dir)
+    return read_lake(lake, asof_lsn=2 * w - 1)
+
+
 def q_transcript_turn_counts(sf_dir: str):
     """Live turns per conversation+role after replay (final-state rollup)."""
     from ray.data.aggregate import Count
@@ -1093,6 +1160,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_ingest_lake": q_cdc_ingest_lake,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
+    "cdc_timetravel": q_cdc_timetravel,
     "transcript_turn_counts": q_transcript_turn_counts,
     "decode_roundtrip_nation": q_decode_roundtrip_nation,
     "decode_roundtrip_customer": q_decode_roundtrip_customer,
@@ -1749,6 +1817,22 @@ SELECT event_id,
        END AS rk_value
 FROM events""",
         "cdc_ingest_lake": lww,
+        # time travel to the 2nd micro-batch commit boundary: asof = 2W-1,
+        # W = max_lsn//4 + 1 (the deterministic bucket width the fixture
+        # chunks by) — LWW over only the binlog prefix lsn < 2W
+        "cdc_timetravel": f"""
+WITH wparam AS (
+  SELECT CAST(max(event_id) // 4 + 1 AS BIGINT) AS w FROM events
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM (
+  SELECT b.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx
+           ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ({BINLOG_SQL}) b, wparam
+  WHERE b.lsn < 2 * wparam.w
+) r
+WHERE rn = 1 AND op <> 'D'""",
         "cdc_ingest_metrics": f"""
 SELECT count(*) AS n_events,
        CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,

@@ -532,6 +532,7 @@ def read_lake(
     lake_dir: str,
     num_partitions: int | None = None,
     columns: list[str] | None = None,
+    asof_lsn: int | None = None,
 ) -> ray.data.Dataset:
     """The live view of the lake: latest committed state per partition
     (nearest snapshot + LWW-merged deltas), tombstones dropped, key-sorted
@@ -546,9 +547,22 @@ def read_lake(
     off storage); key + envelope columns needed to resolve the LWW chain
     and drop tombstones are always read and stripped from the output
     unless requested.
+
+    ``asof_lsn`` is TIME TRAVEL: reconstruct each partition at its newest
+    commit with ``lsn_hi <= asof_lsn`` instead of the head commit. The
+    manifests are an immutable commit log and superseded chain files are
+    only removed by explicit GC, so any historical commit point stays
+    readable. Semantics are commit-granular (like table-format version
+    reads): an LSN inside a micro-batch window resolves to the commit
+    BELOW it, because a delta file holds only the window's reduced LWW
+    winners — the runner-up events inside a window are not recoverable
+    from the lake (replay the binlog for sub-commit resolution).
+    Partitions with no commit at-or-below ``asof_lsn`` contribute no rows.
     """
     parts = [
-        p for p in list_partitions(lake_dir) if committed_lsn(lake_dir, p) is not None
+        p
+        for p in list_partitions(lake_dir)
+        if committed_lsn(lake_dir, p, asof_lsn=asof_lsn) is not None
     ]
     if not parts:
         from ..schema import empty_lake_table
@@ -568,7 +582,7 @@ def read_lake(
     def load(t: pa.Table) -> pa.Table:
         out = []
         for p in t["part"].to_pylist():
-            st = read_state(lake_dir, int(p), columns=read_cols)
+            st = read_state(lake_dir, int(p), lsn_hi=asof_lsn, columns=read_cols)
             if st is None or st.num_rows == 0:
                 continue
             v = finalize(st)

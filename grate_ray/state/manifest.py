@@ -139,8 +139,13 @@ def list_partitions(lake_dir: str) -> list[int]:
     return sorted(out)
 
 
-def committed_lsn(lake_dir: str, part: int) -> int | None:
-    """High-water mark: the max committed lsn_hi for a partition."""
+def committed_lsn(
+    lake_dir: str, part: int, asof_lsn: int | None = None
+) -> int | None:
+    """High-water mark: the max committed lsn_hi for a partition — or,
+    with ``asof_lsn``, the newest commit at-or-below it (the commit a
+    time-travel read resolves to; None if the partition's first commit is
+    later than ``asof_lsn``)."""
     d = manifest_dir(lake_dir, part)
     if not os.path.isdir(d):
         return None
@@ -149,6 +154,8 @@ def committed_lsn(lake_dir: str, part: int) -> int | None:
         for f in os.listdir(d)
         if f.startswith("commit-") and f.endswith(".json")
     ]
+    if asof_lsn is not None:
+        lsns = [l for l in lsns if l <= asof_lsn]
     return max(lsns) if lsns else None
 
 

@@ -222,6 +222,66 @@ def test_ingest_resume_with_different_batch_size(tmp_path_factory):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_read_lake_time_travel(tmp_path_factory):
+    """read_lake(asof_lsn=...) reconstructs the historical state at a
+    commit boundary from the immutable manifest chain; an LSN inside a
+    micro-batch window resolves to the commit BELOW it (commit-granular,
+    like table-format version reads)."""
+    import pyarrow.compute as pc
+
+    from grate_ray.state.manifest import read_batch_plan
+
+    d = str(tmp_path_factory.mktemp("tbinlog"))
+    lake = str(tmp_path_factory.mktemp("tlake"))
+    generate_binlog(
+        d, GenSpec(num_events=12_000, num_convs=100, seed=55, chunk_rows=1_500)
+    )
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2, auto_compact=False)
+    plan = read_batch_plan(lake)
+    assert len(plan) == 4  # 8 chunk files / 2 per micro-batch
+
+    def state_at(asof):
+        return (
+            read_lake(lake, asof_lsn=asof)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    def oracle_at(asof):
+        full = pa.concat_tables(
+            pq.read_table(os.path.join(d, f))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+        return oracle_final_state(
+            [full.filter(pc.less_equal(full["lsn"], asof))]
+        ).to_pandas()
+
+    # exact historical state at the 2nd micro-batch boundary
+    asof = plan[1][1]
+    got, want = state_at(asof), oracle_at(asof)
+    assert len(got) == len(want) > 0
+    for col in want.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+
+    # an LSN strictly inside the 3rd window resolves to the same commit
+    mid = plan[2][1] - 1
+    assert plan[2][0] <= mid < plan[2][1]
+    got_mid = state_at(plan[2][0] - 1 if plan[2][0] > asof else asof)
+    assert got_mid.equals(got)
+
+    # before the first commit: no rows, schema intact (checked via
+    # Dataset.schema() — Ray's to_pandas drops columns on all-empty data)
+    early_ds = read_lake(lake, asof_lsn=plan[0][0] - 1)
+    assert early_ds.count() == 0
+    assert "conv_id" in early_ds.schema().names
+
+    # head read (asof=None) still matches the full oracle
+    _assert_lake_matches(lake, d)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ingest_auto_compacts(tmp_path_factory):
     """Ingest with mixed-epoch chunks and a low chain threshold must end
     single-snapshot, unified-schema per partition WITHOUT a manual
