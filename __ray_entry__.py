@@ -769,7 +769,7 @@ def q_shard_pack(sf_dir: str):
     co-located per-partition cumsum)."""
     from grate_ray.pipelines.llmprep import shard_pack
 
-    return shard_pack(sf_dir, budget=4096, part_docs=1024)
+    return shard_pack(sf_dir, budget=4096, num_parts=64)
 
 
 def q_pipeline_llm_prep(sf_dir: str):

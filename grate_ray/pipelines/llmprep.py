@@ -16,7 +16,10 @@ import ray.data
 
 
 def shard_pack(
-    sf_dir: str, budget: int = 4096, part_docs: int = 1024
+    sf_dir: str,
+    budget: int = 4096,
+    num_parts: int | None = None,
+    sample_per_block: int = 8,
 ) -> ray.data.Dataset:
     """Token-budgeted shard assignment: documents in doc_id order are
     packed greedily into shards of ``budget`` whitespace tokens (a doc
@@ -24,32 +27,67 @@ def shard_pack(
 
     Distributed two-phase prefix sum, the scale-safe shape:
 
-      1. one pass over the text computes per-doc token counts and a
-         coarse partition key ``doc_id // part_docs`` (text is dropped
-         immediately — everything downstream is 3 small int columns);
+      0. a cheap doc_id-column-only pass computes RANGE-partition
+         boundaries from per-block order statistics (``sample_per_block``
+         evenly-spaced values per block → global quantiles) — no dense /
+         uniform doc_id assumption; driver data is O(#blocks), like
+         Ray's own sample-based sort. Any monotonic-in-doc_id partition
+         map yields the SAME shard ids (the prefix sum is
+         partition-invariant); sampling only buys balance under sparse
+         or skewed ids.
+      1. one pass over the text computes per-doc token counts and the
+         range-partition key (text is dropped immediately — everything
+         downstream is 3 small int columns);
       2. per-partition token totals (one tiny groupby — #partitions
          rows) come to the driver, which computes exclusive partition
          offsets (P values, broadcast via closure);
       3. each partition independently cumsums its own docs and adds its
          offset — ``groupby(part).map_groups``, co-located, vectorized.
 
-    Never materializes the corpus; the only driver-side data is one row
-    per partition."""
+    Never materializes the corpus; driver-side data is one row per
+    partition plus the bounded boundary sample."""
     import numpy as np
     import pandas as pd
     from ray.data.aggregate import Sum
 
     from ..functions.text import normalize_text, token_count
 
+    if num_parts is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        num_parts = max(16, 2 * cpus)
+
+    # phase 0: deterministic per-block order statistics → range boundaries
+    def block_sample(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+        if len(ids) > sample_per_block:
+            pick = np.linspace(0, len(ids) - 1, sample_per_block).astype(np.int64)
+            ids = ids[pick]
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    sampled = np.sort(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(block_sample, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    if len(sampled) == 0:
+        boundaries = np.array([], dtype=np.int64)
+    else:
+        qs = np.linspace(0, 1, num_parts + 1)[1:-1]
+        boundaries = np.unique(
+            np.quantile(sampled, qs, method="nearest").astype(np.int64)
+        )
+
     def toks(t: pa.Table) -> pa.Table:
         norm = pc.fill_null(normalize_text(t["text"]), "")
         n = pc.cast(token_count(norm), pa.int64())
-        part = pc.cast(
-            pc.floor(pc.divide(pc.cast(t["doc_id"], pa.float64()), part_docs)),
-            pa.int64(),
-        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(boundaries, ids, side="right").astype(np.int64)
         return pa.table(
-            {"doc_id": t["doc_id"], "n_tokens": n, "part": part}
+            {"doc_id": t["doc_id"], "n_tokens": n, "part": pa.array(part)}
         )
 
     t1 = ray.data.read_parquet(

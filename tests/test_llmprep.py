@@ -38,6 +38,41 @@ def test_word_repetition_stats():
     assert out["repetitive"] == [True, False, False, False]
 
 
+def test_shard_pack_sparse_skewed_ids(ray_session, tmp_path):
+    """Range boundaries come from sampled order statistics, not from a
+    dense-doc_id assumption: wildly sparse, clustered ids must still get
+    exact prefix-sum shard ids AND a balanced partition split."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from grate_ray.pipelines.llmprep import shard_pack
+
+    # 600 docs: a dense cluster near 0, a hole of 10^9, a dense tail
+    ids = np.concatenate(
+        [np.arange(300), 1_000_000_000 + np.arange(300) * 7_919]
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"w{i} " * (1 + i % 13) for i in range(600)]),
+        }
+    )
+    d = tmp_path / "sparse"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    budget = 256
+    df = (
+        shard_pack(str(d), budget=budget, num_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(df) == 600
+    start = df["n_tokens"].cumsum() - df["n_tokens"]
+    assert (df["shard_id"].to_numpy() == (start // budget).to_numpy()).all()
+
+
 def test_shard_pack_prefix_sum(ray_session, sf_dir):
     """Shard ids must equal the serial exclusive-prefix-sum assignment
     regardless of partitioning."""
@@ -47,7 +82,7 @@ def test_shard_pack_prefix_sum(ray_session, sf_dir):
 
     budget = 512
     df = (
-        shard_pack(sf_dir, budget=budget, part_docs=64)
+        shard_pack(sf_dir, budget=budget, num_parts=8)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
