@@ -257,6 +257,18 @@ def q_cdc_timetravel(sf_dir: str):
     return read_lake(lake, asof_lsn=2 * w - 1)
 
 
+def q_cdc_changefeed(sf_dir: str):
+    """CHANGEFEED: the net changes between the 2nd and 3rd micro-batch
+    commits of the time-travel lake — every key whose LWW winner moved,
+    tagged I/U/D (snapshot-diff semantics, both chain walks co-located
+    per partition, no shuffle). The oracle diffs the two binlog-prefix
+    LWW states in SQL."""
+    from grate_ray.pipelines.ingest import lake_changes
+
+    lake, w = _timetravel_lake(sf_dir)
+    return lake_changes(lake, from_lsn=2 * w - 1, to_lsn=3 * w - 1)
+
+
 def q_transcript_turn_counts(sf_dir: str):
     """Live turns per conversation+role after replay (final-state rollup)."""
     from ray.data.aggregate import Count
@@ -1161,6 +1173,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_ingest_lake": q_cdc_ingest_lake,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_timetravel": q_cdc_timetravel,
+    "cdc_changefeed": q_cdc_changefeed,
     "transcript_turn_counts": q_transcript_turn_counts,
     "decode_roundtrip_nation": q_decode_roundtrip_nation,
     "decode_roundtrip_customer": q_decode_roundtrip_customer,
@@ -1833,6 +1846,37 @@ FROM (
   WHERE b.lsn < 2 * wparam.w
 ) r
 WHERE rn = 1 AND op <> 'D'""",
+        # net changefeed between the 2nd (asof 2W-1) and 3rd (asof 3W-1)
+        # commits: diff of the two binlog-prefix LWW states; emit the
+        # to-state winner row tagged I/U/D
+        "cdc_changefeed": f"""
+WITH wparam AS (
+  SELECT CAST(max(event_id) // 4 + 1 AS BIGINT) AS w FROM events
+),
+sA AS (
+  SELECT * FROM (
+    SELECT b.*, row_number() OVER (
+             PARTITION BY conv_id, turn_idx
+             ORDER BY ts DESC, lsn DESC) AS rn
+    FROM ({BINLOG_SQL}) b, wparam WHERE b.lsn < 2 * wparam.w
+  ) WHERE rn = 1
+),
+sB AS (
+  SELECT * FROM (
+    SELECT b.*, row_number() OVER (
+             PARTITION BY conv_id, turn_idx
+             ORDER BY ts DESC, lsn DESC) AS rn
+    FROM ({BINLOG_SQL}) b, wparam WHERE b.lsn < 3 * wparam.w
+  ) WHERE rn = 1
+)
+SELECT CASE WHEN sB.op = 'D' THEN 'D'
+            WHEN sA.lsn IS NOT NULL AND sA.op <> 'D' THEN 'U'
+            ELSE 'I' END AS change_op,
+       sB.conv_id, sB.turn_idx, sB.role, sB.text, sB.tool, sB.ts, sB.lsn
+FROM sB LEFT JOIN sA
+  ON sB.conv_id = sA.conv_id AND sB.turn_idx = sA.turn_idx
+WHERE (sA.lsn IS NULL OR sA.lsn <> sB.lsn)
+  AND (sB.op <> 'D' OR (sA.lsn IS NOT NULL AND sA.op <> 'D'))""",
         "cdc_ingest_metrics": f"""
 SELECT count(*) AS n_events,
        CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,

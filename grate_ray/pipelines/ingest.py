@@ -595,3 +595,122 @@ def read_lake(
         return pa.concat_tables(out, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow")
+
+
+def lake_changes(
+    lake_dir: str, from_lsn: int, to_lsn: int
+) -> ray.data.Dataset:
+    """CHANGEFEED out of the lake: the net row changes between two commit
+    points — every key whose LWW winner at ``to_lsn`` differs from its
+    winner at ``from_lsn``, tagged ``change_op``:
+
+    - ``I``: live at ``to`` and absent-or-deleted at ``from``;
+    - ``U``: live at both with a different winning event;
+    - ``D``: deleted at ``to`` and live at ``from`` (row carries the
+      delete event's envelope).
+
+    Snapshot-diff semantics (like a table format's net change-data-feed
+    between versions): a key updated five times inside the window emits
+    ONE row — its final winner. Works from the manifest chain alone,
+    commit-kind-agnostic (snapshot roll commits don't isolate their
+    window's delta, so a file-level feed would be wrong; the state diff
+    is always exact). Per partition, BOTH chain walks run in the same
+    task — co-located, no shuffle — and the diff is one vectorized join
+    on the key. ``from_lsn``/``to_lsn`` resolve commit-granular, exactly
+    as ``read_lake(asof_lsn=...)`` does."""
+    parts = [
+        p
+        for p in list_partitions(lake_dir)
+        if committed_lsn(lake_dir, p, asof_lsn=to_lsn) is not None
+    ]
+    empty = pa.table(
+        {
+            "change_op": pa.array([], pa.string()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "lsn": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return ray.data.from_arrow(empty)
+
+    def diff(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out = []
+        for p in t["part"].to_pylist():
+            b = read_state(lake_dir, int(p), lsn_hi=to_lsn)
+            if b is None or b.num_rows == 0:
+                continue
+            a = read_state(lake_dir, int(p), lsn_hi=from_lsn)
+            # decode any dictionary-encoded key column before the join
+            if pa.types.is_dictionary(b.schema.field("conv_id").type):
+                b = b.set_column(
+                    b.schema.get_field_index("conv_id"),
+                    "conv_id",
+                    b["conv_id"].cast(pa.string()),
+                )
+            if a is not None and a.num_rows:
+                a2 = pa.table(
+                    {
+                        "conv_id": a["conv_id"].cast(pa.string()),
+                        "turn_idx": a["turn_idx"],
+                        "a_lsn": a["lsn"].cast(pa.int64()),
+                        "a_op": a["op"].cast(pa.string()),
+                    }
+                )
+                j = b.join(
+                    a2, keys=["conv_id", "turn_idx"], join_type="left outer"
+                )
+            else:
+                j = b.append_column(
+                    "a_lsn", pa.nulls(b.num_rows, pa.int64())
+                ).append_column("a_op", pa.nulls(b.num_rows, pa.string()))
+            b_lsn = j["lsn"].cast(pa.int64())
+            a_lsn = j["a_lsn"]
+            b_live = pc.not_equal(j["op"], "D")
+            a_live = pc.and_kleene(
+                pc.is_valid(a_lsn), pc.not_equal(j["a_op"], "D")
+            )
+            a_live = pc.fill_null(a_live, False)
+            changed = pc.fill_null(pc.not_equal(a_lsn, b_lsn), True)
+            emit = pc.and_(changed, pc.or_(b_live, a_live))
+            j = j.filter(emit)
+            if j.num_rows == 0:
+                continue
+            b_live = pc.not_equal(j["op"], "D")
+            a_live = pc.fill_null(
+                pc.and_kleene(
+                    pc.is_valid(j["a_lsn"]), pc.not_equal(j["a_op"], "D")
+                ),
+                False,
+            )
+            change_op = pc.if_else(
+                pc.invert(b_live),
+                pa.scalar("D"),
+                pc.if_else(a_live, pa.scalar("U"), pa.scalar("I")),
+            )
+            cols = {"change_op": change_op}
+            for name in ("conv_id", "turn_idx", "role", "text", "tool", "ts"):
+                cols[name] = (
+                    j[name]
+                    if name in j.column_names
+                    else pa.nulls(j.num_rows, empty.schema.field(name).type)
+                )
+            cols["lsn"] = j["lsn"].cast(pa.int64())
+            ch = pa.table(cols).cast(empty.schema)
+            idx = pc.sort_indices(
+                ch,
+                sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+            )
+            out.append(ch.take(idx))
+        if not out:
+            return empty
+        return pa.concat_tables(out, promote_options="default")
+
+    ds = ray.data.from_items([{"part": p} for p in parts]).repartition(len(parts))
+    return ds.map_batches(diff, batch_format="pyarrow")

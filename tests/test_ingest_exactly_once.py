@@ -282,6 +282,77 @@ def test_read_lake_time_travel(tmp_path_factory):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_lake_changes_net_diff(tmp_path_factory):
+    """lake_changes(from, to) must equal the serial snapshot diff of the
+    two commit states: winner-moved keys only, tagged I/U/D, one row per
+    key regardless of how many events hit it inside the window."""
+    import pandas as pd
+
+    from grate_ray.pipelines.ingest import lake_changes
+    from grate_ray.state.manifest import read_batch_plan
+
+    d = str(tmp_path_factory.mktemp("cbinlog"))
+    lake = str(tmp_path_factory.mktemp("clake"))
+    generate_binlog(
+        d, GenSpec(num_events=12_000, num_convs=80, seed=66, chunk_rows=1_500)
+    )
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2, auto_compact=False)
+    plan = read_batch_plan(lake)
+    a_lsn, b_lsn = plan[0][1], plan[2][1]
+
+    got = (
+        lake_changes(lake, from_lsn=a_lsn, to_lsn=b_lsn)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    # serial reference: LWW winners (with op) at each prefix, then diff
+    raw = pd.concat(
+        pq.read_table(os.path.join(d, f)).to_pandas()
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    )
+
+    def winners(asof):
+        w = (
+            raw[raw["lsn"] <= asof]
+            .sort_values(["ts", "lsn"])
+            .groupby(["conv_id", "turn_idx"], as_index=False)
+            .tail(1)
+        )
+        return w.set_index(["conv_id", "turn_idx"])
+
+    wa, wb = winners(a_lsn), winners(b_lsn)
+    rows = []
+    for key, b in wb.iterrows():
+        a = wa.loc[key] if key in wa.index else None
+        a_live = a is not None and a["op"] != "D"
+        changed = a is None or a["lsn"] != b["lsn"]
+        b_live = b["op"] != "D"
+        if not changed or not (b_live or a_live):
+            continue
+        rows.append(
+            {
+                "change_op": "D" if not b_live else ("U" if a_live else "I"),
+                "conv_id": key[0],
+                "turn_idx": key[1],
+                "lsn": b["lsn"],
+            }
+        )
+    want = (
+        pd.DataFrame(rows)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("change_op", "conv_id", "turn_idx", "lsn"):
+        assert got[col].tolist() == want[col].tolist(), col
+    # all three change kinds actually exercised
+    assert set(got["change_op"]) == {"I", "U", "D"}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ingest_auto_compacts(tmp_path_factory):
     """Ingest with mixed-epoch chunks and a low chain threshold must end
     single-snapshot, unified-schema per partition WITHOUT a manual
