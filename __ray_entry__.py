@@ -1239,6 +1239,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "topk_orders": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).top_orders(sf),
+    "grouped_topk": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).grouped_topk(sf),
+    "exact_quantiles": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).exact_quantiles(sf),
     "anti_join_segment": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).orders_anti_join_segment(sf),
@@ -2126,6 +2132,30 @@ WITH o AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
 FROM s GROUP BY user_id, session_id""",
+        # exact k-th smallest with k = ceil(q*n) — unambiguous rank
+        # semantics (no interpolation), mirrored by explicit row_number
+        "exact_quantiles": """
+WITH o AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT 'p50' AS q, o_totalprice AS value FROM o
+WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+UNION ALL
+SELECT 'p90' AS q, o_totalprice AS value FROM o
+WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+UNION ALL
+SELECT 'p99' AS q, o_totalprice AS value FROM o
+WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)""",
+        "grouped_topk": """
+SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3""",
         "topk_orders": """
 SELECT o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
   SELECT o_orderkey, o_totalprice,

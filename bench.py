@@ -117,11 +117,13 @@ def run_queries() -> dict[str, float]:
     timings = {name: run_one(fn) for name, fn in queries.items()}
     # shared-VM CPU-steal spikes inflate individual timings 2-5×; re-run
     # the outliers once and keep the min (the engine's capability).
-    # Stateful/idempotent-resume queries (cdc_ingest_*) are excluded: a
-    # re-run against the already-committed lake is a resume no-op, and
-    # keeping its time would record a read-back as an ingest.
+    # Stateful/idempotent-resume queries (cdc_ingest_*, and the
+    # timetravel/changefeed queries that build a scratch lake) are
+    # excluded: a re-run against the already-committed lake is a resume
+    # no-op, and keeping its time would record a read-back as an ingest.
+    stateful = ("cdc_ingest", "cdc_timetravel", "cdc_changefeed")
     for name, t in list(timings.items()):
-        if t > 10.0 and not name.startswith("cdc_ingest"):
+        if t > 10.0 and not name.startswith(stateful):
             timings[name] = min(t, run_one(queries[name]))
     return timings
 

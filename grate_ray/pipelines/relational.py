@@ -172,6 +172,207 @@ def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def grouped_topk(sf_dir: str, k: int = 3, n_parts: int = 32) -> ray.data.Dataset:
+    """Per-GROUP top-k (top ``k`` events per user by value): the combiner
+    pattern applied per group — every batch prunes each group to its
+    local k BEFORE the shuffle (only n_blocks × groups_in_block × k rows
+    move), then one keyed repartition co-locates each user and the same
+    vectorized segment head-k assigns exact ranks. No per-group Python,
+    no global sort; the wide step ships pre-pruned rows only."""
+    import numpy as np
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(n_parts)  # keyed repartition requires hash shuffle
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def _headk(t: pa.Table, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            out = t
+            if with_rank:
+                out = out.append_column("rank", pa.array([], pa.int64()))
+            return out
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, uid))  # per user: value desc, id asc
+        g = uid[order]
+        starts = np.flatnonzero(np.concatenate([[True], g[1:] != g[:-1]]))
+        lens = np.diff(np.append(starts, len(g)))
+        rank = np.arange(len(g)) - np.repeat(starts, lens)
+        keep = rank < k
+        out = t.take(pa.array(order[keep]))
+        if with_rank:
+            out = out.append_column(
+                "rank", pa.array((rank[keep] + 1).astype(np.int64))
+            )
+        return out
+
+    def prune(t: pa.Table) -> pa.Table:
+        return _headk(t, with_rank=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        return _headk(t, with_rank=True)
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .repartition(n_parts, keys=["user_id"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def exact_quantiles(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    nbins: int = 4096,
+    max_pull: int = 200_000,
+) -> pa.Table:
+    """EXACT distributed quantiles (k-th smallest, k = ceil(q·n)) by
+    iterative histogram refinement — the classic scale shape for exact
+    order statistics without a global sort:
+
+      1. one stats pass (min/max/count);
+      2. one histogram pass per refinement level: per-batch ``bincount``
+         partials (≤ nbins tiny rows per batch) → one small groupby —
+         the driver only ever sees ≤ nbins counter rows;
+      3. each level narrows every unresolved quantile's candidate range
+         by ~nbins×; when all candidate ranges together hold ≤
+         ``max_pull`` values, ONE filtered pull sorts them locally and
+         reads off the exact answers.
+
+    Correctness is independent of the (float) binning: bins only narrow
+    the range, the answer is always the exact k-th smallest element.
+    log_nbins(n) passes: 2 levels cover 16M rows, 3 cover 10^10."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    col = "o_totalprice"
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=[col])
+
+    stats = ds.aggregate(Min(col), Max(col), Count())
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    n = int(stats["count()"])
+    # target ranks (1-based, global): k-th smallest
+    want = {f"p{int(q * 100)}": math.ceil(q * n) for q in qs}
+
+    # candidate value range per quantile; narrowing only — the exact rank
+    # is recomputed globally at the pull, so float bin-edge jitter can
+    # never shift the answer (ranges are padded a hair for the same reason)
+    state = {name: (lo, hi) for name in want}
+
+    for _level in range(4):
+        ranges = dict(state)
+
+        def histo(t: pa.Table, ranges=ranges) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            names, bins, cnts = [], [], []
+            for name, (rlo, rhi) in ranges.items():
+                w = (rhi - rlo) / nbins or 1.0
+                sel = v[(v >= rlo) & (v <= rhi)]
+                b = np.clip(((sel - rlo) / w).astype(np.int64), 0, nbins - 1)
+                c = np.bincount(b, minlength=nbins)
+                nz = np.flatnonzero(c)
+                names += [name] * len(nz)
+                bins += nz.tolist()
+                cnts += c[nz].tolist()
+            return pa.table(
+                {
+                    "name": pa.array(names, pa.string()),
+                    "bin": pa.array(bins, pa.int64()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                }
+            )
+
+        hist = (
+            ds.map_batches(histo, batch_format="pyarrow")
+            .groupby(["name", "bin"])
+            .aggregate(Sum(on="cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        # within-range rank of each target (level 0: the range is
+        # everything, so it's the global k; later levels: recomputed
+        # exactly from a below-range count pass after each narrowing)
+        if _level == 0:
+            state_rank = dict(want)
+        total_cand = 0
+        new_state = {}
+        for name, (rlo, rhi) in state.items():
+            h = hist[hist["name"] == name].sort_values("bin")
+            w = (rhi - rlo) / nbins or 1.0
+            cum = h["cnt"].cumsum().to_numpy()
+            pos = int(np.searchsorted(cum, state_rank[name]))
+            b = int(h["bin"].iloc[pos])
+            in_bin = int(h["cnt"].iloc[pos])
+            pad = w * 1e-9 + 1e-9
+            blo = max(rlo, rlo + b * w - pad)
+            bhi = rhi if b == nbins - 1 else min(rhi, rlo + (b + 1) * w + pad)
+            new_state[name] = (blo, bhi)
+            total_cand += in_bin
+        state = new_state
+        if total_cand <= max_pull:
+            break
+        state_rank = _ranks_within(ds, col, state, want)
+
+    # final exact pull of only the candidate values
+    ranges = dict(state)
+
+    def pull(t: pa.Table, ranges=ranges) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        names, vals = [], []
+        for name, (rlo, rhi) in ranges.items():
+            sel = v[(v >= rlo) & (v <= rhi)]
+            names += [name] * len(sel)
+            vals += sel.tolist()
+        return pa.table(
+            {"name": pa.array(names, pa.string()), "v": pa.array(vals, pa.float64())}
+        )
+
+    cand = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
+    ranks = _ranks_within(ds, col, state, want)
+    out_names, out_vals = [], []
+    for name in sorted(state):
+        vals = np.sort(cand[cand["name"] == name]["v"].to_numpy())
+        k = ranks[name]
+        assert 1 <= k <= len(vals), (name, k, len(vals))
+        out_names.append(name)
+        out_vals.append(float(vals[k - 1]))
+    return pa.table(
+        {"q": pa.array(out_names, pa.string()), "value": pa.array(out_vals, pa.float64())}
+    )
+
+
+def _ranks_within(ds, col: str, ranges: dict, want: dict) -> dict:
+    """Exact global rank of each target inside its candidate range:
+    k_within = k_global − count(values strictly below range_lo). One
+    cheap pass of per-batch partial counts (len(ranges) rows per batch)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def below(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        names = list(ranges.keys())
+        cnts = [int((v < ranges[name][0]).sum()) for name in names]
+        return pa.table(
+            {"name": pa.array(names, pa.string()), "below": pa.array(cnts, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(below, batch_format="pyarrow")
+        .groupby("name")
+        .aggregate(Sum(on="below", alias_name="below"))
+        .to_pandas()
+    )
+    below_by = dict(zip(agg["name"], agg["below"].astype(int)))
+    return {name: want[name] - int(below_by.get(name, 0)) for name in ranges}
+
+
 def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     """Top-k by total price without a global sort: per-batch prune to k
     (only n_blocks×k rows ever move), single-block final prune + rank —

@@ -1,0 +1,65 @@
+"""Per-group top-k and exact distributed quantiles (relational ops)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_grouped_topk_matches_window_reference(ray_session, sf_dir):
+    """Combiner-pruned per-group top-k must equal the serial row_number
+    window reference (value desc, event_id asc per user)."""
+    from grate_ray.pipelines.relational import grouped_topk
+
+    got = (
+        grouped_topk(sf_dir, k=3)
+        .to_pandas()
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    ev = ev.sort_values(
+        ["user_id", "value", "event_id"], ascending=[True, False, True]
+    )
+    ev["rank"] = ev.groupby("user_id").cumcount() + 1
+    want = ev[ev["rank"] <= 3].sort_values(["user_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for col in ("user_id", "event_id", "rank"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_exact_quantiles_multi_level_refinement(ray_session, tmp_path):
+    """A tiny max_pull forces ≥2 histogram refinement levels; answers must
+    still be the exact k-th smallest (k = ceil(q·n)) — including under a
+    heavily skewed value distribution where most mass lands in one bin."""
+    from grate_ray.pipelines.relational import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    # skew: 90% of values packed into a narrow band, long tail above
+    vals = np.concatenate(
+        [
+            rng.uniform(1000.0, 1001.0, 45_000),
+            rng.uniform(0.0, 100_000.0, 5_000),
+        ]
+    )
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(len(vals)), pa.int64()),
+            "o_totalprice": pa.array(vals, pa.float64()),
+        }
+    )
+    d = tmp_path / "q"
+    d.mkdir()
+    pq.write_table(t, d / "orders.parquet")
+
+    got = exact_quantiles(
+        str(d), qs=(0.5, 0.9, 0.99), nbins=16, max_pull=500
+    ).to_pydict()
+    s = np.sort(vals)
+    n = len(s)
+    for q, v in zip(got["q"], got["value"]):
+        frac = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[q]
+        k = int(np.ceil(frac * n))
+        assert v == float(s[k - 1]), (q, v, float(s[k - 1]))
