@@ -269,6 +269,17 @@ def q_cdc_changefeed(sf_dir: str):
     return lake_changes(lake, from_lsn=2 * w - 1, to_lsn=3 * w - 1)
 
 
+def q_transcript_assemble(sf_dir: str):
+    """CDC composed with LLM prep: replayed live lake state → one
+    'role: text' document per conversation, turns in order (keyed
+    repartition + per-block segment join; assembled text never
+    shuffles)."""
+    from grate_ray.pipelines.cdc import apply_binlog
+    from grate_ray.pipelines.llmprep import assemble_transcripts
+
+    return assemble_transcripts(apply_binlog(_binlog(sf_dir), num_partitions=16))
+
+
 def q_transcript_turn_counts(sf_dir: str):
     """Live turns per conversation+role after replay (final-state rollup)."""
     from ray.data.aggregate import Count
@@ -1200,6 +1211,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "window_hopping": q_window_hopping,
     "doc_fingerprint": q_doc_fingerprint,
     "pipeline_llm_prep": q_pipeline_llm_prep,
+    "doc_chunks": lambda sf: __import__(
+        "grate_ray.pipelines.llmprep", fromlist=["x"]
+    ).chunk_documents(sf),
+    "transcript_assemble": q_transcript_assemble,
     "pii_redact": q_pii_redact,
     "doc_repetition": q_doc_repetition,
     "shard_pack": q_shard_pack,
@@ -2132,6 +2147,23 @@ WITH o AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
 FROM s GROUP BY user_id, session_id""",
+        # live state → per-conversation 'role: text' docs, turns in order
+        "transcript_assemble": f"""
+SELECT conv_id, count(*) AS n_turns,
+       string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),
+                  chr(10) ORDER BY turn_idx) AS transcript
+FROM ({lww}) s GROUP BY conv_id""",
+        # overlapping fixed windows: chunk k covers chars [k*150, k*150+200);
+        # n_chunks = max(1, ceil((len-50)/150)) — empty docs emit one chunk
+        "doc_chunks": """
+SELECT doc_id, i AS chunk_idx, n_chunks,
+       substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk
+FROM (
+  SELECT doc_id, coalesce(text, '') AS text,
+         CAST(greatest(1, ceil((length(coalesce(text, '')) - 50) / 150.0))
+              AS BIGINT) AS n_chunks
+  FROM documents
+) d, LATERAL (SELECT UNNEST(range(n_chunks)) AS i) ks""",
         # exact k-th smallest with k = ceil(q*n) — unambiguous rank
         # semantics (no interpolation), mirrored by explicit row_number
         "exact_quantiles": """

@@ -277,6 +277,7 @@ def ingest(
     num_salts: int = 8,
     auto_compact: bool = True,
     compact_max_chain: int | None = None,
+    compact_keep: int = 1,
 ) -> pa.Table:
     """Tail the binlog into the lake; returns the metrics table (one row per
     partition commit across all micro-batches run).
@@ -466,9 +467,12 @@ def ingest(
     if auto_compact and metrics_tables:
         from .compact import compact_lake, needs_compaction
 
+        # compact_keep is the TIME-TRAVEL retention knob: GC keeps the
+        # chain files of the newest `keep` commits, so keep=1 trims
+        # history to the head while keep=N preserves N readable versions
         max_chain = compact_max_chain or PartitionMerger.SNAPSHOT_EVERY
         if needs_compaction(lake_dir, max_chain=max_chain):
-            compact_lake(lake_dir)
+            compact_lake(lake_dir, keep=compact_keep)
 
     if not metrics_tables:
         return METRICS_SCHEMA.empty_table()
@@ -550,9 +554,12 @@ def read_lake(
 
     ``asof_lsn`` is TIME TRAVEL: reconstruct each partition at its newest
     commit with ``lsn_hi <= asof_lsn`` instead of the head commit. The
-    manifests are an immutable commit log and superseded chain files are
-    only removed by explicit GC, so any historical commit point stays
-    readable. Semantics are commit-granular (like table-format version
+    manifests are an immutable commit log; historical commit points stay
+    readable as long as their chain files survive GC — note that
+    compaction (including ``ingest(auto_compact=True)``, the default,
+    when its chain/schema trigger fires) runs
+    ``gc_superseded_states(keep=1)``, which trims history to the head;
+    raise ``keep`` / disable auto_compact for longer retention. Semantics are commit-granular (like table-format version
     reads): an LSN inside a micro-batch window resolves to the commit
     BELOW it, because a delta file holds only the window's reduced LWW
     winners — the runner-up events inside a window are not recoverable

@@ -15,6 +15,108 @@ import ray
 import ray.data
 
 
+def assemble_transcripts(state) -> ray.data.Dataset:
+    """Per-conversation document assembly over replayed lake state (the
+    CDC engine composed with LLM prep): all live turns of a conversation
+    become one ``role: text`` transcript, ordered by turn_idx.
+
+    Scale shape: ONE keyed repartition co-locates each conv_id in one
+    block; whole-block batches then sort by (conv_id, turn_idx) and join
+    per segment — string concatenation is inherently O(output chars), so
+    the per-group join IS the work, and no shuffle ships assembled text
+    (only raw turns move).
+
+    NOTE: ``state`` must have been created under the hash-shuffle
+    context (``context.configure_shuffle``) — a Ray Dataset captures its
+    DataContext at creation, and keyed repartition requires
+    HASH_SHUFFLE. Engine pipelines (``apply_binlog``/``read_lake``)
+    already do this."""
+    import pandas as pd
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(32)
+    co = state.repartition(32, keys=["conv_id"])
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"])
+        line = df["role"].fillna("") + ": " + df["text"].fillna("")
+        g = line.groupby(df["conv_id"], sort=True)
+        out = g.agg("\n".join)
+        n = df.groupby(df["conv_id"], sort=True)["turn_idx"].size()
+        return pd.DataFrame(
+            {
+                "conv_id": out.index,
+                "n_turns": n.to_numpy().astype("int64"),
+                "transcript": out.to_numpy(),
+            }
+        )
+
+    return co.map_batches(build, batch_format="pandas", batch_size=None)
+
+
+def chunk_documents(
+    sf_dir: str, chunk_size: int = 200, stride: int = 150
+) -> ray.data.Dataset:
+    """Overlapping fixed-window chunking (context-window prep): doc text
+    → chunks of ``chunk_size`` chars starting every ``stride`` chars
+    (overlap = chunk_size − stride). The 1→N expansion runs inside
+    map_batches, vectorized BY CHUNK INDEX: one Arrow slice kernel per
+    distinct chunk start over all docs that reach it — no per-row Python,
+    and the per-batch loop is bounded by max chunks per doc, not rows.
+    Empty docs emit one empty chunk (stable cardinality for joins)."""
+    import numpy as np
+
+    if stride <= 0 or chunk_size < stride:
+        raise ValueError("need 0 < stride <= chunk_size")
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ln = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.maximum(
+            1, -(-(ln - (chunk_size - stride)) // stride)
+        )  # ceil((len - overlap) / stride), min 1
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_ids, out_idx, out_n, out_chunks = [], [], [], []
+        max_k = int(n_chunks.max()) if len(n_chunks) else 0
+        for k in range(max_k):
+            sel = np.flatnonzero(n_chunks > k)
+            sliced = pc.utf8_slice_codeunits(
+                text.take(pa.array(sel)),
+                start=k * stride,
+                stop=k * stride + chunk_size,
+            )
+            out_ids.append(ids[sel])
+            out_idx.append(np.full(len(sel), k, dtype=np.int64))
+            out_n.append(n_chunks[sel])
+            out_chunks.append(sliced)
+        if not out_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], t["doc_id"].type),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "n_chunks": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids), t["doc_id"].type),
+                "chunk_idx": pa.array(np.concatenate(out_idx)),
+                "n_chunks": pa.array(np.concatenate(out_n)),
+                "chunk": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_chunks]
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(explode, batch_format="pyarrow")
+
+
 def shard_pack(
     sf_dir: str,
     budget: int = 4096,

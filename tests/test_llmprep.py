@@ -94,3 +94,74 @@ def test_shard_pack_prefix_sum(ray_session, sf_dir):
     sid = df["shard_id"].to_numpy()
     assert sid[0] == 0
     assert (np.diff(np.unique(sid)) == 1).all()
+
+
+def test_chunk_documents_overlap_and_edges(ray_session, tmp_path):
+    """Chunks cover the doc with the declared overlap: stitching chunk k's
+    first `stride` chars back together reconstructs the text; short and
+    empty docs emit exactly one chunk."""
+    import pyarrow.parquet as pq
+
+    from grate_ray.pipelines.llmprep import chunk_documents
+
+    texts = ["x" * 0, "ab", "c" * 200, "d" * 201, "".join(chr(97 + i % 26) for i in range(553))]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    df = (
+        chunk_documents(str(d), chunk_size=200, stride=150)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    for doc_id, text in enumerate(texts):
+        g = df[df["doc_id"] == doc_id]
+        want_n = max(1, -(-(len(text) - 50) // 150))
+        assert g["n_chunks"].tolist() == [want_n] * want_n
+        assert g["chunk_idx"].tolist() == list(range(want_n))
+        # every chunk is the exact window
+        for k, chunk in zip(g["chunk_idx"], g["chunk"]):
+            assert chunk == text[k * 150 : k * 150 + 200]
+        # stitch: firsts strides + last chunk == text
+        chunks = g["chunk"].tolist()
+        stitched = "".join(c[:150] for c in chunks[:-1]) + chunks[-1]
+        assert stitched == text
+
+
+def test_assemble_transcripts(ray_session):
+    """Turns concat in turn_idx order per conversation, 'role: text'
+    lines; null text/role coalesce to empty."""
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.pipelines.llmprep import assemble_transcripts
+
+    configure_shuffle(8)  # a Dataset captures its context at creation
+    state = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["a", "b", "a", "a", "b"]),
+                "turn_idx": pa.array([2, 0, 0, 1, 1], pa.int32()),
+                "role": pa.array(["user", "system", "user", None, "tool"]),
+                "text": pa.array(["three", "hi", "one", "two", None]),
+            }
+        )
+    )
+    df = (
+        assemble_transcripts(state)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert df["conv_id"].tolist() == ["a", "b"]
+    assert df["n_turns"].tolist() == [3, 2]
+    assert df["transcript"].tolist() == [
+        "user: one\n: two\nuser: three",
+        "system: hi\ntool: ",
+    ]
