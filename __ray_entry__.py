@@ -269,6 +269,19 @@ def q_cdc_changefeed(sf_dir: str):
     return lake_changes(lake, from_lsn=2 * w - 1, to_lsn=3 * w - 1)
 
 
+def q_cdc_incremental_view(sf_dir: str):
+    """Incremental materialized-view maintenance: the (conv_id, role)
+    turn-count view at the 3rd commit is produced from the view at the
+    2nd commit plus changefeed ±1 deltas (I: +new, D: −old, U: −old+new)
+    — the full to-state is never re-read. The oracle is the FULL
+    recompute at the 3rd commit; equality proves the maintenance
+    algebra."""
+    from grate_ray.pipelines.views import incremental_turn_counts
+
+    lake, w = _timetravel_lake(sf_dir)
+    return incremental_turn_counts(lake, from_lsn=2 * w - 1, to_lsn=3 * w - 1)
+
+
 def q_transcript_assemble(sf_dir: str):
     """CDC composed with LLM prep: replayed live lake state → one
     'role: text' document per conversation, turns in order (keyed
@@ -1185,6 +1198,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
+    "cdc_incremental_view": q_cdc_incremental_view,
     "transcript_turn_counts": q_transcript_turn_counts,
     "decode_roundtrip_nation": q_decode_roundtrip_nation,
     "decode_roundtrip_customer": q_decode_roundtrip_customer,
@@ -2147,6 +2161,22 @@ WITH o AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
 FROM s GROUP BY user_id, session_id""",
+        # incremental view result must equal the FULL recompute at the
+        # 3rd commit (asof 3W-1): live-turn counts per (conv_id, role)
+        "cdc_incremental_view": f"""
+WITH wparam AS (
+  SELECT CAST(max(event_id) // 4 + 1 AS BIGINT) AS w FROM events
+)
+SELECT conv_id, coalesce(role, '') AS role, count(*) AS n_turns
+FROM (
+  SELECT b.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx
+           ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ({BINLOG_SQL}) b, wparam
+  WHERE b.lsn < 3 * wparam.w
+) r
+WHERE rn = 1 AND op <> 'D'
+GROUP BY conv_id, coalesce(role, '')""",
         # live state → per-conversation 'role: text' docs, turns in order
         "transcript_assemble": f"""
 SELECT conv_id, count(*) AS n_turns,

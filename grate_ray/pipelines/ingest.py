@@ -605,7 +605,7 @@ def read_lake(
 
 
 def lake_changes(
-    lake_dir: str, from_lsn: int, to_lsn: int
+    lake_dir: str, from_lsn: int, to_lsn: int, include_old: bool = False
 ) -> ray.data.Dataset:
     """CHANGEFEED out of the lake: the net row changes between two commit
     points — every key whose LWW winner at ``to_lsn`` differs from its
@@ -624,24 +624,37 @@ def lake_changes(
     is always exact). Per partition, BOTH chain walks run in the same
     task — co-located, no shuffle — and the diff is one vectorized join
     on the key. ``from_lsn``/``to_lsn`` resolve commit-granular, exactly
-    as ``read_lake(asof_lsn=...)`` does."""
+    as ``read_lake(asof_lsn=...)`` does.
+
+    ``include_old=True`` additionally carries the FROM-state winner's
+    payload as ``old_role``/``old_text``/``old_tool``/``old_ts`` (null
+    for inserts) — what an incremental view maintainer needs to retract
+    the superseded row's contribution before adding the new one."""
     parts = [
         p
         for p in list_partitions(lake_dir)
         if committed_lsn(lake_dir, p, asof_lsn=to_lsn) is not None
     ]
-    empty = pa.table(
-        {
-            "change_op": pa.array([], pa.string()),
-            "conv_id": pa.array([], pa.string()),
-            "turn_idx": pa.array([], pa.int32()),
-            "role": pa.array([], pa.string()),
-            "text": pa.array([], pa.string()),
-            "tool": pa.array([], pa.string()),
-            "ts": pa.array([], pa.timestamp("us")),
-            "lsn": pa.array([], pa.int64()),
-        }
-    )
+    cols_spec = {
+        "change_op": pa.string(),
+        "conv_id": pa.string(),
+        "turn_idx": pa.int32(),
+        "role": pa.string(),
+        "text": pa.string(),
+        "tool": pa.string(),
+        "ts": pa.timestamp("us"),
+        "lsn": pa.int64(),
+    }
+    if include_old:
+        cols_spec.update(
+            {
+                "old_role": pa.string(),
+                "old_text": pa.string(),
+                "old_tool": pa.string(),
+                "old_ts": pa.timestamp("us"),
+            }
+        )
+    empty = pa.table({k: pa.array([], v) for k, v in cols_spec.items()})
     if not parts:
         return ray.data.from_arrow(empty)
 
@@ -661,22 +674,36 @@ def lake_changes(
                     "conv_id",
                     b["conv_id"].cast(pa.string()),
                 )
+            old_payload = ("role", "text", "tool", "ts")
             if a is not None and a.num_rows:
-                a2 = pa.table(
-                    {
-                        "conv_id": a["conv_id"].cast(pa.string()),
-                        "turn_idx": a["turn_idx"],
-                        "a_lsn": a["lsn"].cast(pa.int64()),
-                        "a_op": a["op"].cast(pa.string()),
-                    }
-                )
+                acols = {
+                    "conv_id": a["conv_id"].cast(pa.string()),
+                    "turn_idx": a["turn_idx"],
+                    "a_lsn": a["lsn"].cast(pa.int64()),
+                    "a_op": a["op"].cast(pa.string()),
+                }
+                if include_old:
+                    for name in old_payload:
+                        acols[f"old_{name}"] = (
+                            a[name].cast(cols_spec[f"old_{name}"])
+                            if name in a.column_names
+                            else pa.nulls(a.num_rows, cols_spec[f"old_{name}"])
+                        )
                 j = b.join(
-                    a2, keys=["conv_id", "turn_idx"], join_type="left outer"
+                    pa.table(acols),
+                    keys=["conv_id", "turn_idx"],
+                    join_type="left outer",
                 )
             else:
                 j = b.append_column(
                     "a_lsn", pa.nulls(b.num_rows, pa.int64())
                 ).append_column("a_op", pa.nulls(b.num_rows, pa.string()))
+                if include_old:
+                    for name in old_payload:
+                        j = j.append_column(
+                            f"old_{name}",
+                            pa.nulls(b.num_rows, cols_spec[f"old_{name}"]),
+                        )
             b_lsn = j["lsn"].cast(pa.int64())
             a_lsn = j["a_lsn"]
             b_live = pc.not_equal(j["op"], "D")
@@ -709,6 +736,16 @@ def lake_changes(
                     else pa.nulls(j.num_rows, empty.schema.field(name).type)
                 )
             cols["lsn"] = j["lsn"].cast(pa.int64())
+            if include_old:
+                # old_* is the retracted LIVE row only — null when the
+                # from-state winner was a tombstone (nothing to retract)
+                for name in old_payload:
+                    col = j[f"old_{name}"]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    cols[f"old_{name}"] = pc.if_else(
+                        a_live, col, pa.scalar(None, cols_spec[f"old_{name}"])
+                    )
             ch = pa.table(cols).cast(empty.schema)
             idx = pc.sort_indices(
                 ch,

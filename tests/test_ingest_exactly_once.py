@@ -376,3 +376,34 @@ def test_ingest_auto_compacts(tmp_path_factory):
         assert len(files) == 1, f"partition {p} chain not compacted: {files}"
         schemas.add(pq.read_schema(os.path.join(lake, files[0])).to_string())
     assert len(schemas) == 1  # one unified schema across partitions
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_view_equals_full_recompute(tmp_path_factory):
+    """view@B maintained from view@A + changefeed deltas must equal the
+    full recompute at B — for every consecutive commit pair (exercises
+    retraction on U and D, not just inserts)."""
+    from grate_ray.pipelines.views import incremental_turn_counts, turn_counts_view
+    from grate_ray.state.manifest import read_batch_plan
+
+    d = str(tmp_path_factory.mktemp("vbinlog"))
+    lake = str(tmp_path_factory.mktemp("vlake"))
+    generate_binlog(
+        d, GenSpec(num_events=12_000, num_convs=60, seed=99, chunk_rows=1_500)
+    )
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2, auto_compact=False)
+    plan = read_batch_plan(lake)
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["conv_id", "role"])
+            .reset_index(drop=True)
+        )
+
+    for a, b in zip(plan, plan[1:]):
+        inc = norm(incremental_turn_counts(lake, from_lsn=a[1], to_lsn=b[1]))
+        full = norm(turn_counts_view(lake, asof_lsn=b[1]))
+        assert len(inc) == len(full) > 0, (a, b)
+        for col in ("conv_id", "role", "n_turns"):
+            assert inc[col].tolist() == full[col].tolist(), (col, a, b)
