@@ -1274,6 +1274,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "exact_quantiles": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).exact_quantiles(sf),
+    "profile_table": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).profile_table(sf),
     "anti_join_segment": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).orders_anti_join_segment(sf),
@@ -2194,6 +2197,29 @@ FROM (
               AS BIGINT) AS n_chunks
   FROM documents
 ) d, LATERAL (SELECT UNNEST(range(n_chunks)) AS i) ks""",
+        # per-column profile; float min/max rendered %.6f on both sides,
+        # int via CAST, distinct counted on native values
+        "profile_table": """
+SELECT 'event_id' AS col, count(*) AS n,
+       count(*) - count(event_id) AS n_null,
+       count(DISTINCT event_id) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_val,
+       CAST(max(event_id) AS VARCHAR) AS max_val
+FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type), min(event_type), max(event_type)
+FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       count(DISTINCT value),
+       printf('%.6f', min(value)), printf('%.6f', max(value))
+FROM events""",
         # exact k-th smallest with k = ceil(q*n) — unambiguous rank
         # semantics (no interpolation), mirrored by explicit row_number
         "exact_quantiles": """

@@ -223,6 +223,141 @@ def grouped_topk(sf_dir: str, k: int = 3, n_parts: int = 32) -> ray.data.Dataset
     )
 
 
+_PROFILE_COLS = {
+    # column → kind: 'int' renders str(v); 'float' renders %.6f; 'str' raw.
+    # Rendering is injective per kind, so distinct-on-rendered == distinct,
+    # and min/max reduce on NATIVE values (rendered only at the very end).
+    "event_id": "int",
+    "event_type": "str",
+    "user_id": "int",
+    "value": "float",
+}
+
+
+def profile_table(sf_dir: str) -> pa.Table:
+    """Data profiling of the events table: one row per column with
+    (n, n_null, n_distinct, min_val, max_val).
+
+    Scale shape: stats come from ONE pass of per-batch partials (a single
+    tiny row per column per batch — counts + native min/max), reduced by
+    one small groupby; distinct counts come from the combiner-distinct
+    pattern (per-batch unique values only, never raw rows) + one keyed
+    repartition. Driver only ever sees per-column rollups."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(16)
+    cols = list(_PROFILE_COLS)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def stat_partials(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            arr = t[c]
+            names.append(c)
+            ns.append(t.num_rows)
+            nulls.append(int(pc.sum(pc.is_null(arr).cast(pa.int64())).as_py() or 0))
+            # native min/max, carried as float64 for numerics / None for
+            # strings (string min/max rides the rendered distinct relation)
+            if _PROFILE_COLS[c] == "str":
+                mins.append(None)
+                maxs.append(None)
+            else:
+                mn = pc.min(arr).as_py()
+                mx = pc.max(arr).as_py()
+                mins.append(None if mn is None else float(mn))
+                maxs.append(None if mx is None else float(mx))
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "mn": pa.array(mins, pa.float64()),
+                "mx": pa.array(maxs, pa.float64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(stat_partials, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum(on="n", alias_name="n"),
+            Sum(on="n_null", alias_name="n_null"),
+            Min(on="mn", alias_name="mn"),
+            Max(on="mx", alias_name="mx"),
+        )
+        .to_pandas()
+        .set_index("col")
+    )
+
+    def distinct_partials(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            arr = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+            uniq = pc.drop_null(arr).unique()
+            # Arrow's numeric→string cast is INJECTIVE (shortest
+            # round-trip for floats), so distinct-on-rendered == native
+            # distinct; a fixed-precision format would collide values
+            if not pa.types.is_string(uniq.type):
+                uniq = pc.cast(uniq, pa.string())
+            names.append(pa.nulls(len(uniq), pa.string()).fill_null(c))
+            vals.append(uniq)
+        return pa.table(
+            {
+                "col": pa.concat_arrays([n.combine_chunks() if isinstance(n, pa.ChunkedArray) else n for n in names]),
+                "val": pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vals]),
+            }
+        )
+
+    # distinct: keyed repartition co-locates every (col, val) pair in one
+    # block; per-block pandas drop_duplicates + tiny per-col rollup beats
+    # Ray's HashAggregate at value-cardinality (~1s per 100k groups)
+    def block_distinct(df):
+        u = df.drop_duplicates()
+        g = u.groupby("col")["val"]
+        out = g.agg(["size", "min", "max"]).reset_index()
+        out.columns = ["col", "n_distinct", "smin", "smax"]
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out
+
+    dparts = (
+        ds.map_batches(distinct_partials, batch_format="pyarrow")
+        .repartition(16, keys=["col", "val"])
+        .map_batches(block_distinct, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    dagg = dparts.groupby("col").agg(
+        n_distinct=("n_distinct", "sum"), smin=("smin", "min"), smax=("smax", "max")
+    )
+    ndist = dagg[["n_distinct"]]
+    # string columns: min/max are the lexicographic ends of the distinct
+    # relation — matches SQL min/max over VARCHAR
+    str_mm = dagg[["smin", "smax"]]
+
+    def render(c: str, v) -> str:
+        kind = _PROFILE_COLS[c]
+        if kind == "str":
+            return str(str_mm.loc[c, "smin" if v == "min" else "smax"])
+        x = stats.loc[c, "mn" if v == "min" else "mx"]
+        return f"{x:.6f}" if kind == "float" else str(int(x))
+
+    return pa.table(
+        {
+            "col": pa.array(cols, pa.string()),
+            "n": pa.array([int(stats.loc[c, "n"]) for c in cols], pa.int64()),
+            "n_null": pa.array(
+                [int(stats.loc[c, "n_null"]) for c in cols], pa.int64()
+            ),
+            "n_distinct": pa.array(
+                [int(ndist.loc[c, "n_distinct"]) for c in cols], pa.int64()
+            ),
+            "min_val": pa.array([render(c, "min") for c in cols], pa.string()),
+            "max_val": pa.array([render(c, "max") for c in cols], pa.string()),
+        }
+    )
+
+
 def exact_quantiles(
     sf_dir: str,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),

@@ -63,3 +63,27 @@ def test_exact_quantiles_multi_level_refinement(ray_session, tmp_path):
         frac = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[q]
         k = int(np.ceil(frac * n))
         assert v == float(s[k - 1]), (q, v, float(s[k - 1]))
+
+
+def test_profile_table_with_nulls(ray_session, tmp_path):
+    """Profile stats must be exact under nulls: n counts all rows, n_null
+    per column, distinct excludes nulls, min/max render canonically."""
+    from grate_ray.pipelines.relational import profile_table
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "event_type": pa.array(["b", None, "a", "b", None]),
+            "user_id": pa.array([10, 10, None, 30, 30], pa.int64()),
+            "value": pa.array([2.5, None, 0.1, 2.5, -3.0], pa.float64()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    df = profile_table(str(d)).to_pandas().set_index("col")
+    assert df.loc["event_id"].tolist() == [5, 0, 5, "1", "5"]
+    assert df.loc["event_type"].tolist() == [5, 2, 2, "a", "b"]
+    assert df.loc["user_id"].tolist() == [5, 1, 2, "10", "30"]
+    assert df.loc["value"].tolist() == [5, 1, 3, "-3.000000", "2.500000"]
