@@ -24,3 +24,28 @@ Everything is expressed Ray-Data-first: ``ray.data.Dataset`` pipelines,
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import grate_ray` Ray-free until used):
+    the lake lifecycle a user drives — tail/commit, read (head or
+    time-travel), changefeed, incremental views, compaction."""
+    _api = {
+        "ingest": ("grate_ray.pipelines.ingest", "ingest"),
+        "read_lake": ("grate_ray.pipelines.ingest", "read_lake"),
+        "lake_changes": ("grate_ray.pipelines.ingest", "lake_changes"),
+        "replay": ("grate_ray.pipelines.cdc", "replay"),
+        "apply_binlog": ("grate_ray.pipelines.cdc", "apply_binlog"),
+        "compact_lake": ("grate_ray.pipelines.compact", "compact_lake"),
+        "incremental_turn_counts": (
+            "grate_ray.pipelines.views",
+            "incremental_turn_counts",
+        ),
+        "turn_counts_view": ("grate_ray.pipelines.views", "turn_counts_view"),
+    }
+    if name in _api:
+        import importlib
+
+        mod, attr = _api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -202,3 +202,52 @@ def test_md5_lower64_matches_duckdb_exactly():
     for v, g in zip(vals, got):
         (e,) = con.execute("SELECT md5_number_lower(?)", [v]).fetchone()
         assert int(g) == int(e), v
+
+
+def test_png_wav_property_roundtrip():
+    """Property: any uint8 image (any shape/channels, any filter plan) and
+    any int16 sample block survive encode→decode bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grate_ray.functions.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def png_prop(h, w, ch, seed, data):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        w2, h2, back = decode_png(encode_png(img, row_filters=filters))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(back, img)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 300),
+        ch=st.sampled_from([1, 2]),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_prop(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+        r2, c2, back = decode_wav(encode_wav(s, rate=rate, channels=ch))
+        assert (r2, c2) == (rate, ch)
+        assert np.array_equal(back, s.reshape(-1, ch))
+
+    png_prop()
+    wav_prop()
