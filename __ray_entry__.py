@@ -269,6 +269,59 @@ def q_cdc_changefeed(sf_dir: str):
     return lake_changes(lake, from_lsn=2 * w - 1, to_lsn=3 * w - 1)
 
 
+def q_deadletter_counts(sf_dir: str):
+    """Dead-letter contract under the gate: deterministic corruption is
+    injected into the derived binlog by pure LSN arithmetic (bad op /
+    null conv / negative turn / null ts, with overlaps), the vectorized
+    split_valid quarantines rows with composed reasons, and the oracle
+    reproduces reason strings and counts with the same arithmetic."""
+    from grate_ray.stages.validate import split_valid
+    from ray.data.aggregate import Count
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        lsn = t["lsn"].to_numpy(zero_copy_only=False)
+        ob = pa.array(lsn % 101 == 7)
+        cb = pa.array(lsn % 103 == 11)
+        tb = pa.array(lsn % 107 == 13)
+        sb = pa.array(lsn % 109 == 17)
+        t = t.set_column(
+            t.column_names.index("op"),
+            "op",
+            pc.if_else(ob, pa.scalar("X"), t["op"]),
+        )
+        t = t.set_column(
+            t.column_names.index("conv_id"),
+            "conv_id",
+            pc.if_else(cb, pa.scalar(None, pa.string()), t["conv_id"]),
+        )
+        turn = t["turn_idx"]
+        ttype = turn.type if not isinstance(turn, pa.ChunkedArray) else turn.type
+        t = t.set_column(
+            t.column_names.index("turn_idx"),
+            "turn_idx",
+            pc.if_else(tb, pa.scalar(-1, ttype), turn),
+        )
+        ts = t["ts"]
+        t = t.set_column(
+            t.column_names.index("ts"),
+            "ts",
+            pc.if_else(sb, pa.scalar(None, ts.type), ts),
+        )
+        return t
+
+    def dead_reasons(t: pa.Table) -> pa.Table:
+        _valid, dead = split_valid(t)
+        return dead.select(["reason"])
+
+    return (
+        _binlog(sf_dir)
+        .map_batches(corrupt, batch_format="pyarrow")
+        .map_batches(dead_reasons, batch_format="pyarrow")
+        .groupby("reason")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_cdc_incremental_view(sf_dir: str):
     """Incremental materialized-view maintenance: the (conv_id, role)
     turn-count view at the 3rd commit is produced from the view at the
@@ -1199,6 +1252,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
     "cdc_incremental_view": q_cdc_incremental_view,
+    "deadletter_counts": q_deadletter_counts,
     "transcript_turn_counts": q_transcript_turn_counts,
     "decode_roundtrip_nation": q_decode_roundtrip_nation,
     "decode_roundtrip_customer": q_decode_roundtrip_customer,
@@ -2164,6 +2218,18 @@ WITH o AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
 FROM s GROUP BY user_id, session_id""",
+        # corruption flags and reason composition mirror q_deadletter_counts
+        # and stages/validate.py exactly (same flag order, '+'-joined)
+        "deadletter_counts": f"""
+SELECT concat_ws('+',
+         CASE WHEN lsn % 101 = 7 THEN 'bad_op' END,
+         CASE WHEN lsn % 103 = 11 THEN 'bad_conv_id' END,
+         CASE WHEN lsn % 107 = 13 THEN 'bad_turn_idx' END,
+         CASE WHEN lsn % 109 = 17 THEN 'null_ts' END) AS reason,
+       count(*) AS n
+FROM ({BINLOG_SQL}) b
+WHERE lsn % 101 = 7 OR lsn % 103 = 11 OR lsn % 107 = 13 OR lsn % 109 = 17
+GROUP BY 1""",
         # incremental view result must equal the FULL recompute at the
         # 3rd commit (asof 3W-1): live-turn counts per (conv_id, role)
         "cdc_incremental_view": f"""
