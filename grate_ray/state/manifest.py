@@ -232,6 +232,15 @@ def read_state(
     tables = []
     for f in files:
         path = os.path.join(lake_dir, f)
+        if not os.path.exists(path):
+            # the manifest (lineage) is kept forever, but GC/compaction may
+            # have removed superseded chain files — surface a clear error
+            # instead of a bare FileNotFoundError from the parquet reader
+            raise ValueError(
+                f"cannot reconstruct partition {part} at lsn_hi={lsn_hi}: "
+                f"chain file {f!r} was garbage-collected (raise the GC/"
+                f"compaction `keep` to retain time-travel history)"
+            )
         cols = None
         if columns is not None:
             have = set(pq.read_schema(path).names)

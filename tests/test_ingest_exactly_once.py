@@ -407,3 +407,26 @@ def test_incremental_view_equals_full_recompute(tmp_path_factory):
         assert len(inc) == len(full) > 0, (a, b)
         for col in ("conv_id", "role", "n_turns"):
             assert inc[col].tolist() == full[col].tolist(), (col, a, b)
+
+
+def test_time_travel_after_gc_raises_clearly(tmp_path):
+    """GC keeps manifests (lineage) forever but removes superseded chain
+    files; a time-travel read past the retention horizon must fail with
+    an actionable error, and head reads must be unaffected."""
+    lake = str(tmp_path / "lake")
+    for i, lsn in enumerate([10, 20, 30]):
+        t = pa.table(
+            {
+                "op": ["I"],
+                "lsn": pa.array([lsn], pa.int64()),
+                "conv_id": [f"c{i}"],
+                "turn_idx": pa.array([0], pa.int32()),
+            }
+        )
+        commit_partition(lake, 0, lsn - 9, lsn, t, {})
+    gc_superseded_states(lake, 0, keep=1)
+    # head still reads
+    assert read_state(lake, 0) is not None
+    # history before the kept horizon: clear error, not FileNotFoundError
+    with pytest.raises(ValueError, match="garbage-collected"):
+        read_state(lake, 0, lsn_hi=20)
