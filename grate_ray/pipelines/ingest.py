@@ -630,6 +630,10 @@ def lake_changes(
     payload as ``old_role``/``old_text``/``old_tool``/``old_ts`` (null
     for inserts) — what an incremental view maintainer needs to retract
     the superseded row's contribution before adding the new one."""
+    if from_lsn > to_lsn:
+        raise ValueError(
+            f"lake_changes requires from_lsn <= to_lsn (got {from_lsn} > {to_lsn})"
+        )
     parts = [
         p
         for p in list_partitions(lake_dir)
@@ -659,8 +663,6 @@ def lake_changes(
         return ray.data.from_arrow(empty)
 
     def diff(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         out = []
         for p in t["part"].to_pylist():
             b = read_state(lake_dir, int(p), lsn_hi=to_lsn)
