@@ -1218,6 +1218,31 @@ def q_multimodal_png(sf_dir: str):
     )
 
 
+def q_multimodal_jpeg(sf_dir: str):
+    """REAL baseline JPEG decode end to end: per doc, a 4-block grayscale
+    JFIF file (real markers, in-file Huffman tables, DC prediction across
+    blocks, byte stuffing) whose flat blocks quantize to lone DC
+    coefficients — so the decoded planes are exact integer arithmetic the
+    SQL oracle reproduces, while the Huffman entropy path is fully
+    exercised. Decoded by the actor-pool JpegFeatureExtractor (marker
+    walk, entropy decode, dequant + IDCT) — no stub."""
+    from grate_ray.functions.multimodal import (
+        JpegFeatureExtractor,
+        synthesize_jpeg_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_jpeg_column, batch_format="pyarrow")
+        .map_batches(
+            JpegFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,  # media batches stay small (payload-size aware)
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_wav(sf_dir: str):
     """REAL audio decode end to end: deterministic 16-bit PCM WAVs are
     synthesized per doc (true RIFF layout), decoded by the actor-pool
@@ -1298,6 +1323,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_bmp": q_multimodal_bmp,
     "multimodal_png": q_multimodal_png,
+    "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_wav": q_multimodal_wav,
     "multimodal_frames": q_multimodal_frames,
     "cell_types": q_cell_types,
@@ -2141,6 +2167,16 @@ SELECT doc_id,
        round(avg((doc_id * 5 + i * 3 + 7) % 256), 6) AS mean_g,
        round(avg((doc_id * 5 + i * 3 + 14) % 256), 6) AS mean_b
 FROM documents CROSS JOIN (SELECT UNNEST(range(48)) AS i) px
+GROUP BY doc_id""",
+        # flat JPEG blocks: v' = clip(128 + 2*floor((v-128)/2 + 0.5));
+        # block b of doc d has v = (d*3 + b*17) % 256, q[0][0]=16
+        "multimodal_jpeg": """
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       round(avg(LEAST(255, GREATEST(0,
+         128 + 2 * CAST(floor(((doc_id * 3 + b * 17) % 256 - 128) / 2.0
+                              + 0.5) AS BIGINT)))), 6) AS mean_gray
+FROM documents CROSS JOIN (SELECT UNNEST(range(4)) AS b) bs
 GROUP BY doc_id""",
         "multimodal_wav": """
 SELECT doc_id,

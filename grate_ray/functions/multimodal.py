@@ -1,13 +1,15 @@
 """Multimodal (binary-payload) operators: real Ray-side schema/batch/actor
-mechanics throughout, with THREE real dependency-free codecs:
+mechanics throughout, with FOUR real dependency-free codecs:
 
 - uncompressed 24-bit BMP (header parsing + numpy pixel math),
 - PNG (8-bit gray/RGB/RGBA, non-interlaced: zlib inflate, chunk CRC
   verification, and all five scanline filters — None/Sub/Up/Average/Paeth),
+- baseline JPEG, grayscale (real JFIF markers, in-file Huffman tables,
+  DC-predicted entropy decode, dequantize + IDCT),
 - WAV (RIFF chunk walk, 16-bit PCM).
 
-Only the codecs with no stdlib path (jpeg, compressed audio, real video
-containers) remain STUBBED behind ``NotImplementedError`` in MediaDecoder.
+Only color/progressive JPEG, compressed audio and real video containers
+remain STUBBED behind ``NotImplementedError`` in MediaDecoder.
 
 Pattern for 100 TB media pipelines: binary columns stay in Arrow
 (``batch_format="pyarrow"`` end to end — binary does not survive pandas
@@ -337,6 +339,389 @@ class PngFeatureExtractor:
         out = out.append_column("mean_r", pa.array(mr, pa.float64()))
         out = out.append_column("mean_g", pa.array(mg, pa.float64()))
         out = out.append_column("mean_b", pa.array(mb, pa.float64()))
+        return out
+
+
+# --- real baseline JPEG codec (grayscale; no external libs) -------------------
+#
+# A spec-correct JFIF baseline codec for single-component (grayscale)
+# images with 8x8-multiple dimensions: real marker segments (APP0, DQT,
+# SOF0, DHT, SOS), canonical Huffman coding with byte stuffing, zigzag,
+# quantization, and an orthonormal DCT-II/IDCT in numpy. The DECODER
+# rebuilds its Huffman tables from the file's own DHT segments (as any
+# conformant reader must), so the bitstream is externally decodable.
+# 3-component color and progressive scans raise NotImplementedError so
+# callers dead-letter rather than mis-decode.
+#
+# Rounding convention (both sides): floor(x + 0.5) — chosen so the lossy
+# arithmetic of DC-only (flat) blocks is exactly mirrorable in SQL.
+
+# ITU-T T.81 Annex K luminance quantization table (public spec constants)
+JPEG_QTABLE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# canonical Huffman table specs (bits-per-length + symbol list); the
+# decoder never assumes these — it reads whatever DHT the file carries
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = (
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A]
+    + [x for hi in range(4, 9) for x in range(hi * 16 + 3, hi * 16 + 11)]
+    + [x for hi in range(9, 14) for x in range(hi * 16 + 2, hi * 16 + 11)]
+    + list(range(0xE1, 0xEB))
+    + list(range(0xF1, 0xFB))
+)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per the canonical JPEG construction."""
+    codes = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_ZIGZAG = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+)
+
+
+def _dct_mat() -> np.ndarray:
+    i = np.arange(8)[:, None]
+    j = np.arange(8)[None, :]
+    d = np.cos((2 * j + 1) * i * np.pi / 16) / 2.0
+    d[0, :] /= np.sqrt(2.0)
+    return d
+
+
+def _fl_round(x: np.ndarray) -> np.ndarray:
+    return np.floor(x + 0.5).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """(H, W) uint8 grayscale (8x8-multiple dims) → real baseline JFIF
+    bytes: DQT + SOF0 + DHT (DC and AC tables) + SOS entropy stream with
+    canonical Huffman codes, DC prediction, EOB/run-length AC coding and
+    byte stuffing."""
+    q = JPEG_QTABLE if qtable is None else qtable
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder requires 8x8-multiple dimensions")
+    d = _dct_mat()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = pixels[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            # snap float-DCT noise (~1e-13) before quantizing: true
+            # coefficients of integer blocks are exact at this precision,
+            # so floor(x+0.5) ties are deterministic (and SQL-mirrorable
+            # for the flat-block fixtures)
+            coef = np.round(d @ block @ d.T, 6)
+            qc = _fl_round(coef / q)
+            zz = qc.reshape(-1)[_ZIGZAG]
+            # DC: predicted difference, category + extend bits
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            mag, size = abs(diff), 0
+            while mag:
+                mag >>= 1
+                size += 1
+            bw.write(*dc_codes[size])
+            if size:
+                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+            # AC: run-length of zeros + category, ZRL for 16-runs, EOB
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    bw.write(*ac_codes[0xF0])
+                    run -= 16
+                mag, size = abs(v), 0
+                while mag:
+                    mag >>= 1
+                    size += 1
+                sym = (run << 4) | size
+                bw.write(*ac_codes[sym])
+                bw.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                bw.write(*ac_codes[0x00])  # EOB
+    data = bw.flush()
+
+    qzz = q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    out = b"\xff\xd8"  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + qzz)
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += data + b"\xff\xd9"  # EOI
+    return out
+
+
+class _BitReader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.buf) or self.buf[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """DHT spec → {(length, code): symbol} lookup."""
+    table = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br: _BitReader, table) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """JFIF bytes → (width, height, (H, W) uint8). REAL baseline decode:
+    marker walk, DQT/DHT parsed FROM THE FILE, SOF0 dims, Huffman entropy
+    decode (DC prediction + AC run-length + EOB, byte unstuffing),
+    dequantize, IDCT, level shift, clamp. Single-component baseline only;
+    color/progressive raise NotImplementedError (dead-letter, never
+    mis-decode)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    qsel = 0
+    dcsel = acsel = 0
+    data = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", blob, pos + 2)
+        if pos + 2 + ln > len(blob):
+            raise ValueError("truncated JPEG segment")
+        payload = blob[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(payload, np.uint8, 64, p + 1).astype(np.int32)
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIGZAG] = zz
+                qtables[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                if p + 17 + n > len(payload):
+                    raise ValueError("truncated JPEG DHT segment")
+                vals = list(payload[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _huff_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    f"only 8-bit single-component baseline supported "
+                    f"(prec={prec} ncomp={ncomp})"
+                )
+            # per-component: id, sampling (H<<4|V), quant-table selector
+            if payload[7] != 0x11:
+                raise NotImplementedError("subsampling unsupported")
+            qsel = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("non-baseline JPEG scan unsupported")
+        elif marker == 0xDA:
+            dcsel, acsel = payload[2] >> 4, payload[2] & 0xF
+            data = blob[pos + 2 + ln : -2]
+            break
+        pos += 2 + ln
+    if h is None or data is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    if h % 8 or w % 8:
+        raise NotImplementedError("partial MCUs unsupported (pad to 8x8)")
+    q = qtables[qsel]
+    dct, act = htables[(0, dcsel)], htables[(1, acsel)]
+    d = _dct_mat()
+    br = _BitReader(data)
+    out = np.zeros((h, w), np.uint8)
+    prev_dc = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            zz = np.zeros(64, np.int32)
+            size = _huff_read(br, dct)
+            diff = _extend(br.read_bits(size), size) if size else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_read(br, act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0xF
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = _extend(br.read_bits(size), size)
+                k += 1
+            coef = np.zeros(64, np.int32)
+            coef[_ZIGZAG] = zz
+            block = d.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ d
+            out[by : by + 8, bx : bx + 8] = np.clip(
+                _fl_round(block + 128.0), 0, 255
+            ).astype(np.uint8)
+    return w, h, out
+
+
+JPEG_W, JPEG_H = 16, 16  # synthesized size: 4 blocks → DC prediction exercised
+
+
+def synthesize_jpeg_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic real JPEG payloads: block b (row-major of 4) of doc d
+    is the FLAT 8x8 gray plane with value ``(d*3 + b*17) % 256``. Flat
+    blocks quantize to a lone DC coefficient, so the decoded plane is the
+    exact integer arithmetic v' = clip(floor(128 + floor((8(v-128))/16
+    + 0.5)*16/8 + 0.5)) the SQL oracle reproduces — while the bitstream
+    still exercises real Huffman DC-prediction across blocks."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    blobs = []
+    for dd in ids:
+        img = np.zeros((JPEG_H, JPEG_W), np.uint8)
+        for b in range(4):
+            v = int((dd * 3 + b * 17) % 256)
+            by, bx = (b // 2) * 8, (b % 2) * 8
+            img[by : by + 8, bx : bx + 8] = v
+        blobs.append(encode_jpeg_gray(img))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+class JpegFeatureExtractor:
+    """Actor-pool stage: REAL baseline JPEG decode (marker walk, in-file
+    Huffman tables, entropy decode, dequant + IDCT) → per-image
+    (width, height, mean gray level)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, means = [], [], []
+        for blob in t[self.payload_col].to_pylist():
+            w, h, px = decode_jpeg_gray(blob)
+            ws.append(w)
+            hs.append(h)
+            means.append(round(float(px.mean()), 6))
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column("mean_gray", pa.array(means, pa.float64()))
         return out
 
 

@@ -251,3 +251,52 @@ def test_png_wav_property_roundtrip():
 
     png_prop()
     wav_prop()
+
+
+def test_jpeg_codec_flat_exact_and_lossy_bounds():
+    """Real baseline JPEG: flat blocks decode to the exact DC-quantization
+    arithmetic (all 256 gray levels), multi-block files exercise DC
+    prediction, and arbitrary images stay within normal JPEG loss."""
+    from grate_ray.functions.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    def expected_flat(v):
+        dcq = int(np.floor((8.0 * (v - 128)) / 16 + 0.5))
+        return int(np.clip(np.floor(128.0 + dcq * 2.0 + 0.5), 0, 255))
+
+    for v in range(0, 256, 3):
+        img = np.full((8, 8), v, np.uint8)
+        w, h, back = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert (w, h) == (8, 8)
+        assert (back == expected_flat(v)).all(), v
+
+    # 6 blocks with distinct values → nonzero DC diffs through the stream
+    img = np.zeros((16, 24), np.uint8)
+    blocks = [(y, x) for y in range(0, 16, 8) for x in range(0, 24, 8)]
+    for b, (by, bx) in enumerate(blocks):
+        img[by : by + 8, bx : bx + 8] = (b * 37 + 5) % 256
+    _, _, back = decode_jpeg_gray(encode_jpeg_gray(img))
+    for b, (by, bx) in enumerate(blocks):
+        assert (back[by : by + 8, bx : bx + 8] == expected_flat((b * 37 + 5) % 256)).all()
+
+    # lossy but bounded on noise (worst case for JPEG), tight on gradients
+    rng = np.random.default_rng(6)
+    im = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    _, _, back = decode_jpeg_gray(encode_jpeg_gray(im))
+    assert np.abs(back.astype(int) - im.astype(int)).mean() <= 30
+    yy, xx = np.mgrid[0:32, 0:32]
+    im = np.clip(128 + 60 * np.sin(yy / 6.0) + 40 * np.cos(xx / 5.0), 0, 255).astype(np.uint8)
+    _, _, back = decode_jpeg_gray(encode_jpeg_gray(im))
+    assert np.abs(back.astype(int) - im.astype(int)).max() <= 30
+
+
+def test_jpeg_codec_rejects_bad_and_unsupported():
+    import pytest
+
+    from grate_ray.functions.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"not a jpeg")
+    # truncating the entropy stream must raise, not mis-decode
+    blob = bytearray(encode_jpeg_gray(np.full((16, 16), 77, np.uint8)))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(blob[: len(blob) // 2]))
