@@ -1243,6 +1243,31 @@ def q_multimodal_jpeg(sf_dir: str):
     )
 
 
+def q_multimodal_video(sf_dir: str):
+    """REAL video path end to end: per doc a real RIFF/AVI (MJPEG)
+    container of 6 grayscale JPEG frames; the actor-pool stage walks the
+    container (nested LISTs, word alignment), samples every 2nd frame and
+    decodes each through the real baseline-JPEG decoder. The oracle
+    reproduces the sampled-frame means from the flat-block quantization
+    arithmetic — no stub anywhere on this path."""
+    from grate_ray.functions.multimodal import (
+        VideoFrameFeatures,
+        synthesize_avi_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_avi_column, batch_format="pyarrow")
+        .map_batches(
+            VideoFrameFeatures,
+            fn_constructor_kwargs={"stride": 2},
+            batch_format="pyarrow",
+            batch_size=128,  # multi-frame payloads: smaller media batches
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_wav(sf_dir: str):
     """REAL audio decode end to end: deterministic 16-bit PCM WAVs are
     synthesized per doc (true RIFF layout), decoded by the actor-pool
@@ -1324,6 +1349,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_bmp": q_multimodal_bmp,
     "multimodal_png": q_multimodal_png,
     "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_video": q_multimodal_video,
     "multimodal_wav": q_multimodal_wav,
     "multimodal_frames": q_multimodal_frames,
     "cell_types": q_cell_types,
@@ -2177,6 +2203,17 @@ SELECT doc_id,
          128 + 2 * CAST(floor(((doc_id * 3 + b * 17) % 256 - 128) / 2.0
                               + 0.5) AS BIGINT)))), 6) AS mean_gray
 FROM documents CROSS JOIN (SELECT UNNEST(range(4)) AS b) bs
+GROUP BY doc_id""",
+        # sampled frames f∈{0,2,4} of 6; flat-JPEG arithmetic per frame,
+        # v = (d*5 + f*31) % 256
+        "multimodal_video": """
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(6 AS BIGINT) AS n_frames, CAST(3 AS BIGINT) AS n_sampled,
+       round(avg(LEAST(255, GREATEST(0,
+         128 + 2 * CAST(floor(((doc_id * 5 + f * 31) % 256 - 128) / 2.0
+                              + 0.5) AS BIGINT)))), 6) AS mean_gray
+FROM documents CROSS JOIN (SELECT UNNEST([0, 2, 4]) AS f) fs
 GROUP BY doc_id""",
         "multimodal_wav": """
 SELECT doc_id,

@@ -725,6 +725,139 @@ class JpegFeatureExtractor:
         return out
 
 
+# --- real AVI/MJPEG video container (no external libs) ------------------------
+
+AVI_FPS = 10
+
+
+def encode_avi_mjpeg(frames: list[bytes], w: int, h: int, fps: int = AVI_FPS) -> bytes:
+    """JPEG frame payloads → real RIFF/AVI bytes (MJPEG): LIST hdrl with
+    avih + strl(strh 'vids'/'MJPG', strf BITMAPINFOHEADER), LIST movi of
+    '00dc' chunks (word-aligned), correct RIFF/LIST size fields."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # usec per frame
+        0, 0, 0x10,        # max bytes/s, padding, flags (HASINDEX off)
+        len(frames), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        0, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(blob: bytes) -> tuple[int, int, int, list[bytes]]:
+    """AVI bytes → (width, height, n_frames_declared, [frame payloads]).
+    REAL RIFF walk: nested LIST traversal (hdrl → avih dims/count,
+    movi → '00dc' frame chunks), word-aligned chunk sizes, unknown
+    chunks skipped. Non-MJPEG streams raise ``NotImplementedError``."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = declared = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, declared
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            payload_end = pos + 8 + ln
+            if payload_end > end:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(buf, pos + 12, payload_end)
+            elif tag == b"avih":
+                _, _, _, _, declared, _, _, _, w, h = struct.unpack_from(
+                    "<IIIIIIIIII", buf, pos + 8
+                )
+            elif tag == b"strh":
+                fcc_type, fcc = struct.unpack_from("<4s4s", buf, pos + 8)
+                if fcc_type == b"vids" and fcc not in (b"MJPG", b"mjpg"):
+                    raise NotImplementedError(
+                        f"only MJPEG video streams supported (got {fcc!r})"
+                    )
+            elif tag == b"00dc":
+                frames.append(buf[pos + 8 : payload_end])
+            pos = payload_end + (ln & 1)  # word alignment
+
+    walk(blob, 12, len(blob))
+    if w is None:
+        raise ValueError("AVI missing avih header")
+    return int(w), int(h), int(declared or len(frames)), frames
+
+
+AVI_N_FRAMES, AVI_FRAME_W, AVI_FRAME_H = 6, 8, 8
+
+
+def synthesize_avi_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic real AVI/MJPEG payloads: frame f of doc d is the flat
+    8x8 grayscale JPEG with value ``(d*5 + f*31) % 256`` — so sampled
+    per-frame decodes reduce to the exact flat-block JPEG arithmetic the
+    SQL oracle reproduces."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    blobs = []
+    for dd in ids:
+        frames = [
+            encode_jpeg_gray(
+                np.full((AVI_FRAME_H, AVI_FRAME_W), (dd * 5 + f * 31) % 256, np.uint8)
+            )
+            for f in range(AVI_N_FRAMES)
+        ]
+        blobs.append(encode_avi_mjpeg(frames, AVI_FRAME_W, AVI_FRAME_H))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+class VideoFrameFeatures:
+    """Actor-pool stage: REAL video path — RIFF/AVI container walk,
+    every-``stride``-th frame sampled, each sampled frame decoded by the
+    real baseline-JPEG decoder → (width, height, n_frames, n_sampled,
+    mean gray over sampled frames)."""
+
+    def __init__(self, stride: int = 2, payload_col: str = "payload"):
+        self.stride = stride
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, nf, ns, means = [], [], [], [], []
+        for blob in t[self.payload_col].to_pylist():
+            w, h, declared, frames = decode_avi_frames(blob)
+            sampled = frames[:: self.stride]
+            fmeans = []
+            for f in sampled:
+                _, _, px = decode_jpeg_gray(f)
+                fmeans.append(float(px.mean()))
+            ws.append(w)
+            hs.append(h)
+            nf.append(declared)
+            ns.append(len(sampled))
+            means.append(round(float(np.mean(fmeans)) if fmeans else 0.0, 6))
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column("n_frames", pa.array(nf, pa.int64()))
+        out = out.append_column("n_sampled", pa.array(ns, pa.int64()))
+        out = out.append_column("mean_gray", pa.array(means, pa.float64()))
+        return out
+
+
 # --- real WAV/PCM codec (no external libs) ------------------------------------
 
 WAV_RATE, WAV_N = 8000, 64  # synthesized sample rate / samples per doc

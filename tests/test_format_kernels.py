@@ -300,3 +300,25 @@ def test_jpeg_codec_rejects_bad_and_unsupported():
     blob = bytearray(encode_jpeg_gray(np.full((16, 16), 77, np.uint8)))
     with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(blob[: len(blob) // 2]))
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """Real RIFF/AVI walk: nested LISTs, word-aligned odd-size chunks,
+    frame payloads preserved byte-exactly; non-MJPEG streams rejected."""
+    import pytest
+
+    from grate_ray.functions.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+
+    frames = [
+        encode_jpeg_gray(np.full((8, 8), v, np.uint8)) for v in (10, 100, 200)
+    ]
+    odd = frames[0] + b"\x01"  # odd payload exercises RIFF word alignment
+    w, h, n, out = decode_avi_frames(encode_avi_mjpeg([odd] + frames[1:], 8, 8))
+    assert (w, h, n) == (8, 8, 3)
+    assert out == [odd] + frames[1:]
+    with pytest.raises(ValueError):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
