@@ -952,6 +952,17 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_pairs(_with_truncated_copies(_docs(sf_dir)), max_hamming=8)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTER resolution: minhash pairs → distributed
+    min-label-propagation connected components → one (doc_id,
+    cluster_id, keep) row per pair-graph node. Oracle mirrors the full
+    minhash pipeline SQL plus a recursive-CTE transitive closure."""
+    from grate_ray.functions.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_with_truncated_copies(_docs(sf_dir)), threshold=0.6)
+    return connected_components(pairs)
+
+
 def _queries_mat(sf_dir: str):
     """Query selection as a FILTERED distributed read: only the 1-in-50
     query rows (a tiny relation) ever reach the driver — the corpus stays
@@ -1340,6 +1351,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1579,6 +1591,28 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE CAST(i.ns AS DOUBLE) / (sa.n + sb.n - i.ns) >= {threshold}"""
+
+
+def _clusters_sql(threshold: float = 0.6, bucket_cap: int = 50) -> str:
+    """dedup_clusters oracle: the full minhash pipeline mirror feeding a
+    recursive-CTE transitive closure — min reachable doc_id per node is
+    the cluster id (UNION dedups rows, so the fixpoint terminates)."""
+    pairs = _minhash_sql(threshold=threshold, bucket_cap=bucket_cap)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({pairs})
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS node FROM edges
+), r(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN r ON r.node = e.v
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+       CAST(CASE WHEN node = MIN(lbl) THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM r GROUP BY node"""
 
 
 _LLM_PREP_CORPUS_SQL = r"""
@@ -2155,6 +2189,7 @@ WHERE rn = 1""",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_minhash": _minhash_sql(threshold=0.6, bucket_cap=50),
         "dedup_simhash": _simhash_sql(max_hamming=8, bucket_cap=200),
+        "dedup_clusters": _clusters_sql(threshold=0.6, bucket_cap=50),
         "ann_bruteforce": _ANN_SQL,
         "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),

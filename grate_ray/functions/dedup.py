@@ -822,3 +822,104 @@ def simhash_pairs(
         ["a", "b"], join_partitions(32), val_col="ham", reduce="min",
         out_col="ham",
     )
+
+
+# --- connected components (near-dup cluster resolution) ----------------------
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    npart: int | None = None,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Resolve a near-dup *pair* relation into clusters: distributed
+    min-label propagation until fixpoint, emitting one ``(doc_id,
+    cluster_id)`` row per node of the pair graph, where ``cluster_id``
+    is the smallest doc_id in the node's connected component.
+
+    This is the tail every real dedup pipeline needs after
+    ``minhash_lsh_pairs``/``simhash_pairs``: pairs alone over-drop
+    (naively dropping every ``b`` side can delete BOTH members of a
+    transitive chain a-b, b-c) — the cluster view keeps exactly one
+    canonical doc per component.
+
+    Scale notes: the pair relation is orders of magnitude smaller than
+    the corpus by LSH construction (bucket caps bound candidate fanout),
+    so each iteration — one hash join (labels onto edges) + one keyed
+    min-reduce — moves only O(edges) rows. Labels decrease monotonically,
+    so the label SUM is a convergence certificate costing one cheap
+    aggregate over the just-materialized labels; iterations are bounded
+    by the component diameter (near-dup clusters are near-cliques in
+    practice, so 2-4 rounds). The reference's dedup is single-pass LWW
+    (no transitive closure); this operator is part of the LLM-prep
+    extension surface.
+    """
+    from ..context import join_partitions
+
+    npart = npart or join_partitions(32)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [pa.field("u", pa.int64()), pa.field("v", pa.int64())]
+            ).empty_table()
+        a = pc.cast(t[a_col], pa.int64())
+        b = pc.cast(t[b_col], pa.int64())
+        return pa.concat_tables(
+            [pa.table({"u": a, "v": b}), pa.table({"u": b, "v": a})]
+        ).combine_chunks()
+
+    # both directions once, pinned: re-read every iteration
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    # init: lbl(u) = min(u, min neighbor) — one free propagation round
+    labels = grouped_reduce(
+        edges, ["u"], npart, val_col="v", out_col="mn", reduce="min"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["u"],
+                "lbl": pc.min_element_wise(
+                    pc.cast(t["u"], pa.int64()), pc.cast(t["mn"], pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def as_u(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["node"], "lbl": t["lbl"]})
+
+    def as_msgs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pc.cast(t["v"], pa.int64()), "lbl": pc.cast(t["lbl"], pa.int64())}
+        )
+
+    prev_sum = labels.sum("lbl") or 0
+    for _ in range(max_iters):
+        lab_u = labels.map_batches(as_u, batch_format="pyarrow")
+        msgs = edges.join(
+            lab_u, join_type="inner", num_partitions=npart, on=("u",)
+        ).map_batches(as_msgs, batch_format="pyarrow")
+        labels = grouped_reduce(
+            msgs.union(labels), ["node"], npart,
+            val_col="lbl", out_col="lbl", reduce="min",
+        ).materialize()
+        new_sum = labels.sum("lbl") or 0
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.cast(pc.equal(t["node"], t["lbl"]), pa.int64())
+        return pa.table(
+            {"doc_id": t["node"], "cluster_id": t["lbl"], "keep": keep}
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")

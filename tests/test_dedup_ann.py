@@ -237,3 +237,51 @@ def test_exact_dedup_null_text():
     )
     out2 = exact_dedup(ray.data.from_arrow(all_null)).to_pandas()
     assert out2["doc_id"].tolist() == [1] and out2["text"].tolist() == [None]
+
+
+def test_connected_components_chain_and_random(ray_session):
+    """Multi-hop chains must collapse to one cluster (pairs alone can't
+    see transitivity), cross-checked against a driver union-find on a
+    deterministic random graph."""
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.dedup import connected_components
+
+    configure_shuffle(8)
+    # chain 0-1-2-3-4 plus a triangle and an isolated pair
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    rng = np.random.default_rng(5)
+    nodes = rng.choice(np.arange(100, 200), size=60, replace=False)
+    for i in range(0, 40, 2):
+        pairs.append((int(nodes[i]), int(nodes[i + 1])))
+    for i in range(0, 30, 3):
+        pairs.append((int(nodes[i]), int(nodes[i + 2])))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to final roots
+    expected = {x: find(x) for x in parent}
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    out = connected_components(ds).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == expected
+    keep = set(out.loc[out["keep"] == 1, "doc_id"])
+    assert keep == set(expected.values())
