@@ -963,6 +963,44 @@ def q_dedup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 13 == 0 act as the
+    eval set; train = the rest ∪ planted truncated copies of eval docs
+    (first ⌊4L/5⌋ words, ids +20M) which MUST flag as contaminated. The
+    eval gram set is the broadcast small side; the train corpus streams
+    through one gram+probe pass with no shuffle."""
+    from grate_ray.functions.dedup import decontaminate
+
+    docs = _docs(sf_dir)
+
+    def bench_part(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 13 == 0))
+
+    def train_orig(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 13 != 0))
+
+    def train_trunc(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if i % 13 != 0:
+                continue
+            w = (x or "").split(" ")
+            keep = max(1, (len(w) * 4) // 5)
+            ids.append(i + 20_000_000)
+            texts.append(" ".join(w[:keep]))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+
+    bench = docs.map_batches(bench_part, batch_format="pyarrow")
+    train = docs.map_batches(train_orig, batch_format="pyarrow").union(
+        docs.map_batches(train_trunc, batch_format="pyarrow")
+    )
+    return decontaminate(train, bench, min_hits=2)
+
+
 def _queries_mat(sf_dir: str):
     """Query selection as a FILTERED distributed read: only the 1-in-50
     query rows (a tiny relation) ever reach the driver — the corpus stays
@@ -1352,6 +1390,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1591,6 +1630,42 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE CAST(i.ns AS DOUBLE) / (sa.n + sb.n - i.ns) >= {threshold}"""
+
+
+_DECONTAM_SQL = r"""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+), train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id,
+         array_to_string(w[1:greatest(1, (len(w) * 4) // 5)], ' ') AS text
+  FROM (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS w
+        FROM documents WHERE doc_id % 13 = 0)
+), tg AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS w FROM train),
+  UNNEST(list_transform(range(1, greatest(len(w) - 1, 1)),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(g)
+  WHERE len(w) >= 3
+), bg AS (
+  SELECT DISTINCT g
+  FROM (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS w FROM bench),
+  UNNEST(list_transform(range(1, greatest(len(w) - 1, 1)),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(g)
+  WHERE len(w) >= 3
+), stats AS (
+  SELECT tg.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM tg LEFT JOIN bg ON bg.g = tg.g
+  GROUP BY tg.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(s.n_hits, 0) >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM train t LEFT JOIN stats s ON s.doc_id = t.doc_id"""
 
 
 def _clusters_sql(threshold: float = 0.6, bucket_cap: int = 50) -> str:
@@ -2190,6 +2265,7 @@ WHERE rn = 1""",
         "dedup_minhash": _minhash_sql(threshold=0.6, bucket_cap=50),
         "dedup_simhash": _simhash_sql(max_hamming=8, bucket_cap=200),
         "dedup_clusters": _clusters_sql(threshold=0.6, bucket_cap=50),
+        "decontaminate": _DECONTAM_SQL,
         "ann_bruteforce": _ANN_SQL,
         "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),

@@ -923,3 +923,97 @@ def connected_components(
         )
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def decontaminate(
+    train: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    min_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag training docs whose word-3-gram
+    sets collide with an eval/benchmark corpus — the overlap-removal pass
+    every serious training-data pipeline runs before the tokenizer.
+
+    The bench side is SMALL by definition (eval sets are thousands of
+    docs vs billions of training docs), so its distinct gram set is the
+    canonical broadcast-small-side case: collected once, ``ray.put``
+    once, probed inside every train batch with Arrow ``is_in`` (C++ hash
+    probe on the raw strings — no hash-collision caveat to mirror in
+    SQL). The train corpus streams: one vectorized gram+probe pass, no
+    shuffle at all.
+
+    Emits one row per train doc: (doc_id, n_grams, n_hits, contaminated)
+    where contaminated = n_hits >= min_hits. Zero-gram docs (<3 words)
+    are emitted with zeros.
+    """
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        g = explode_trigrams(t, text_col, id_col)
+        return pa.table({"gram": pc.unique(g["gram"].combine_chunks())})
+
+    parts = [
+        b["gram"].combine_chunks()
+        for b in bench.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    gram_set = (
+        pa.concat_arrays(parts).unique() if parts else pa.array([], pa.string())
+    )
+    ref = ray.put(gram_set)
+
+    def mark(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64())
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("n_grams", pa.int64()),
+                pa.field("n_hits", pa.int64()),
+                pa.field("contaminated", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        g = explode_trigrams(t, text_col, id_col)
+        n_grams = np.zeros(t.num_rows, dtype=np.int64)
+        n_hits = np.zeros(t.num_rows, dtype=np.int64)
+        if g.num_rows:
+            hit = (
+                pc.is_in(g["gram"], value_set=ray.get(ref))
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            doc = g["doc_id"].to_numpy(zero_copy_only=False)
+            change = np.empty(len(doc), dtype=bool)
+            change[0] = True
+            change[1:] = doc[1:] != doc[:-1]
+            rs = np.flatnonzero(change)
+            rl = np.diff(np.append(rs, len(doc)))
+            # map gram runs (doc-contiguous) back to batch row positions
+            id_np = ids.to_numpy(zero_copy_only=False)
+            pos = {int(v): i for i, v in enumerate(id_np)}
+            rows = np.fromiter(
+                (pos[int(d)] for d in doc[rs]), dtype=np.int64, count=len(rs)
+            )
+            n_grams[rows] = rl
+            n_hits[rows] = np.add.reduceat(hit, rs)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_grams": pa.array(n_grams),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(
+                    (n_hits >= min_hits).astype(np.int64)
+                ),
+            },
+            schema=schema,
+        )
+
+    return train.map_batches(mark, batch_format="pyarrow")

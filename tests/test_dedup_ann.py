@@ -285,3 +285,53 @@ def test_connected_components_chain_and_random(ray_session):
     assert got == expected
     keep = set(out.loc[out["keep"] == 1, "doc_id"])
     assert keep == set(expected.values())
+
+
+def test_decontaminate_flags_planted_overlaps(ray_session):
+    """Train docs sharing >=2 word-trigrams with the bench set flag as
+    contaminated; disjoint and single-hit docs do not; short docs (<3
+    words) emit zero grams."""
+    from grate_ray.functions.dedup import decontaminate
+
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox jumps over the lazy dog",
+                        "pack my box with five dozen liquor jugs",
+                    ]
+                ),
+            }
+        )
+    )
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                "text": pa.array(
+                    [
+                        # full copy: many hits -> contaminated
+                        "the quick brown fox jumps over the lazy dog",
+                        # two shared trigrams -> contaminated at min_hits=2
+                        "note the quick brown fox ran home",
+                        # exactly one shared trigram -> clean
+                        "xx yy pack my box zz ww",
+                        # fully disjoint -> clean
+                        "completely unrelated training document here",
+                        # two words -> zero grams -> clean
+                        "too short",
+                    ]
+                ),
+            }
+        )
+    )
+    out = decontaminate(train, bench, min_hits=2).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert list(out.index) == [10, 11, 12, 13, 14]
+    assert out.loc[10, "contaminated"] == 1 and out.loc[10, "n_hits"] >= 5
+    assert out.loc[11, "contaminated"] == 1 and out.loc[11, "n_hits"] == 2
+    assert out.loc[12, "contaminated"] == 0 and out.loc[12, "n_hits"] == 1
+    assert out.loc[13, "contaminated"] == 0 and out.loc[13, "n_hits"] == 0
+    assert out.loc[14, "n_grams"] == 0 and out.loc[14, "contaminated"] == 0
