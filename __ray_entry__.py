@@ -1001,6 +1001,16 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, bench, min_hits=2)
 
 
+def q_lm_perplexity(sf_dir: str):
+    """Corpus-trained add-alpha bigram LM scores every document with its
+    average negative log-likelihood (CCNet-style quality signal): three
+    keyed repartitions (gram / ctx / doc), per-block bincount attaches,
+    vocab size as the only driver scalar."""
+    from grate_ray.functions.lm import bigram_lm_score
+
+    return bigram_lm_score(_docs(sf_dir), alpha=0.5)
+
+
 def _queries_mat(sf_dir: str):
     """Query selection as a FILTERED distributed read: only the 1-in-50
     query rows (a tiny relation) ever reach the driver — the corpus stays
@@ -1391,6 +1401,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
+    "lm_perplexity": q_lm_perplexity,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1666,6 +1677,29 @@ SELECT t.doc_id,
        CAST(CASE WHEN coalesce(s.n_hits, 0) >= 2 THEN 1 ELSE 0 END AS BIGINT)
          AS contaminated
 FROM train t LEFT JOIN stats s ON s.doc_id = t.doc_id"""
+
+
+_LM_PERPLEXITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, str_split(coalesce(text, ''), ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] AS ctx, ws[i] || ' ' || ws[i + 1] AS gram
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+), c2 AS (
+  SELECT gram, count(*) AS c2 FROM bg GROUP BY gram
+), c1 AS (
+  SELECT ctx, count(*) AS c1 FROM bg GROUP BY ctx
+), v AS (
+  SELECT count(DISTINCT wd) AS v FROM (SELECT unnest(ws) AS wd FROM w)
+)
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln(c1.c1 + 0.5 * v.v) - ln(c2.c2 + 0.5)), 6) AS avg_nll
+FROM bg
+JOIN c2 ON c2.gram = bg.gram
+JOIN c1 ON c1.ctx = bg.ctx
+CROSS JOIN v
+GROUP BY bg.doc_id"""
 
 
 def _clusters_sql(threshold: float = 0.6, bucket_cap: int = 50) -> str:
@@ -2266,6 +2300,7 @@ WHERE rn = 1""",
         "dedup_simhash": _simhash_sql(max_hamming=8, bucket_cap=200),
         "dedup_clusters": _clusters_sql(threshold=0.6, bucket_cap=50),
         "decontaminate": _DECONTAM_SQL,
+        "lm_perplexity": _LM_PERPLEXITY_SQL,
         "ann_bruteforce": _ANN_SQL,
         "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),

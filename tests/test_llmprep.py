@@ -165,3 +165,53 @@ def test_assemble_transcripts(ray_session):
         "user: one\n: two\nuser: three",
         "system: hi\ntool: ",
     ]
+
+
+def test_bigram_lm_score_matches_reference(ray_session):
+    """Tiny corpus scored against a plain-Python bigram LM with the same
+    add-alpha smoothing; one-word doc excluded (no bigrams)."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.lm import bigram_lm_score
+
+    configure_shuffle(8)
+    texts = {
+        1: "a b a b c",
+        2: "a b c d",
+        3: "c d c d",
+        4: "solo",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)]),
+        }
+    )
+    # reference model
+    bgs = {k: list(zip(v.split(" "), v.split(" ")[1:])) for k, v in texts.items()}
+    c2 = Counter(g for gs in bgs.values() for g in gs)
+    c1 = Counter(g[0] for gs in bgs.values() for g in gs)
+    vocab = {w for v in texts.values() for w in v.split(" ")}
+    a, V = 0.5, len(vocab)
+    exp = {
+        k: round(
+            sum(math.log(c1[g[0]] + a * V) - math.log(c2[g] + a) for g in gs)
+            / len(gs),
+            6,
+        )
+        for k, gs in bgs.items()
+        if gs
+    }
+    out = (
+        bigram_lm_score(ray.data.from_arrow(t), alpha=0.5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert set(out.index) == set(exp)
+    for k, v in exp.items():
+        assert out.loc[k, "avg_nll"] == v
+        assert out.loc[k, "n_bigrams"] == len(bgs[k])
