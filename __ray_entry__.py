@@ -1011,6 +1011,19 @@ def q_lm_perplexity(sf_dir: str):
     return bigram_lm_score(_docs(sf_dir), alpha=0.5)
 
 
+_BM25_QUERIES = {1: ["hash", "join"], 2: ["window", "merge", "stream"], 3: ["customer", "order"]}
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-5 per term query: broadcast query terms, vectorized
+    postings extraction, df attached co-located by term, per-(query,doc)
+    sums co-located by doc with grouped-top-k pruning; ranking key
+    (round(score,6) desc, doc_id asc) mirrored in SQL."""
+    from grate_ray.functions.search import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), _BM25_QUERIES, k=5)
+
+
 def _queries_mat(sf_dir: str):
     """Query selection as a FILTERED distributed read: only the 1-in-50
     query rows (a tiny relation) ever reach the driver — the corpus stays
@@ -1402,6 +1415,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "lm_perplexity": q_lm_perplexity,
+    "bm25_topk": q_bm25_topk,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1700,6 +1714,42 @@ JOIN c2 ON c2.gram = bg.gram
 JOIN c1 ON c1.ctx = bg.ctx
 CROSS JOIN v
 GROUP BY bg.doc_id"""
+
+
+def _bm25_sql(queries: dict, k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(queries.items()) for t in ts
+    )
+    return f"""
+WITH q(qid, term) AS (VALUES {qvals}),
+d AS (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS ws FROM documents),
+dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+stats AS (SELECT count(*) AS n, sum(len(ws)) / count(*) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, wd AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS wd FROM d)
+  WHERE wd IN (SELECT term FROM q)
+  GROUP BY doc_id, wd
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+            * tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+r AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT qid, rank, doc_id, score FROM r WHERE rank <= {k}"""
 
 
 def _clusters_sql(threshold: float = 0.6, bucket_cap: int = 50) -> str:
@@ -2301,6 +2351,7 @@ WHERE rn = 1""",
         "dedup_clusters": _clusters_sql(threshold=0.6, bucket_cap=50),
         "decontaminate": _DECONTAM_SQL,
         "lm_perplexity": _LM_PERPLEXITY_SQL,
+        "bm25_topk": _bm25_sql(_BM25_QUERIES, k=5),
         "ann_bruteforce": _ANN_SQL,
         "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),

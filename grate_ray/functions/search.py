@@ -1,0 +1,248 @@
+"""BM25 full-text relevance search over the document corpus.
+
+The retrieval side of a training-data pipeline (e.g. sourcing docs for
+a topic mix, or nearest-text lookup for contamination triage): score
+every document against a small set of term queries with BM25 and return
+the top-k per query.
+
+    score(q, d) = Σ_{t∈q}  idf(t) · tf(t,d)·(k1+1) /
+                           (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    idf(t)     = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+Scale shape: the query-term set is tiny and broadcast as a plain
+closure constant; per batch a vectorized pass (split → `is_in` mask →
+factorized (doc, term) unique-counts) emits only the matched postings
+(≤ docs × query-terms rows) with the doc length attached batch-locally.
+Those postings make THREE slim keyed hops: by term (df is a co-located
+row count; the full BM25 term contribution is computed right there), by
+doc (per-(query, doc) sums are complete because a doc's contributions
+co-locate; each block then prunes to its local top-k per query — the
+grouped-top-k combiner), and by query id for the final k. Corpus-level
+N / avgdl are one tiny partial-sum aggregate (two scalars on the
+driver). Nothing driver-side scales with the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def corpus_stats(
+    docs: ray.data.Dataset, text_col: str = "text"
+) -> tuple[int, float]:
+    """(N, avgdl): document count and mean word count — per-batch partial
+    sums, one tiny aggregate."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+        dl = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([int(dl.sum())], pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").sum(["n", "s"])
+    n, s = int(agg["sum(n)"]), int(agg["sum(s)"])
+    return n, (s / n if n else 0.0)
+
+
+def bm25_topk(
+    docs: ray.data.Dataset,
+    queries: dict[int, list[str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Top-k BM25 docs per query: (qid, rank, doc_id, score), score
+    rounded to 6dp, ranking key (rounded score desc, doc_id asc) so ties
+    are deterministic and SQL-mirrorable."""
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    n_docs, avgdl = corpus_stats(docs, text_col=text_col)
+    terms = sorted({t for ts in queries.values() for t in ts})
+    term_arr = pa.array(terms, pa.string())
+    term_code = {t: i for i, t in enumerate(terms)}
+    # term-code → query ids containing it (tiny, closure-broadcast)
+    code_qids: list[list[int]] = [
+        [q for q, ts in sorted(queries.items()) if t in ts] for t in terms
+    ]
+
+    def postings(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        mask = pc.is_in(flat, value_set=term_arr).to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return empty
+        doc = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), counts
+        )[mask]
+        hit = flat.filter(pa.array(mask))
+        codes = np.fromiter(
+            (term_code[w] for w in hit.to_pylist()), dtype=np.int64, count=len(hit)
+        )
+        key = doc * len(terms) + codes
+        uk, tf = np.unique(key, return_counts=True)
+        udoc = uk // len(terms)
+        dl_by_doc = dict(
+            zip(t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), counts)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc),
+                "term": pa.array([terms[c] for c in uk % len(terms)], pa.string()),
+                "tf": pa.array(tf.astype(np.int64)),
+                "dl": pa.array(
+                    np.fromiter(
+                        (dl_by_doc[d] for d in udoc), dtype=np.int64, count=len(udoc)
+                    )
+                ),
+            }
+        )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        """Co-located by term: df = rows per term in this block (global);
+        emit one (qid, doc_id, c) row per query containing the term."""
+        empty = pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "c": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        codes, uniques = pd.factorize(t["term"].to_pandas())
+        df = np.bincount(codes)[codes].astype(np.float64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        c = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        qid_out, doc_out, c_out = [], [], []
+        ucodes = np.fromiter(
+            (term_code[w] for w in uniques), dtype=np.int64, count=len(uniques)
+        )
+        for qi in sorted({q for qs in code_qids for q in qs}):
+            m = np.isin(codes, np.flatnonzero([qi in code_qids[u] for u in ucodes]))
+            if m.any():
+                qid_out.append(np.full(int(m.sum()), qi, dtype=np.int64))
+                doc_out.append(doc[m])
+                c_out.append(c[m])
+        if not qid_out:
+            return empty
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(qid_out)),
+                "doc_id": pa.array(np.concatenate(doc_out)),
+                "c": pa.array(np.concatenate(c_out)),
+            }
+        )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        """Co-located by doc: every (qid, doc) pair is complete here —
+        sum contributions, then keep only this block's top-k per qid
+        (grouped-top-k prune before the final tiny exchange)."""
+        empty = pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qid = t["qid"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        key = qid * (doc.max() + 1) + doc
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        change = np.empty(len(sk), dtype=bool)
+        change[0] = True
+        change[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(change)
+        score = np.add.reduceat(c[order], starts)
+        uq, ud = qid[order][starts], doc[order][starts]
+        out_q, out_d, out_s = [], [], []
+        for qi in np.unique(uq):
+            m = np.flatnonzero(uq == qi)
+            rs = np.round(score[m], 6)
+            sel = m[np.lexsort((ud[m], -rs))[:k]]
+            out_q.append(uq[sel])
+            out_d.append(ud[sel])
+            out_s.append(score[sel])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qid = t["qid"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        score = np.round(t["score"].to_numpy(zero_copy_only=False), 6)
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qi in np.unique(qid):
+            m = np.flatnonzero(qid == qi)
+            sel = m[np.lexsort((doc[m], -score[m]))[:k]]
+            out_q.append(qid[sel])
+            out_r.append(np.arange(1, len(sel) + 1, dtype=np.int64))
+            out_d.append(doc[sel])
+            out_s.append(score[sel])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "rank": pa.array(np.concatenate(out_r)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    p = join_partitions(32)
+    return (
+        docs.map_batches(postings, batch_format="pyarrow")
+        .repartition(p, keys=["term"])
+        .map_batches(contrib, batch_format="pyarrow", batch_size=None)
+        .repartition(p, keys=["doc_id"])
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(max(2, min(len(queries), p)), keys=["qid"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -215,3 +215,64 @@ def test_bigram_lm_score_matches_reference(ray_session):
     for k, v in exp.items():
         assert out.loc[k, "avg_nll"] == v
         assert out.loc[k, "n_bigrams"] == len(bgs[k])
+
+
+def test_bm25_topk_matches_reference(ray_session):
+    """Random tiny corpus; distributed BM25 equals a plain-Python BM25
+    with the same (round(score,6) desc, doc_id asc) ranking."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.search import bm25_topk
+
+    configure_shuffle(8)
+    rng = np.random.default_rng(7)
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 12)))
+        for _ in range(40)
+    ]
+    queries = {1: ["red", "blue"], 2: ["plum"]}
+    k1, b, k = 1.2, 0.75, 4
+
+    n = len(texts)
+    avgdl = sum(len(t.split(" ")) for t in texts) / n
+    tf = [
+        {w: t.split(" ").count(w) for w in set(t.split(" "))} for t in texts
+    ]
+    df = {w: sum(1 for d in tf if w in d) for w in vocab}
+    exp = {}
+    for qid, terms in queries.items():
+        scores = []
+        for i, t in enumerate(texts):
+            s = 0.0
+            dl = len(t.split(" "))
+            for w in terms:
+                f = tf[i].get(w, 0)
+                if f:
+                    idf = math.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1)
+                    s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl / avgdl))
+            if s > 0:
+                scores.append((round(s, 6), i))
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        exp[qid] = scores[:k]
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = (
+        bm25_topk(ray.data.from_arrow(t), queries, k=k, k1=k1, b=b)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+    )
+    for qid in queries:
+        got = out[out["qid"] == qid]
+        assert list(got["doc_id"]) == [i for _, i in exp[qid]]
+        assert list(got["score"]) == [s for s, _ in exp[qid]]
+        assert list(got["rank"]) == list(range(1, len(exp[qid]) + 1))
