@@ -1024,6 +1024,16 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_QUERIES, k=5)
 
 
+def q_dedup_substring(sf_dir: str):
+    """Exact substring-span dedup over the planted near-dup corpus:
+    truncated copies share all their 8-word windows with the original,
+    so they MUST flag; originals keep-first and stay clean. Two keyed
+    hops (gram → doc), span relation never leaves the cluster."""
+    from grate_ray.functions.dedup import substring_dedup
+
+    return substring_dedup(_with_truncated_copies(_docs(sf_dir)), n=8)
+
+
 def _queries_mat(sf_dir: str):
     """Query selection as a FILTERED distributed read: only the 1-in-50
     query rows (a tiny relation) ever reach the driver — the corpus stays
@@ -1416,6 +1426,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontaminate": q_decontaminate,
     "lm_perplexity": q_lm_perplexity,
     "bm25_topk": q_bm25_topk,
+    "dedup_substring": q_dedup_substring,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1714,6 +1725,31 @@ JOIN c2 ON c2.gram = bg.gram
 JOIN c1 ON c1.ctx = bg.ctx
 CROSS JOIN v
 GROUP BY bg.doc_id"""
+
+
+_SUBSTRING_SQL = (
+    r"""
+WITH u AS (
+"""
+    + "{corpus}"
+    + r"""
+), w AS (
+  SELECT doc_id, str_split(coalesce(text, ''), ' ') AS ws FROM u
+), sp AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+), m AS (
+  SELECT g, min(doc_id) AS mind FROM sp GROUP BY g
+)
+SELECT sp.doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN m.mind < sp.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(max(CASE WHEN m.mind < sp.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged
+FROM sp JOIN m ON m.g = sp.g
+GROUP BY sp.doc_id"""
+)
 
 
 def _bm25_sql(queries: dict, k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
@@ -2352,6 +2388,7 @@ WHERE rn = 1""",
         "decontaminate": _DECONTAM_SQL,
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "bm25_topk": _bm25_sql(_BM25_QUERIES, k=5),
+        "dedup_substring": _SUBSTRING_SQL.format(corpus=_CORPUS_SQL),
         "ann_bruteforce": _ANN_SQL,
         "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),

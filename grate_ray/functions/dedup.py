@@ -1017,3 +1017,125 @@ def decontaminate(
         )
 
     return train.map_batches(mark, batch_format="pyarrow")
+
+
+# --- exact substring-span dedup ---------------------------------------------
+
+
+def explode_word_ngrams(
+    t: pa.Table, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """(doc_id, gram) rows — DISTINCT word-n-grams per doc for arbitrary
+    n; same vectorized window-take construction as ``explode_trigrams``
+    (which stays the tuned n=3 fast path for the minhash/jaccard family).
+    Docs with <n words emit nothing; output stays doc-contiguous."""
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    ng = np.maximum(counts - (n - 1), 0)
+    if int(ng.sum()) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
+        )
+    word_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    starts = np.repeat(word_starts, ng) + _within_run_ranges(ng)
+    parts = [flat.take(pa.array(starts + j)) for j in range(n)]
+    gram = pc.binary_join_element_wise(*parts, " ")
+    doc = np.repeat(t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), ng)
+    df = pd.DataFrame({"doc_id": doc, "gram": gram.to_pandas()}).drop_duplicates()
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "gram": pa.array(df["gram"].to_numpy(), pa.string()),
+        }
+    )
+
+
+def substring_dedup(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact substring-span dedup (the "Deduplicating Training Data
+    Makes Language Models Better" signal, word-window recast): a doc is
+    span-contaminated if ANY of its n-word windows also occurs in a doc
+    with a smaller doc_id (keep-first convention shared by the whole
+    dedup family). Emits one row per doc with ≥1 span:
+
+        (doc_id, n_spans, n_dup_spans, flagged)
+
+    Scale shape: the span relation is ~token-count rows — the honest
+    cost of substring-level dedup (a distributed suffix array pays the
+    same) — and makes exactly TWO keyed hops: by gram (per-gram min
+    doc_id via factorize + minimum.reduceat on the co-located block,
+    each row slimmed to one dup bit), then by doc (count + sum
+    reduceat). No all-pairs, no driver state."""
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+
+    spans = ds.map_batches(
+        lambda t: explode_word_ngrams(t, n, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+    def mark_dup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "dup": pa.array([], pa.int64())}
+            )
+        codes, _ = pd.factorize(t["gram"].to_pandas())
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        change = np.empty(len(sc), dtype=bool)
+        change[0] = True
+        change[1:] = sc[1:] != sc[:-1]
+        starts = np.flatnonzero(change)
+        mins = np.minimum.reduceat(doc[order], starts)
+        min_by_code = np.empty(len(starts), dtype=np.int64)
+        min_by_code[...] = mins
+        dup = (doc > min_by_code[codes]).astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc), "dup": pa.array(dup)})
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_spans": pa.array([], pa.int64()),
+                "n_dup_spans": pa.array([], pa.int64()),
+                "flagged": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        dup = t["dup"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        d = doc[order]
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        change[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(change)
+        n_spans = np.diff(np.append(starts, len(d))).astype(np.int64)
+        n_dup = np.add.reduceat(dup[order], starts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "n_spans": pa.array(n_spans),
+                "n_dup_spans": pa.array(n_dup),
+                "flagged": pa.array((n_dup > 0).astype(np.int64)),
+            }
+        )
+
+    p = join_partitions(64)
+    return (
+        spans.repartition(p, keys=["gram"])
+        .map_batches(mark_dup, batch_format="pyarrow", batch_size=None)
+        .repartition(join_partitions(32), keys=["doc_id"])
+        .map_batches(per_doc, batch_format="pyarrow", batch_size=None)
+    )

@@ -335,3 +335,41 @@ def test_decontaminate_flags_planted_overlaps(ray_session):
     assert out.loc[12, "contaminated"] == 0 and out.loc[12, "n_hits"] == 1
     assert out.loc[13, "contaminated"] == 0 and out.loc[13, "n_hits"] == 0
     assert out.loc[14, "n_grams"] == 0 and out.loc[14, "contaminated"] == 0
+
+
+def test_substring_dedup_flags_shared_spans(ray_session):
+    """A doc sharing one 8-word window with a lower-id doc flags; the
+    lower-id owner stays clean (keep-first); disjoint and short docs
+    behave."""
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.dedup import substring_dedup
+
+    configure_shuffle(8)
+    span = "one two three four five six seven eight"
+    texts = {
+        1: f"intro {span} outro words here",      # owner (min id)
+        2: f"totally different prefix {span}",     # shares the span -> flag
+        3: "no overlap with anything else at all nine ten",  # clean
+        4: "seven little words only here now",     # 6 words -> no spans
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)]),
+        }
+    )
+    out = (
+        substring_dedup(ray.data.from_arrow(t), n=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert 4 not in out.index  # <8 words: no spans, no row
+    assert out.loc[1, "flagged"] == 0
+    assert out.loc[2, "flagged"] == 1 and out.loc[2, "n_dup_spans"] >= 1
+    assert out.loc[3, "flagged"] == 0 and out.loc[3, "n_dup_spans"] == 0
+    # window counts: len(words) - 7
+    assert out.loc[1, "n_spans"] == len(texts[1].split()) - 7
+    assert out.loc[2, "n_spans"] == len(texts[2].split()) - 7
