@@ -1034,6 +1034,20 @@ def q_dedup_substring(sf_dir: str):
     return substring_dedup(_with_truncated_copies(_docs(sf_dir)), n=8)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic rebalancing: en keeps 2/8, the long
+    tail keeps 6/8 — one vectorized batch kernel over a content hash,
+    no shuffle, no RNG (reproducible + resumable at 100 TB)."""
+    from grate_ray.functions.text import stratified_sample
+
+    docs = _docs(sf_dir, cols=("doc_id", "text", "lang"))
+    out = docs.map_batches(
+        lambda t: stratified_sample(t).select(["doc_id", "lang"]),
+        batch_format="pyarrow",
+    )
+    return out
+
+
 def _queries_mat(sf_dir: str):
     """Query selection as a FILTERED distributed read: only the 1-in-50
     query rows (a tiny relation) ever reach the driver — the corpus stays
@@ -1427,6 +1441,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lm_perplexity": q_lm_perplexity,
     "bm25_topk": q_bm25_topk,
     "dedup_substring": q_dedup_substring,
+    "stratified_sample": q_stratified_sample,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1750,6 +1765,15 @@ SELECT sp.doc_id,
 FROM sp JOIN m ON m.g = sp.g
 GROUP BY sp.doc_id"""
 )
+
+
+_STRATIFIED_SQL = r"""
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(coalesce(text, '')) % 8 <
+      CASE lang WHEN 'en' THEN 2
+                WHEN 'zh' THEN 6 WHEN 'es' THEN 6
+                WHEN 'de' THEN 6 WHEN 'fr' THEN 6
+                ELSE 0 END"""
 
 
 def _bm25_sql(queries: dict, k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
@@ -2389,6 +2413,7 @@ WHERE rn = 1""",
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "bm25_topk": _bm25_sql(_BM25_QUERIES, k=5),
         "dedup_substring": _SUBSTRING_SQL.format(corpus=_CORPUS_SQL),
+        "stratified_sample": _STRATIFIED_SQL,
         "ann_bruteforce": _ANN_SQL,
         "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),

@@ -201,3 +201,45 @@ def word_repetition(t: pa.Table, text_col: str = "text") -> pa.Table:
             "repetitive": pa.array(uniq * 2 < total),
         }
     )
+
+
+_STRATA_DEFAULT = {"en": 2, "zh": 6, "es": 6, "de": 6, "fr": 6}
+
+
+def stratified_sample(
+    t: pa.Table,
+    rates: dict[str, int] | None = None,
+    denom: int = 8,
+    default: int = 0,
+    strat_col: str = "lang",
+    text_col: str = "text",
+) -> pa.Table:
+    """Deterministic per-stratum downsampling — the language/domain
+    rebalancing step of a training-data mix: keep a row iff
+
+        fingerprint64(text) mod denom < rates[stratum]
+
+    so each stratum gets its own reproducible keep-rate (rates/denom)
+    with NO shuffle, no RNG and no driver state — one vectorized batch
+    kernel (content hash & mask + an ``index_in`` rate lookup against
+    the tiny broadcast strata table). Unknown strata fall back to
+    ``default`` (0 = drop, the conservative choice for an unvetted
+    source). denom must be a power of two (hash & (denom-1) ≡ mod).
+    """
+    rates = _STRATA_DEFAULT if rates is None else rates
+    assert denom & (denom - 1) == 0, "denom must be a power of two"
+    strat = t[strat_col]
+    if isinstance(strat, pa.ChunkedArray):
+        strat = strat.combine_chunks()
+    keys = pa.array(sorted(rates), pa.string())
+    vals = np.array([rates[k] for k in sorted(rates)], dtype=np.int64)
+    idx = (
+        pc.fill_null(pc.index_in(strat, value_set=keys), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    k = np.where(idx < 0, default, vals[np.maximum(idx, 0)]).astype(np.uint64)
+    fp = fingerprint64(t[text_col])
+    bucket = pc.bit_wise_and(fp, pa.scalar(denom - 1, pa.uint64()))
+    keep = pc.less(bucket, pa.array(k))
+    return t.filter(keep)

@@ -276,3 +276,38 @@ def test_bm25_topk_matches_reference(ray_session):
         assert list(got["doc_id"]) == [i for _, i in exp[qid]]
         assert list(got["score"]) == [s for s, _ in exp[qid]]
         assert list(got["rank"]) == list(range(1, len(exp[qid]) + 1))
+
+
+def test_stratified_sample_rates_and_fallback():
+    """Keep-rule is hash&(denom-1) < rate[stratum]; unknown stratum uses
+    the default (drop); determinism: same input, same rows."""
+    import hashlib
+
+    import numpy as np
+
+    from grate_ray.functions.text import stratified_sample
+
+    rng = np.random.default_rng(11)
+    langs = ["en"] * 400 + ["de"] * 100 + ["xx"] * 50
+    texts = [f"doc {i} {rng.integers(1 << 30)}" for i in range(len(langs))]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(langs)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+        }
+    )
+    rates = {"en": 2, "de": 6}
+    out = stratified_sample(t, rates=rates, denom=8)
+    kept = set(out["doc_id"].to_pylist())
+    for i, (txt, lg) in enumerate(zip(texts, langs)):
+        d = hashlib.md5(txt.encode()).digest()
+        bucket = int.from_bytes(d[8:16], "little") % 8
+        want = bucket < rates.get(lg, 0)
+        assert (i in kept) == want
+    # unknown stratum fully dropped
+    assert not any(l == "xx" for l in out["lang"].to_pylist())
+    # rough rate sanity: en ~1/4, de ~3/4
+    n_en = sum(1 for l in out["lang"].to_pylist() if l == "en")
+    n_de = sum(1 for l in out["lang"].to_pylist() if l == "de")
+    assert 60 <= n_en <= 140 and 55 <= n_de <= 95
