@@ -170,6 +170,20 @@ def q_cdc_ingest_lake(sf_dir: str):
     return read_lake(lake)
 
 
+_POINT_LOOKUP_CONVS = ["conv7", "conv42", "conv113"]
+
+
+def q_cdc_point_lookup(sf_dir: str):
+    """POINT LOOKUP with partition pruning: the lake is hash-partitioned
+    by crc32(conv_id) % P, so a 3-conversation read touches only the ≤3
+    partitions that can hold those keys (partitions_for_keys) — the
+    lakehouse data-skipping path, not a full-scan + filter."""
+    from grate_ray.pipelines.ingest import read_lake
+
+    lake = _ingest_lake(sf_dir)
+    return read_lake(lake, conv_ids=_POINT_LOOKUP_CONVS)
+
+
 def q_cdc_ingest_metrics(sf_dir: str):
     """Lineage/metrics rollup of the committed ingest: per-op event totals
     summed over every partition commit — each source event counted exactly
@@ -1395,6 +1409,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_ingest_lake": q_cdc_ingest_lake,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
+    "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
     "cdc_incremental_view": q_cdc_incremental_view,
@@ -2227,6 +2242,11 @@ SELECT event_id,
        END AS rk_value
 FROM events""",
         "cdc_ingest_lake": lww,
+        "cdc_point_lookup": (
+            f"SELECT * FROM ({lww}) s WHERE conv_id IN ("
+            + ", ".join(f"'{c}'" for c in _POINT_LOOKUP_CONVS)
+            + ")"
+        ),
         # time travel to the 2nd micro-batch commit boundary: asof = 2W-1,
         # W = max_lsn//4 + 1 (the deterministic bucket width the fixture
         # chunks by) — LWW over only the binlog prefix lsn < 2W

@@ -50,6 +50,7 @@ from ..state.manifest import (
     commit_partition,
     committed_lsn,
     deltas_since_snapshot,
+    lake_num_partitions,
     list_partitions,
     read_batch_plan,
     read_state,
@@ -532,11 +533,27 @@ def export_lake(
     return n
 
 
+def partitions_for_keys(lake_dir: str, conv_ids: list[str]) -> list[int] | None:
+    """PARTITION PRUNING for point lookups: the lake is hash-partitioned
+    by ``crc32(conv_id) % num_partitions`` (stages/partition.py), so a
+    key-list predicate maps to an exact partition set — the lakehouse
+    data-skipping move that turns a point lookup into O(|keys|) chain
+    reads instead of O(P). Returns None (no pruning, still correct) when
+    the lake predates the config sidecar and the layout is unknown."""
+    import zlib
+
+    p = lake_num_partitions(lake_dir)
+    if p is None:
+        return None
+    return sorted({zlib.crc32(c.encode("utf-8")) % p for c in conv_ids})
+
+
 def read_lake(
     lake_dir: str,
     num_partitions: int | None = None,
     columns: list[str] | None = None,
     asof_lsn: int | None = None,
+    conv_ids: list[str] | None = None,
 ) -> ray.data.Dataset:
     """The live view of the lake: latest committed state per partition
     (nearest snapshot + LWW-merged deltas), tombstones dropped, key-sorted
@@ -565,12 +582,23 @@ def read_lake(
     winners — the runner-up events inside a window are not recoverable
     from the lake (replay the binlog for sub-commit resolution).
     Partitions with no commit at-or-below ``asof_lsn`` contribute no rows.
+
+    ``conv_ids`` is a POINT-LOOKUP predicate: only the partitions that
+    can hold those keys (``partitions_for_keys``) are reconstructed, and
+    rows are filtered to the key list — a 3-conversation lookup against
+    a 4096-partition lake touches ≤3 chains, not 4096.
     """
     parts = [
         p
         for p in list_partitions(lake_dir)
         if committed_lsn(lake_dir, p, asof_lsn=asof_lsn) is not None
     ]
+    key_set: pa.Array | None = None
+    if conv_ids is not None:
+        key_set = pa.array(sorted(set(conv_ids)), pa.string())
+        target = partitions_for_keys(lake_dir, conv_ids)
+        if target is not None:
+            parts = [p for p in parts if p in set(target)]
     if not parts:
         from ..schema import empty_lake_table
 
@@ -593,6 +621,8 @@ def read_lake(
             if st is None or st.num_rows == 0:
                 continue
             v = finalize(st)
+            if key_set is not None:
+                v = v.filter(pc.is_in(v["conv_id"], value_set=key_set))
             out.append(v.select(columns) if columns is not None else v)
         if not out:
             from ..schema import empty_lake_table

@@ -430,3 +430,43 @@ def test_time_travel_after_gc_raises_clearly(tmp_path):
     # history before the kept horizon: clear error, not FileNotFoundError
     with pytest.raises(ValueError, match="garbage-collected"):
         read_state(lake, 0, lsn_hi=20)
+
+
+def test_point_lookup_prunes_partitions(tmp_path_factory, ray_session):
+    """read_lake(conv_ids=...) returns exactly the full-read rows for
+    those keys, and partitions_for_keys maps each key to its one hash
+    partition (the pruned read plan touches ≤len(keys) chains)."""
+    import zlib
+
+    from grate_ray.pipelines.ingest import partitions_for_keys
+
+    d = str(tmp_path_factory.mktemp("plbinlog"))
+    lake = str(tmp_path_factory.mktemp("pllake"))
+    generate_binlog(d, GenSpec(num_events=20_000, chunk_rows=5_000))
+    ingest(d, lake, num_partitions=P, files_per_microbatch=4)
+
+    full = read_lake(lake).to_pandas()
+    keys = sorted(full["conv_id"].unique())[:3]
+
+    target = partitions_for_keys(lake, keys)
+    assert target == sorted({zlib.crc32(k.encode()) % P for k in keys})
+    assert len(target) <= len(keys)
+
+    got = (
+        read_lake(lake, conv_ids=keys)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        full[full["conv_id"].isin(keys)]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for col in want.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+
+    # a key that hashes to a partition outside the pruned set returns
+    # nothing rather than a wrong row
+    assert read_lake(lake, conv_ids=["no-such-conv"]).count() == 0
