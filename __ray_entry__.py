@@ -1353,6 +1353,30 @@ def q_multimodal_jpeg(sf_dir: str):
     )
 
 
+def q_multimodal_jpeg_color(sf_dir: str):
+    """REAL baseline COLOR JPEG (4:4:4 YCbCr) end to end: per doc a
+    4-block flat-RGB JFIF file with dual quant tables and interleaved
+    MCUs (three DC predictors); decoded by the actor-pool
+    ColorJpegFeatureExtractor. Flat blocks make the whole
+    RGB→YCbCr→quant→dequant→RGB chain exact floor(x+0.5) arithmetic the
+    SQL oracle reproduces."""
+    from grate_ray.functions.multimodal import (
+        ColorJpegFeatureExtractor,
+        synthesize_color_jpeg_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_color_jpeg_column, batch_format="pyarrow")
+        .map_batches(
+            ColorJpegFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_video(sf_dir: str):
     """REAL video path end to end: per doc a real RIFF/AVI (MJPEG)
     container of 6 grayscale JPEG frames; the actor-pool stage walks the
@@ -1466,6 +1490,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_bmp": q_multimodal_bmp,
     "multimodal_png": q_multimodal_png,
     "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_video": q_multimodal_video,
     "multimodal_wav": q_multimodal_wav,
     "multimodal_frames": q_multimodal_frames,
@@ -2482,6 +2507,41 @@ SELECT doc_id,
          128 + 2 * CAST(floor(((doc_id * 3 + b * 17) % 256 - 128) / 2.0
                               + 0.5) AS BIGINT)))), 6) AS mean_gray
 FROM documents CROSS JOIN (SELECT UNNEST(range(4)) AS b) bs
+GROUP BY doc_id""",
+        # color 4:4:4 flat-block chain: RGB → YCbCr (floor+0.5) → DC
+        # quant/dequant (luma /16, chroma /17) → RGB, all floor(x+0.5)
+        "multimodal_jpeg_color": """
+WITH px AS (
+  SELECT doc_id,
+         (doc_id * 3 + b * 17) % 256 AS r,
+         (doc_id * 5 + b * 29) % 256 AS g,
+         (doc_id * 7 + b * 43) % 256 AS bl
+  FROM documents CROSS JOIN (SELECT UNNEST(range(4)) AS b) bs
+), ycc AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, CAST(floor(0.299*r + 0.587*g + 0.114*bl + 0.5) AS BIGINT))) AS y,
+    LEAST(255, GREATEST(0, CAST(floor(-0.168736*r - 0.331264*g + 0.5*bl + 128 + 0.5) AS BIGINT))) AS cb,
+    LEAST(255, GREATEST(0, CAST(floor(0.5*r - 0.418688*g - 0.081312*bl + 128 + 0.5) AS BIGINT))) AS cr
+  FROM px
+), dq AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, CAST(floor(floor((8*(y - 128))/16.0 + 0.5) * 16 / 8.0 + 128 + 0.5) AS BIGINT))) AS y2,
+    LEAST(255, GREATEST(0, CAST(floor(floor((8*(cb - 128))/17.0 + 0.5) * 17 / 8.0 + 128 + 0.5) AS BIGINT))) AS cb2,
+    LEAST(255, GREATEST(0, CAST(floor(floor((8*(cr - 128))/17.0 + 0.5) * 17 / 8.0 + 128 + 0.5) AS BIGINT))) AS cr2
+  FROM ycc
+), rgb AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, CAST(floor(y2 + 1.402*(cr2 - 128) + 0.5) AS BIGINT))) AS r2,
+    LEAST(255, GREATEST(0, CAST(floor(y2 - 0.344136*(cb2 - 128) - 0.714136*(cr2 - 128) + 0.5) AS BIGINT))) AS g2,
+    LEAST(255, GREATEST(0, CAST(floor(y2 + 1.772*(cb2 - 128) + 0.5) AS BIGINT))) AS b2
+  FROM dq
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       round(avg(r2), 6) AS mean_r,
+       round(avg(g2), 6) AS mean_g,
+       round(avg(b2), 6) AS mean_b
+FROM rgb
 GROUP BY doc_id""",
         # sampled frames f∈{0,2,4} of 6; flat-JPEG arithmetic per frame,
         # v = (d*5 + f*31) % 256

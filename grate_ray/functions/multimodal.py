@@ -4,12 +4,14 @@ mechanics throughout, with FOUR real dependency-free codecs:
 - uncompressed 24-bit BMP (header parsing + numpy pixel math),
 - PNG (8-bit gray/RGB/RGBA, non-interlaced: zlib inflate, chunk CRC
   verification, and all five scanline filters — None/Sub/Up/Average/Paeth),
-- baseline JPEG, grayscale (real JFIF markers, in-file Huffman tables,
-  DC-predicted entropy decode, dequantize + IDCT),
+- baseline JPEG, grayscale AND 4:4:4 YCbCr color (real JFIF markers,
+  in-file Huffman tables, dual quant tables, interleaved MCUs with
+  per-component DC prediction, dequantize + IDCT, YCbCr→RGB),
 - WAV (RIFF chunk walk, 16-bit PCM).
 
-Only color/progressive JPEG, compressed audio and real video containers
-remain STUBBED behind ``NotImplementedError`` in MediaDecoder.
+Only progressive/subsampled JPEG, compressed audio and compressed video
+codecs remain STUBBED behind ``NotImplementedError`` in MediaDecoder
+(AVI/MJPEG containers are real — see encode_avi_mjpeg).
 
 Pattern for 100 TB media pipelines: binary columns stay in Arrow
 (``batch_format="pyarrow"`` end to end — binary does not survive pandas
@@ -350,8 +352,9 @@ class PngFeatureExtractor:
 # quantization, and an orthonormal DCT-II/IDCT in numpy. The DECODER
 # rebuilds its Huffman tables from the file's own DHT segments (as any
 # conformant reader must), so the bitstream is externally decodable.
-# 3-component color and progressive scans raise NotImplementedError so
-# callers dead-letter rather than mis-decode.
+# Progressive scans and subsampled chroma raise NotImplementedError so
+# callers dead-letter rather than mis-decode; 1- and 3-component (4:4:4)
+# baseline scans decode for real.
 #
 # Rounding convention (both sides): floor(x + 0.5) — chosen so the lossy
 # arithmetic of DC-only (flat) blocks is exactly mirrorable in SQL.
@@ -367,6 +370,20 @@ JPEG_QTABLE = np.array(
         [24, 35, 55, 64, 81, 104, 113, 92],
         [49, 64, 78, 87, 103, 121, 120, 101],
         [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+JPEG_QTABLE_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
     ],
     dtype=np.int32,
 )
@@ -450,6 +467,56 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
+def _encode_block(
+    bw: "_BitWriter",
+    block8: np.ndarray,
+    q: np.ndarray,
+    d: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block; returns the new DC
+    predictor. Shared by the gray and color encoders."""
+    block = block8.astype(np.float64) - 128.0
+    # snap float-DCT noise (~1e-13) before quantizing: true coefficients
+    # of integer blocks are exact at this precision, so floor(x+0.5)
+    # ties are deterministic (and SQL-mirrorable for flat-block fixtures)
+    coef = np.round(d @ block @ d.T, 6)
+    qc = _fl_round(coef / q)
+    zz = qc.reshape(-1)[_ZIGZAG]
+    # DC: predicted difference, category + extend bits
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    mag, size = abs(diff), 0
+    while mag:
+        mag >>= 1
+        size += 1
+    bw.write(*dc_codes[size])
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    # AC: run-length of zeros + category, ZRL for 16-runs, EOB
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            bw.write(*ac_codes[0xF0])
+            run -= 16
+        mag, size = abs(v), 0
+        while mag:
+            mag >>= 1
+            size += 1
+        bw.write(*ac_codes[(run << 4) | size])
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        bw.write(*ac_codes[0x00])  # EOB
+    return new_dc
+
+
 def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     """(H, W) uint8 grayscale (8x8-multiple dims) → real baseline JFIF
     bytes: DQT + SOF0 + DHT (DC and AC tables) + SOS entropy stream with
@@ -466,44 +533,9 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
     prev_dc = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            block = pixels[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            # snap float-DCT noise (~1e-13) before quantizing: true
-            # coefficients of integer blocks are exact at this precision,
-            # so floor(x+0.5) ties are deterministic (and SQL-mirrorable
-            # for the flat-block fixtures)
-            coef = np.round(d @ block @ d.T, 6)
-            qc = _fl_round(coef / q)
-            zz = qc.reshape(-1)[_ZIGZAG]
-            # DC: predicted difference, category + extend bits
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            mag, size = abs(diff), 0
-            while mag:
-                mag >>= 1
-                size += 1
-            bw.write(*dc_codes[size])
-            if size:
-                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-            # AC: run-length of zeros + category, ZRL for 16-runs, EOB
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    bw.write(*ac_codes[0xF0])
-                    run -= 16
-                mag, size = abs(v), 0
-                while mag:
-                    mag >>= 1
-                    size += 1
-                sym = (run << 4) | size
-                bw.write(*ac_codes[sym])
-                bw.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if run:
-                bw.write(*ac_codes[0x00])  # EOB
+            prev_dc = _encode_block(
+                bw, pixels[by : by + 8, bx : bx + 8], q, d, dc_codes, ac_codes, prev_dc
+            )
     data = bw.flush()
 
     qzz = q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
@@ -575,21 +607,23 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """JFIF bytes → (width, height, (H, W) uint8). REAL baseline decode:
-    marker walk, DQT/DHT parsed FROM THE FILE, SOF0 dims, Huffman entropy
-    decode (DC prediction + AC run-length + EOB, byte unstuffing),
-    dequantize, IDCT, level shift, clamp. Single-component baseline only;
-    color/progressive raise NotImplementedError (dead-letter, never
-    mis-decode)."""
+def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """JFIF bytes → (width, height, pixels): (H, W) uint8 for grayscale,
+    (H, W, 3) uint8 RGB for 4:4:4 YCbCr color. REAL baseline decode:
+    marker walk, DQT/DHT parsed FROM THE FILE, SOF0 dims + per-component
+    table selectors, interleaved-MCU Huffman entropy decode (one DC
+    predictor per component, AC run-length + EOB, byte unstuffing),
+    dequantize, IDCT, level shift / YCbCr→RGB, clamp. Progressive scans,
+    subsampled chroma and 16-bit quant tables raise NotImplementedError
+    (dead-letter, never mis-decode)."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     h = w = None
-    qsel = 0
-    dcsel = acsel = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant selector)
+    sels: dict[int, tuple[int, int]] = {}  # cid → (dc sel, ac sel)
     data = None
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -625,60 +659,158 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
                 p += 17 + n
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"only 8-bit single-component baseline supported "
+                    f"only 8-bit 1- or 3-component baseline supported "
                     f"(prec={prec} ncomp={ncomp})"
                 )
-            # per-component: id, sampling (H<<4|V), quant-table selector
-            if payload[7] != 0x11:
-                raise NotImplementedError("subsampling unsupported")
-            qsel = payload[8]
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                # per-component: id, sampling (H<<4|V), quant selector
+                if samp != 0x11:
+                    raise NotImplementedError("subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("non-baseline JPEG scan unsupported")
         elif marker == 0xDA:
-            dcsel, acsel = payload[2] >> 4, payload[2] & 0xF
+            ns = payload[0]
+            if ns != len(comps):
+                raise NotImplementedError("partial-scan JPEG unsupported")
+            for c in range(ns):
+                cid = payload[1 + 2 * c]
+                sel = payload[2 + 2 * c]
+                sels[cid] = (sel >> 4, sel & 0xF)
             data = blob[pos + 2 + ln : -2]
             break
         pos += 2 + ln
-    if h is None or data is None:
+    if h is None or data is None or not comps:
         raise ValueError("JPEG missing SOF0/SOS")
     if h % 8 or w % 8:
         raise NotImplementedError("partial MCUs unsupported (pad to 8x8)")
-    q = qtables[qsel]
-    dct, act = htables[(0, dcsel)], htables[(1, acsel)]
     d = _dct_mat()
     br = _BitReader(data)
-    out = np.zeros((h, w), np.uint8)
-    prev_dc = 0
+    planes = [np.zeros((h, w), np.uint8) for _ in comps]
+    tables = []
+    for cid, tq in comps:
+        dcs, acs = sels[cid]
+        tables.append((qtables[tq], htables[(0, dcs)], htables[(1, acs)]))
+    prev_dc = [0] * len(comps)
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            zz = np.zeros(64, np.int32)
-            size = _huff_read(br, dct)
-            diff = _extend(br.read_bits(size), size) if size else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _huff_read(br, act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0xF
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zz[k] = _extend(br.read_bits(size), size)
-                k += 1
-            coef = np.zeros(64, np.int32)
-            coef[_ZIGZAG] = zz
-            block = d.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ d
-            out[by : by + 8, bx : bx + 8] = np.clip(
-                _fl_round(block + 128.0), 0, 255
-            ).astype(np.uint8)
-    return w, h, out
+            for ci, (q, dct, act) in enumerate(tables):
+                zz = np.zeros(64, np.int32)
+                size = _huff_read(br, dct)
+                diff = _extend(br.read_bits(size), size) if size else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_read(br, act)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 0xF
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[k] = _extend(br.read_bits(size), size)
+                    k += 1
+                coef = np.zeros(64, np.int32)
+                coef[_ZIGZAG] = zz
+                block = d.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ d
+                planes[ci][by : by + 8, bx : bx + 8] = np.clip(
+                    _fl_round(block + 128.0), 0, 255
+                ).astype(np.uint8)
+    if len(planes) == 1:
+        return w, h, planes[0]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return w, h, np.clip(_fl_round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Single-component entry point: same hardened baseline walk as
+    ``decode_jpeg``; a color stream dead-letters here rather than being
+    silently flattened to luma."""
+    w, h, px = decode_jpeg(blob)
+    if px.ndim != 2:
+        raise NotImplementedError("expected grayscale JPEG, got color")
+    return w, h, px
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 RGB → (H, W, 3) uint8 YCbCr (JFIF full-range
+    constants, floor(x+0.5) rounding — the exact arithmetic the SQL
+    oracle mirrors)."""
+    f = rgb.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(_fl_round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_color(pixels_rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB (8x8-multiple dims) → real baseline 4:4:4
+    YCbCr JFIF bytes: luma + chroma DQT slots, 3-component SOF0,
+    interleaved MCUs (Y, Cb, Cr per block position) with one DC
+    predictor per component. Huffman slots 0 (luma spec tables) are
+    shared by all components — legal baseline; the decoder reads
+    whatever DHT the file carries."""
+    h, w, nc = pixels_rgb.shape
+    if nc != 3:
+        raise ValueError("expected (H, W, 3) RGB")
+    if h % 8 or w % 8:
+        raise ValueError("encoder requires 8x8-multiple dimensions")
+    ycc = rgb_to_ycbcr(pixels_rgb)
+    d = _dct_mat()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    qtabs = [JPEG_QTABLE, JPEG_QTABLE_CHROMA, JPEG_QTABLE_CHROMA]
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for ci in range(3):
+                prev_dc[ci] = _encode_block(
+                    bw,
+                    ycc[by : by + 8, bx : bx + 8, ci],
+                    qtabs[ci],
+                    d,
+                    dc_codes,
+                    ac_codes,
+                    prev_dc[ci],
+                )
+    data = bw.flush()
+
+    qzz0 = JPEG_QTABLE.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    qzz1 = JPEG_QTABLE_CHROMA.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    out = b"\xff\xd8"  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + qzz0)
+    out += _seg(0xDB, b"\x01" + qzz1)
+    # components: Y→quant 0, Cb/Cr→quant 1, all 4:4:4
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0x3F, 0]))
+    out += data + b"\xff\xd9"  # EOI
+    return out
 
 
 JPEG_W, JPEG_H = 16, 16  # synthesized size: 4 blocks → DC prediction exercised
@@ -722,6 +854,56 @@ class JpegFeatureExtractor:
         out = out.append_column("width", pa.array(ws, pa.int64()))
         out = out.append_column("height", pa.array(hs, pa.int64()))
         out = out.append_column("mean_gray", pa.array(means, pa.float64()))
+        return out
+
+
+def synthesize_color_jpeg_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic real COLOR JPEG payloads: block b (row-major of 4)
+    of doc d is the flat RGB ((d*3+b*17)%256, (d*5+b*29)%256,
+    (d*7+b*43)%256). Flat blocks quantize to lone DC coefficients in all
+    three YCbCr planes, so the decoded image is the exact
+    RGB→YCbCr→quant→dequant→RGB floor(x+0.5) arithmetic chain the SQL
+    oracle reproduces — while the bitstream exercises interleaved MCUs,
+    three DC predictors and the dual quant-table plumbing."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    blobs = []
+    for dd in ids:
+        img = np.zeros((JPEG_H, JPEG_W, 3), np.uint8)
+        for b in range(4):
+            by, bx = (b // 2) * 8, (b % 2) * 8
+            img[by : by + 8, bx : bx + 8] = (
+                int((dd * 3 + b * 17) % 256),
+                int((dd * 5 + b * 29) % 256),
+                int((dd * 7 + b * 43) % 256),
+            )
+        blobs.append(encode_jpeg_color(img))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+class ColorJpegFeatureExtractor:
+    """Actor-pool stage: REAL baseline 4:4:4 color JPEG decode →
+    per-image (width, height, mean_r, mean_g, mean_b)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, mr, mg, mb = [], [], [], [], []
+        for blob in t[self.payload_col].to_pylist():
+            w, h, px = decode_jpeg(blob)
+            if px.ndim != 3:
+                raise ValueError("expected color JPEG")
+            ws.append(w)
+            hs.append(h)
+            mr.append(round(float(px[..., 0].mean()), 6))
+            mg.append(round(float(px[..., 1].mean()), 6))
+            mb.append(round(float(px[..., 2].mean()), 6))
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column("mean_r", pa.array(mr, pa.float64()))
+        out = out.append_column("mean_g", pa.array(mg, pa.float64()))
+        out = out.append_column("mean_b", pa.array(mb, pa.float64()))
         return out
 
 

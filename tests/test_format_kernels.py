@@ -322,3 +322,60 @@ def test_avi_mjpeg_container_roundtrip():
     assert out == [odd] + frames[1:]
     with pytest.raises(ValueError):
         decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_color_jpeg_flat_exact_and_lossy_bounds():
+    """4:4:4 color baseline JPEG: flat RGB blocks decode to the exact
+    RGB→YCbCr→DC-quant→RGB floor(+0.5) chain; interleaved MCUs exercise
+    three DC predictors; smooth images stay within normal JPEG loss; a
+    color stream dead-letters in the gray entry point."""
+    import pytest
+
+    from grate_ray.functions.multimodal import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+    )
+
+    def chain(r, g, bl):
+        y = int(np.floor(0.299 * r + 0.587 * g + 0.114 * bl + 0.5))
+        cb = int(np.floor(-0.168736 * r - 0.331264 * g + 0.5 * bl + 128 + 0.5))
+        cr = int(np.floor(0.5 * r - 0.418688 * g - 0.081312 * bl + 128 + 0.5))
+        y2 = int(np.clip(np.floor(np.floor((8.0 * (y - 128)) / 16 + 0.5) * 16 / 8.0 + 128 + 0.5), 0, 255))
+        cb2 = int(np.clip(np.floor(np.floor((8.0 * (cb - 128)) / 17 + 0.5) * 17 / 8.0 + 128 + 0.5), 0, 255))
+        cr2 = int(np.clip(np.floor(np.floor((8.0 * (cr - 128)) / 17 + 0.5) * 17 / 8.0 + 128 + 0.5), 0, 255))
+        return (
+            int(np.clip(np.floor(y2 + 1.402 * (cr2 - 128) + 0.5), 0, 255)),
+            int(np.clip(np.floor(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128) + 0.5), 0, 255)),
+            int(np.clip(np.floor(y2 + 1.772 * (cb2 - 128) + 0.5), 0, 255)),
+        )
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    vals = [(10, 200, 60), (250, 3, 99), (128, 128, 128), (0, 255, 17)]
+    for b, v in enumerate(vals):
+        img[(b // 2) * 8 : (b // 2) * 8 + 8, (b % 2) * 8 : (b % 2) * 8 + 8] = v
+    blob = encode_jpeg_color(img)
+    w, h, back = decode_jpeg(blob)
+    assert (w, h) == (16, 16) and back.shape == (16, 16, 3)
+    for b, v in enumerate(vals):
+        by, bx = (b // 2) * 8, (b % 2) * 8
+        block = back[by : by + 8, bx : bx + 8]
+        assert (block == np.array(chain(*v), np.uint8)).all(), (b, v)
+
+    # smooth gradient: bounded loss per channel
+    yy, xx = np.mgrid[0:16, 0:16]
+    im = np.stack(
+        [
+            np.clip(128 + 50 * np.sin(yy / 5.0), 0, 255),
+            np.clip(128 + 50 * np.cos(xx / 5.0), 0, 255),
+            np.full((16, 16), 90.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    _, _, back = decode_jpeg(encode_jpeg_color(im))
+    assert np.abs(back.astype(int) - im.astype(int)).max() <= 40
+
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(blob)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob[: len(blob) // 2]))
