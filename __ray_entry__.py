@@ -1062,6 +1062,28 @@ def q_stratified_sample(sf_dir: str):
     return out
 
 
+def q_window_watermark(sf_dir: str):
+    """Out-of-order stream semantics: tumbling windows with a watermark
+    (running max event-time over arrival order − 10 min lateness); late
+    events are counted and dropped, not aggregated. The global running
+    max distributes as a two-phase prefix max (bounded driver state).
+    The events log is time-ordered, so the fixture plants deterministic
+    disorder — arrival order reverses each 8-event block (mirrored in
+    SQL) — making a real fraction of the stream late."""
+    import ray.data
+
+    from grate_ray.pipelines.windows import watermark_tumbling
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def arrival(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("arrival", pa.array((ids // 8) * 8 + (7 - ids % 8)))
+
+    ds = ds.map_batches(arrival, batch_format="pyarrow")
+    return watermark_tumbling(ds, order_col="arrival", minutes=60, lateness_minutes=10)
+
+
 def _queries_mat(sf_dir: str):
     """Query selection as a FILTERED distributed read: only the 1-in-50
     query rows (a tiny relation) ever reach the driver — the corpus stays
@@ -1481,6 +1503,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bm25_topk": q_bm25_topk,
     "dedup_substring": q_dedup_substring,
     "stratified_sample": q_stratified_sample,
+    "window_watermark": q_window_watermark,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -2459,6 +2482,21 @@ WHERE rn = 1""",
         "bm25_topk": _bm25_sql(_BM25_QUERIES, k=5),
         "dedup_substring": _SUBSTRING_SQL.format(corpus=_CORPUS_SQL),
         "stratified_sample": _STRATIFIED_SQL,
+        "window_watermark": """
+WITH r AS (
+  SELECT event_id, epoch_us(ts) AS eus,
+         max(epoch_us(ts)) OVER (
+           ORDER BY (event_id // 8) * 8 + 7 - event_id % 8) AS wm
+  FROM events
+), f AS (
+  SELECT (eus // 3600000000) * 3600000000 AS wus,
+         CASE WHEN eus < wm - 600000000 THEN 1 ELSE 0 END AS late
+  FROM r
+)
+SELECT make_timestamp(wus) AS w,
+       CAST(sum(1 - late) AS BIGINT) AS n_on_time,
+       CAST(sum(late) AS BIGINT) AS n_late
+FROM f GROUP BY wus""",
         "ann_bruteforce": _ANN_SQL,
         "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),

@@ -291,3 +291,132 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     return _by_user(ds).map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def watermark_tumbling(
+    ds: ray.data.Dataset,
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    minutes: int = 60,
+    lateness_minutes: int = 10,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Tumbling-window rollup WITH WATERMARK late-event handling — the
+    out-of-order-stream semantics a CDC/event pipeline needs: processing
+    order is ``order_col`` (the log/arrival order); the watermark after event i is
+    ``max(ts[0..i]) − lateness``; an event whose ts is behind the
+    watermark is dropped as late and counted, not aggregated.
+
+    The running max over a 10^10-event log is a classic scan: phase 1
+    computes per-range-bucket ts maxima as per-batch partials (driver
+    state = ``n_buckets`` scalars, fixed at any scale — the shard_pack
+    two-phase-prefix pattern); phase 2 repartitions by bucket and, per
+    co-located block, seeds each bucket's numpy cummax with the exclusive
+    prefix max of all earlier buckets, flags late events, and reduces to
+    per-window partial counts. One keyed shuffle of (event_id, ts)-slim
+    rows; the final window groupby is window-cardinality small.
+
+    Emits (w, n_on_time, n_late) with w the window start timestamp.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    max_id = int(ds.max(order_col))
+    c = max_id // n_buckets + 1
+    win_us = minutes * 60 * 1_000_000
+    late_us = lateness_minutes * 60 * 1_000_000
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        ids = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = ids // c
+        order = np.argsort(b, kind="stable")
+        sb = b[order]
+        change = np.empty(len(sb), dtype=bool)
+        change[0] = True
+        change[1:] = sb[1:] != sb[:-1]
+        starts = np.flatnonzero(change)
+        return pa.table(
+            {
+                "bucket": pa.array(sb[starts]),
+                "mx": pa.array(np.maximum.reduceat(ts[order], starts)),
+            }
+        )
+
+    # tiny relation: ≤ n_buckets rows per input batch → combine on driver
+    bmax = np.full(n_buckets + 1, np.iinfo(np.int64).min, dtype=np.int64)
+    for part in ds.map_batches(bucket_partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bb = part["bucket"].to_numpy(zero_copy_only=False)
+        mm = part["mx"].to_numpy(zero_copy_only=False)
+        np.maximum.at(bmax, bb, mm)
+    # exclusive prefix max: the watermark carried INTO each bucket
+    prefix = np.full(n_buckets + 1, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.accumulate(bmax[:-1], out=prefix[1:])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(ids // c))
+
+    def late_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "w": pa.array([], pa.int64()),
+                    "n_on_time": pa.array([], pa.int64()),
+                    "n_late": pa.array([], pa.int64()),
+                }
+            )
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, b))
+        b, ids, ts = b[order], ids[order], ts[order]
+        rmax = np.empty(len(ts), dtype=np.int64)
+        change = np.empty(len(b), dtype=bool)
+        change[0] = True
+        change[1:] = b[1:] != b[:-1]
+        runs = np.flatnonzero(change)
+        ends = np.append(runs[1:], len(b))
+        for s, e in zip(runs, ends):  # ≤ n_buckets runs per block
+            np.maximum.accumulate(ts[s:e], out=rmax[s:e])
+            np.maximum(rmax[s:e], prefix[b[s]], out=rmax[s:e])
+        late = ts < rmax - late_us
+        w = (ts // win_us) * win_us
+        key_order = np.argsort(w, kind="stable")
+        sw = w[key_order]
+        kc = np.empty(len(sw), dtype=bool)
+        kc[0] = True
+        kc[1:] = sw[1:] != sw[:-1]
+        starts = np.flatnonzero(kc)
+        n = np.diff(np.append(starts, len(sw))).astype(np.int64)
+        nl = np.add.reduceat(late[key_order].astype(np.int64), starts)
+        return pa.table(
+            {
+                "w": pa.array(sw[starts]),
+                "n_on_time": pa.array(n - nl),
+                "n_late": pa.array(nl),
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(join_partitions(32), keys=["bucket"])
+        .map_batches(late_partials, batch_format="pyarrow", batch_size=None)
+        .groupby("w")
+        .aggregate(Sum("n_on_time", alias_name="n_on_time"), Sum("n_late", alias_name="n_late"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w": t["w"].cast(pa.timestamp("us")),
+                "n_on_time": t["n_on_time"].cast(pa.int64()),
+                "n_late": t["n_late"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

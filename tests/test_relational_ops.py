@@ -87,3 +87,57 @@ def test_profile_table_with_nulls(ray_session, tmp_path):
     assert df.loc["event_type"].tolist() == [5, 2, 2, "a", "b"]
     assert df.loc["user_id"].tolist() == [5, 1, 2, "10", "30"]
     assert df.loc["value"].tolist() == [5, 1, 3, "-3.000000", "2.500000"]
+
+
+def test_watermark_tumbling_matches_serial(ray_session):
+    """Distributed two-phase prefix-max watermark equals the serial
+    running-max semantics on a disordered stream (including cross-bucket
+    carryover of the watermark)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.pipelines.windows import watermark_tumbling
+
+    configure_shuffle(8)
+    rng = np.random.default_rng(13)
+    n = 5_000
+    arrival = np.arange(n, dtype=np.int64)
+    # event time mostly advances with arrival but jitters backwards
+    base = arrival * 60_000_000  # one event per minute
+    jitter = rng.integers(-40, 5, n) * 60_000_000  # up to 40 min behind
+    ts = np.maximum(base + jitter, 0)
+
+    win_us = 3600_000_000
+    late_us = 600_000_000
+    wm = np.maximum.accumulate(ts)
+    late = ts < wm - late_us
+    w = (ts // win_us) * win_us
+    exp = {}
+    for wi, li in zip(w, late):
+        a, b = exp.get(wi, (0, 0))
+        exp[wi] = (a + (0 if li else 1), b + (1 if li else 0))
+
+    t = pa.table(
+        {
+            "event_id": pa.array(arrival),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+        }
+    )
+    out = (
+        watermark_tumbling(
+            ray.data.from_arrow(t), minutes=60, lateness_minutes=10, n_buckets=16
+        )
+        .to_pandas()
+        .set_index("w")
+        .sort_index()
+    )
+    got = {
+        int(k.value // 1000): (int(r["n_on_time"]), int(r["n_late"]))
+        for k, r in out.iterrows()
+    }
+    got_us = {int(k): v for k, v in got.items()}
+    exp_us = {int(k): v for k, v in exp.items()}
+    assert got_us == exp_us
+    assert sum(v[1] for v in exp.values()) > 100  # disorder actually bites
