@@ -1084,6 +1084,22 @@ def q_window_watermark(sf_dir: str):
     return watermark_tumbling(ds, order_col="arrival", minutes=60, lateness_minutes=10)
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding corpus (2 seeded
+    iterations): per-batch partial (cell, Σvec, n) sums, k×d driver
+    state, broadcast centroids — the SemDeDup-style semantic clustering
+    primitive. 6dp dot/centroid snapping makes the full 2-iteration run
+    SQL-mirrorable."""
+    import ray.data
+
+    from grate_ray.functions.ann import kmeans_assign
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_assign(ds, ncentroids=8, iters=2, seed=21)
+
+
 def _queries_mat(sf_dir: str):
     """Query selection as a FILTERED distributed read: only the 1-in-50
     query rows (a tiny relation) ever reach the driver — the corpus stays
@@ -1504,6 +1520,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_substring": q_dedup_substring,
     "stratified_sample": q_stratified_sample,
     "window_watermark": q_window_watermark,
+    "embed_kmeans": q_embed_kmeans,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1837,6 +1854,55 @@ WHERE md5_number_lower(coalesce(text, '')) % 8 <
                 WHEN 'zh' THEN 6 WHEN 'es' THEN 6
                 WHEN 'de' THEN 6 WHEN 'fr' THEN 6
                 ELSE 0 END"""
+
+
+def _kmeans_sql(ncentroids: int = 8, seed: int = 21, dim: int = 64) -> str:
+    """Exact SQL mirror of ann.kmeans_assign with iters=2: seeded
+    centroid literals → assign (6dp dots, lower-index tiebreak) →
+    per-(cell, dim) avg snapped to 6dp (empty cells keep the rounded
+    seed centroid) → reassign."""
+    from grate_ray.functions.ann import ivf_centroids
+
+    cent = ivf_centroids(dim, ncentroids, seed)
+    rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in cent[i]))
+        for i in range(ncentroids)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), c0(i, c) AS (
+  VALUES {rows}
+), d1 AS (
+  SELECT e.vec_id, c.i, round(list_dot_product(e.emb, c.c), 6) AS d
+  FROM e CROSS JOIN c0 c
+), a1 AS (
+  SELECT vec_id, i AS cell FROM (
+    SELECT vec_id, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, i) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), ed AS (
+  SELECT vec_id, ui AS dm, emb[ui] AS v
+  FROM e, UNNEST(range(1, {dim + 1})) t(ui)
+), m1 AS (
+  SELECT a1.cell, ed.dm, round(avg(ed.v), 6) AS v
+  FROM a1 JOIN ed ON ed.vec_id = a1.vec_id
+  GROUP BY a1.cell, ed.dm
+), c1l AS (
+  SELECT cell AS i, list(v ORDER BY dm) AS c FROM m1 GROUP BY cell
+), c1 AS (
+  SELECT c0.i, coalesce(c1l.c, list_transform(c0.c, x -> round(x, 6))) AS c
+  FROM c0 LEFT JOIN c1l ON c1l.i = c0.i
+), d2 AS (
+  SELECT e.vec_id, c.i, round(list_dot_product(e.emb, c.c), 6) AS d
+  FROM e CROSS JOIN c1 c
+)
+SELECT vec_id, CAST(i AS BIGINT) AS cluster FROM (
+  SELECT vec_id, i,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, i) AS rn
+  FROM d2
+) WHERE rn = 1"""
 
 
 def _bm25_sql(queries: dict, k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
@@ -2480,6 +2546,7 @@ WHERE rn = 1""",
         "decontaminate": _DECONTAM_SQL,
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "bm25_topk": _bm25_sql(_BM25_QUERIES, k=5),
+        "embed_kmeans": _kmeans_sql(ncentroids=8, seed=21),
         "dedup_substring": _SUBSTRING_SQL.format(corpus=_CORPUS_SQL),
         "stratified_sample": _STRATIFIED_SQL,
         "window_watermark": """

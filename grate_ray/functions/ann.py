@@ -516,3 +516,103 @@ def lsh_topk(
         return g
 
     return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# --- distributed k-means (Lloyd) over the embedding corpus -------------------
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    ncentroids: int = 8,
+    iters: int = 2,
+    seed: int = 21,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Semantic clustering of the embedding corpus (the SemDeDup /
+    cluster-balancing primitive): Lloyd's k-means with seeded spherical
+    init (``ivf_centroids``) and a FIXED iteration count, so the whole
+    run is deterministic and SQL-mirrorable.
+
+    Distributed shape — the textbook scalable k-means: each iteration is
+    ONE streaming pass emitting per-batch partial sums (cell, Σvec, n);
+    driver state is k×d floats (bounded, independent of corpus size);
+    new centroids broadcast by closure into the next pass. Assignment is
+    argmax of the raw dot product rounded to 6dp with lower-index
+    tiebreak, and centroid means are snapped to 6dp between iterations —
+    both conventions exist so the SQL mirror (DuckDB summation order ≠
+    numpy SIMD order) lands on identical argmax decisions.
+
+    Emits (vec_id, cluster) for every vector.
+    """
+    cent = ivf_centroids(dim, ncentroids, seed)
+
+    def assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        dots = np.round(mat @ c.T, 6)
+        # argmax with lower-index tiebreak == numpy argmax (first max)
+        return dots.argmax(axis=1)
+
+    for _ in range(iters - 1):
+        c_now = cent
+
+        def partials(t: pa.Table, c_now=c_now) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "cell": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.list_(pa.float64())),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            mat = _stack(t[emb_col])
+            cells = assign(mat, c_now)
+            order = np.argsort(cells, kind="stable")
+            sc = cells[order]
+            change = np.empty(len(sc), dtype=bool)
+            change[0] = True
+            change[1:] = sc[1:] != sc[:-1]
+            starts = np.flatnonzero(change)
+            sums = np.add.reduceat(mat[order], starts, axis=0)
+            ns = np.diff(np.append(starts, len(sc))).astype(np.int64)
+            return pa.table(
+                {
+                    "cell": pa.array(sc[starts].astype(np.int64)),
+                    "s": pa.array(list(sums)),
+                    "n": pa.array(ns),
+                }
+            )
+
+        sums = np.zeros((ncentroids, cent.shape[1]), dtype=np.float64)
+        counts = np.zeros(ncentroids, dtype=np.int64)
+        for part in ds.map_batches(partials, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for cell, s, n in zip(
+                part["cell"].to_pylist(), part["s"].to_pylist(), part["n"].to_pylist()
+            ):
+                sums[cell] += np.asarray(s)
+                counts[cell] += n
+        # empty cells keep their previous centroid (same rule in SQL via
+        # coalesce with the prior literal)
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cent = np.round(new, 6)
+
+    c_fin = cent
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        mat = _stack(t[emb_col])
+        return pa.table(
+            {
+                "vec_id": pc.cast(t[id_col], pa.int64()),
+                "cluster": pa.array(assign(mat, c_fin).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")

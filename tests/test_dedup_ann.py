@@ -373,3 +373,44 @@ def test_substring_dedup_flags_shared_spans(ray_session):
     # window counts: len(words) - 7
     assert out.loc[1, "n_spans"] == len(texts[1].split()) - 7
     assert out.loc[2, "n_spans"] == len(texts[2].split()) - 7
+
+
+def test_kmeans_assign_matches_serial(ray_session):
+    """Distributed partial-sum Lloyd equals a serial numpy Lloyd with the
+    same seeded init, 6dp snapping, and fixed iterations — regardless of
+    batch/partition boundaries."""
+    from grate_ray.functions.ann import ivf_centroids, kmeans_assign
+
+    rng = np.random.default_rng(29)
+    dim, n, k, iters = 16, 400, 5, 3
+    mat = rng.standard_normal((n, dim))
+    ids = np.arange(n, dtype=np.int64)
+
+    cent = ivf_centroids(dim, k, seed=21)
+    for _ in range(iters - 1):
+        cells = np.round(mat @ cent.T, 6).argmax(axis=1)
+        new = cent.copy()
+        for c in range(k):
+            m = cells == c
+            if m.any():
+                new[c] = mat[m].mean(axis=0)
+        cent = np.round(new, 6)
+    exp = np.round(mat @ cent.T, 6).argmax(axis=1)
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in mat]),
+        }
+    )
+    out = (
+        kmeans_assign(
+            ray.data.from_arrow(t).repartition(7), ncentroids=k, iters=iters,
+            seed=21, dim=dim,
+        )
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert (out["cluster"].to_numpy() == exp).all()
+    assert len(np.unique(exp)) > 1  # clustering is non-trivial
