@@ -1415,6 +1415,30 @@ def q_multimodal_jpeg_color(sf_dir: str):
     )
 
 
+def q_multimodal_adpcm(sf_dir: str):
+    """REAL compressed-audio codec end to end: the WAV fixture samples
+    are IMA/DVI ADPCM-encoded (4-bit, step-table state machine, 4:1)
+    and decoded by the actor-pool AdpcmFeatureExtractor. The lossy
+    quantization is pure integer arithmetic, so the SQL oracle replays
+    the exact encode+decode state machine with a recursive CTE over the
+    step/index tables."""
+    from grate_ray.functions.multimodal import (
+        AdpcmFeatureExtractor,
+        synthesize_adpcm_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_adpcm_column, batch_format="pyarrow")
+        .map_batches(
+            AdpcmFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_video(sf_dir: str):
     """REAL video path end to end: per doc a real RIFF/AVI (MJPEG)
     container of 6 grayscale JPEG frames; the actor-pool stage walks the
@@ -1531,6 +1555,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_png": q_multimodal_png,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
+    "multimodal_adpcm": q_multimodal_adpcm,
     "multimodal_video": q_multimodal_video,
     "multimodal_wav": q_multimodal_wav,
     "multimodal_frames": q_multimodal_frames,
@@ -1854,6 +1879,73 @@ WHERE md5_number_lower(coalesce(text, '')) % 8 <
                 WHEN 'zh' THEN 6 WHEN 'es' THEN 6
                 WHEN 'de' THEN 6 WHEN 'fr' THEN 6
                 ELSE 0 END"""
+
+
+def _adpcm_sql(n: int = 64) -> str:
+    """Exact SQL mirror of the IMA ADPCM encode+decode state machine:
+    a recursive CTE carries (pred, index, Σ|sample|, peak) per doc and
+    replays the spec step/index tables for every sample."""
+    from grate_ray.functions.multimodal import ADPCM_INDEX, ADPCM_STEPS
+
+    steps = ", ".join(f"({k}, {int(v)})" for k, v in enumerate(ADPCM_STEPS))
+    idxs = ", ".join(f"({k}, {int(v)})" for k, v in enumerate(ADPCM_INDEX))
+    return f"""
+WITH RECURSIVE stept(k, st) AS (
+  VALUES {steps}
+), idxt(code, dlt) AS (
+  VALUES {idxs}
+), rec AS (
+  SELECT doc_id, 0 AS i, 0 AS pred, 0 AS idx,
+         CAST(0 AS BIGINT) AS sum_abs, CAST(0 AS BIGINT) AS peak
+  FROM documents
+  UNION ALL
+  SELECT doc_id, i + 1, npred, nidx,
+         sum_abs + abs(npred), greatest(peak, abs(npred))
+  FROM (
+    SELECT q.doc_id, q.i, q.sum_abs, q.peak,
+           least(32767, greatest(-32768,
+             CASE WHEN q.sgn THEN q.pred - q.diffq
+                  ELSE q.pred + q.diffq END)) AS npred,
+           least(88, greatest(0, q.idx + it.dlt)) AS nidx
+    FROM (
+      SELECT p.*,
+             (p.step // 8)
+               + CASE WHEN p.b4 THEN p.step ELSE 0 END
+               + CASE WHEN p.b2 THEN p.step // 2 ELSE 0 END
+               + CASE WHEN p.b1 THEN p.step // 4 ELSE 0 END AS diffq,
+             CASE WHEN p.b4 THEN 4 ELSE 0 END
+               + CASE WHEN p.b2 THEN 2 ELSE 0 END
+               + CASE WHEN p.b1 THEN 1 ELSE 0 END AS mag
+      FROM (
+        SELECT o.*, (o.r2 >= o.step // 4) AS b1
+        FROM (
+          SELECT m.*, (m.r1 >= m.step // 2) AS b2,
+                 m.r1 - CASE WHEN m.r1 >= m.step // 2
+                             THEN m.step // 2 ELSE 0 END AS r2
+          FROM (
+            SELECT nn.*, (nn.ad >= nn.step) AS b4,
+                   nn.ad - CASE WHEN nn.ad >= nn.step
+                                THEN nn.step ELSE 0 END AS r1
+            FROM (
+              SELECT r.doc_id, r.i, r.pred, r.idx, r.sum_abs, r.peak,
+                     s.st AS step,
+                     ((r.doc_id * 13 + r.i * 7) % 65536 - 32768 - r.pred < 0) AS sgn,
+                     abs((r.doc_id * 13 + r.i * 7) % 65536 - 32768 - r.pred) AS ad
+              FROM rec r JOIN stept s ON s.k = r.idx
+              WHERE r.i < {n}
+            ) nn
+          ) m
+        ) o
+      ) p
+    ) q JOIN idxt it ON it.code = q.mag
+  )
+)
+SELECT doc_id,
+       CAST({n} AS BIGINT) AS n_samples,
+       CAST({8 + (n + 1) // 2} AS BIGINT) AS compressed_bytes,
+       round(sum_abs / {n}.0, 6) AS mean_abs,
+       peak
+FROM rec WHERE i = {n}"""
 
 
 def _kmeans_sql(ncentroids: int = 8, seed: int = 21, dim: int = 64) -> str:
@@ -2547,6 +2639,7 @@ WHERE rn = 1""",
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "bm25_topk": _bm25_sql(_BM25_QUERIES, k=5),
         "embed_kmeans": _kmeans_sql(ncentroids=8, seed=21),
+        "multimodal_adpcm": _adpcm_sql(n=64),
         "dedup_substring": _SUBSTRING_SQL.format(corpus=_CORPUS_SQL),
         "stratified_sample": _STRATIFIED_SQL,
         "window_watermark": """

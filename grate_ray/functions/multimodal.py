@@ -7,11 +7,13 @@ mechanics throughout, with FOUR real dependency-free codecs:
 - baseline JPEG, grayscale AND 4:4:4 YCbCr color (real JFIF markers,
   in-file Huffman tables, dual quant tables, interleaved MCUs with
   per-component DC prediction, dequantize + IDCT, YCbCr→RGB),
-- WAV (RIFF chunk walk, 16-bit PCM).
+- WAV (RIFF chunk walk, 16-bit PCM),
+- IMA/DVI ADPCM compressed audio (4-bit step-table state machine, 4:1).
 
-Only progressive/subsampled JPEG, compressed audio and compressed video
-codecs remain STUBBED behind ``NotImplementedError`` in MediaDecoder
-(AVI/MJPEG containers are real — see encode_avi_mjpeg).
+Only progressive/subsampled JPEG and perceptual audio/video codecs
+(MP3/AAC/H.26x — patent-grade DSP, no stdlib path) remain STUBBED
+behind ``NotImplementedError`` in MediaDecoder (AVI/MJPEG containers
+are real — see encode_avi_mjpeg).
 
 Pattern for 100 TB media pipelines: binary columns stay in Arrow
 (``batch_format="pyarrow"`` end to end — binary does not survive pandas
@@ -1132,6 +1134,132 @@ class WavFeatureExtractor:
         out = out.append_column("n_samples", pa.array(ns, pa.int64()))
         out = out.append_column("sample_rate", pa.array(rates, pa.int64()))
         out = out.append_column("duration_ms", pa.array(durs, pa.float64()))
+        out = out.append_column("mean_abs", pa.array(means, pa.float64()))
+        out = out.append_column("peak", pa.array(peaks, pa.int64()))
+        return out
+
+
+# --- real IMA/DVI ADPCM compressed-audio codec (no external libs) ------------
+
+# public IMA/DVI ADPCM tables (spec constants)
+ADPCM_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+     34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+     157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+     598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+     1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+     5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635,
+     13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int64,
+)
+ADPCM_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+_ADPCM_MAGIC = b"ADP1"
+
+
+def _adpcm_quantize(sample: int, pred: int, idx: int) -> tuple[int, int, int]:
+    """One IMA ADPCM step shared by encode and decode: quantize
+    (sample − pred) to a 4-bit code against step idx, reconstruct, clamp.
+    Returns (code, new_pred, new_idx). Pure integer arithmetic — the SQL
+    oracle's recursive CTE carries exactly this state machine."""
+    step = int(ADPCM_STEPS[idx])
+    diff = sample - pred
+    sign = 8 if diff < 0 else 0
+    ad = -diff if diff < 0 else diff
+    code = 0
+    if ad >= step:
+        code |= 4
+        ad -= step
+    if ad >= step >> 1:
+        code |= 2
+        ad -= step >> 1
+    if ad >= step >> 2:
+        code |= 1
+    diffq = (step >> 3) + (step if code & 4 else 0) + (
+        (step >> 1) if code & 2 else 0
+    ) + ((step >> 2) if code & 1 else 0)
+    pred = pred - diffq if sign else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(ADPCM_INDEX[code])))
+    return sign | code, pred, idx
+
+
+def encode_adpcm(samples: np.ndarray) -> bytes:
+    """int16 mono samples → IMA ADPCM (4:1): 'ADP1' magic + uint32
+    sample count + packed nibbles (low nibble first), initial state
+    pred=0, index=0. Lossy by design; the decoder state machine below
+    reconstructs the exact quantized stream."""
+    pred, idx = 0, 0
+    nibbles = []
+    for s in np.asarray(samples, dtype=np.int64):
+        code, pred, idx = _adpcm_quantize(int(s), pred, idx)
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        (nibbles[i] | (nibbles[i + 1] << 4)) for i in range(0, len(nibbles), 2)
+    )
+    return _ADPCM_MAGIC + struct.pack("<I", len(samples)) + packed
+
+
+def decode_adpcm(blob: bytes) -> np.ndarray:
+    """IMA ADPCM bytes → int16 samples: the decoder runs the same state
+    machine from (pred=0, index=0), reconstructing each quantized
+    sample; truncated streams raise instead of mis-decoding."""
+    if blob[:4] != _ADPCM_MAGIC:
+        raise ValueError("not an ADPCM stream")
+    (n,) = struct.unpack_from("<I", blob, 4)
+    need = 8 + (n + 1) // 2
+    if len(blob) < need:
+        raise ValueError("truncated ADPCM stream")
+    out = np.empty(n, dtype=np.int16)
+    pred, idx = 0, 0
+    for i in range(n):
+        b = blob[8 + i // 2]
+        code = (b >> 4) if i % 2 else (b & 0xF)
+        step = int(ADPCM_STEPS[idx])
+        diffq = (step >> 3) + (step if code & 4 else 0) + (
+            (step >> 1) if code & 2 else 0
+        ) + ((step >> 2) if code & 1 else 0)
+        pred = pred - diffq if code & 8 else pred + diffq
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(ADPCM_INDEX[code & 7])))
+        out[i] = pred
+    return out
+
+
+def synthesize_adpcm_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic ADPCM payloads over the same synthetic samples as
+    the WAV fixture (sample i of doc d = ((d*13 + i*7) % 65536) − 32768):
+    the lossy quantization is a pure integer state machine the SQL
+    oracle replays with a recursive CTE."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    i = np.arange(WAV_N, dtype=np.int64)
+    blobs = []
+    for d in ids:
+        s = ((d * 13 + i * 7) % 65536 - 32768).astype(np.int16)
+        blobs.append(encode_adpcm(s))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+class AdpcmFeatureExtractor:
+    """Actor-pool stage: REAL IMA ADPCM decode (nibble unpack + step
+    table state machine) → per-clip (n_samples, compressed_bytes,
+    mean_abs, peak) of the reconstructed signal."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ns, nbytes, means, peaks = [], [], [], []
+        for blob in t[self.payload_col].to_pylist():
+            samples = decode_adpcm(blob).astype(np.int64)
+            ns.append(len(samples))
+            nbytes.append(len(blob))
+            means.append(round(float(np.abs(samples).mean()), 6) if len(samples) else 0.0)
+            peaks.append(int(np.abs(samples).max()) if len(samples) else 0)
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("n_samples", pa.array(ns, pa.int64()))
+        out = out.append_column("compressed_bytes", pa.array(nbytes, pa.int64()))
         out = out.append_column("mean_abs", pa.array(means, pa.float64()))
         out = out.append_column("peak", pa.array(peaks, pa.int64()))
         return out

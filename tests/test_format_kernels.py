@@ -379,3 +379,45 @@ def test_color_jpeg_flat_exact_and_lossy_bounds():
         decode_jpeg_gray(blob)
     with pytest.raises(ValueError):
         decode_jpeg(bytes(blob[: len(blob) // 2]))
+
+
+def test_adpcm_codec_tracks_signal_and_rejects_truncation():
+    """IMA ADPCM: decode replays the encoder's state machine exactly
+    (decoded == encoder-side reconstruction), tracks a smooth signal
+    within the current quantizer step, achieves ~4:1 compression, and
+    refuses truncated/foreign streams."""
+    import pytest
+
+    from grate_ray.functions.multimodal import (
+        _adpcm_quantize,
+        decode_adpcm,
+        encode_adpcm,
+    )
+
+    # smooth signal: reconstruction tracks within a few steps
+    t = np.arange(256)
+    sig = (8000 * np.sin(t / 10.0)).astype(np.int16)
+    blob = encode_adpcm(sig)
+    back = decode_adpcm(blob)
+    assert len(back) == len(sig)
+    assert len(blob) == 8 + 128  # 4:1 vs int16
+    # after the attack phase the tracker locks on
+    assert np.abs(back[32:].astype(int) - sig[32:].astype(int)).max() < 2000
+
+    # decode must equal the encoder's own reconstruction bit for bit
+    pred, idx = 0, 0
+    recon = []
+    for s in sig:
+        _, pred, idx = _adpcm_quantize(int(s), pred, idx)
+        recon.append(pred)
+    assert (back.astype(int) == np.array(recon)).all()
+
+    # extremes clamp to int16 range, never wrap
+    ext = np.array([32767, -32768] * 50, dtype=np.int16)
+    dec = decode_adpcm(encode_adpcm(ext)).astype(int)
+    assert dec.min() >= -32768 and dec.max() <= 32767
+
+    with pytest.raises(ValueError):
+        decode_adpcm(b"WAVE1234")
+    with pytest.raises(ValueError):
+        decode_adpcm(blob[: len(blob) // 2])
