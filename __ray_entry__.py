@@ -1017,9 +1017,10 @@ def q_decontaminate(sf_dir: str):
 
 def q_lm_perplexity(sf_dir: str):
     """Corpus-trained add-alpha bigram LM scores every document with its
-    average negative log-likelihood (CCNet-style quality signal): three
-    keyed repartitions (gram / ctx / doc), per-block bincount attaches,
-    vocab size as the only driver scalar."""
+    average negative log-likelihood (CCNet-style quality signal): two
+    PARALLEL single-shuffle branches over pre-aggregated (doc, key, m)
+    rows (gram / ctx), weighted-bincount count attaches, one tiny
+    doc-keyed combine; vocab size is the only driver scalar."""
     from grate_ray.functions.lm import bigram_lm_score
 
     return bigram_lm_score(_docs(sf_dir), alpha=0.5)

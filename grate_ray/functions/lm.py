@@ -14,16 +14,17 @@ where c(w1 w2) is the corpus bigram count, c(w1·) the count of w1 as a
 bigram context (occurrences in non-final position), V the corpus
 vocabulary size, and a the smoothing constant.
 
-Scale shape (the whole point): the bigram relation is built per batch
-(vectorized Arrow window-take, multiplicity preserved), then flows
-through THREE keyed repartitions — by gram (attach c2 via a per-block
-bincount; co-location makes the block count the global count), by ctx
-(attach c1 the same way, then collapse to per-(block, doc) partial
-sums), and by doc_id (final reduce). No count relation is ever
-collected on the driver and no Ray HashAggregate runs at gram/doc
-cardinality — each wide step is a hash repartition plus one vectorized
-block kernel, the same combiner discipline as ``exact_dedup``. The only
-driver-side value is the vocabulary size V (one integer).
+Scale shape (the whole point): the per-doc NLL sum splits into two
+independent terms — Σ m·ln(c1 + aV) over (doc, ctx) multiplicities and
+−Σ m·ln(c2 + a) over (doc, gram) multiplicities — so the pipeline is
+two PARALLEL branches, each ONE keyed repartition of batch-pre-
+aggregated (doc, key, m) rows (distinct pairs, not the raw token
+stream), with global counts computed as weighted bincounts on the
+co-located block; a union of per-doc partials then makes one tiny
+doc-keyed exchange. No count relation is ever collected on the driver
+and no Ray HashAggregate runs at gram/doc cardinality — the same
+combiner discipline as ``exact_dedup``. The only driver-side value is
+the vocabulary size V (one integer).
 
 Reference analogy: the reference scores/filters rows during extraction
 with per-sheet state (pbnjay/grate commonxl/sheet.go); this is the
@@ -101,14 +102,36 @@ def vocab_size(
     return int(counted.sum("n") or 0)
 
 
-def _block_counts(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Per-row global count of the row's key, valid because the block is
-    co-located on that key: factorize + bincount, no Python loop."""
-    codes, _ = pd.factorize(
-        col.to_pandas() if hasattr(col, "to_pandas") else pd.Series(col)
+
+def _doc_key_mult(t: pa.Table, key: str, text_col: str, id_col: str) -> pa.Table:
+    """Per-batch combiner: (doc_id, key, m) with m the occurrence count
+    of that gram/ctx within the doc — batch-local pre-aggregation that
+    shrinks the shuffle from token-stream rows to distinct-(doc, key)
+    rows (the exchange payload at web scale)."""
+    g = explode_bigrams(t, text_col, id_col)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "key": pa.array([], pa.string()),
+            "m": pa.array([], pa.int64()),
+        }
     )
-    cnt = np.bincount(codes)
-    return cnt[codes].astype(np.float64)
+    if g.num_rows == 0:
+        return empty
+    df = pd.DataFrame(
+        {
+            "doc_id": g["doc_id"].to_numpy(zero_copy_only=False),
+            "key": g[key].to_pandas(),
+        }
+    )
+    agg = df.groupby(["doc_id", "key"], sort=False).size().reset_index(name="m")
+    return pa.table(
+        {
+            "doc_id": pa.array(agg["doc_id"].to_numpy(), pa.int64()),
+            "key": pa.array(agg["key"].to_numpy(), pa.string()),
+            "m": pa.array(agg["m"].to_numpy(), pa.int64()),
+        }
+    )
 
 
 def bigram_lm_score(
@@ -127,52 +150,69 @@ def bigram_lm_score(
     avg_nll = mean over the doc's bigrams of ln(c1 + a·V) − ln(c2 + a),
     i.e. −ln P under add-alpha smoothing. Lower is more fluent/common;
     the CCNet recipe drops the top tail.
+
+    Shape: the numerator splits into two independent sums — −Σ m·ln(c2 +
+    a) over (doc, gram) multiplicities and Σ m·ln(c1 + aV) over
+    (doc, ctx) multiplicities — so each branch shuffles ONCE, and the
+    branches run in PARALLEL under a union; global counts are weighted
+    bincounts on the key-co-located block, and only per-doc partial rows
+    reach the final tiny doc-keyed exchange. Two shuffle LEVELS of
+    pre-aggregated rows, not a 3-deep sequential chain of the raw
+    bigram-occurrence stream.
     """
     from ..context import configure_shuffle, join_partitions
 
     configure_shuffle(32)
     v = vocab_size(docs, text_col=text_col)
-    grams = docs.map_batches(
-        lambda t: explode_bigrams(t, text_col, id_col), batch_format="pyarrow"
+
+    _EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "s": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+        }
     )
 
-    def attach_c2(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "ctx": pa.array([], pa.string()),
-                    "l2": pa.array([], pa.float64()),
-                }
-            )
-        l2 = np.log(_block_counts(t["gram"]) + alpha)
-        return pa.table({"doc_id": t["doc_id"], "ctx": t["ctx"], "l2": pa.array(l2)})
+    def _weighted_counts(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(per-row GLOBAL key count, per-row multiplicity) — valid
+        because the block is co-located on key."""
+        codes, _ = pd.factorize(t["key"].to_pandas())
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.bincount(codes, weights=m)[codes], m
 
-    def attach_c1_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "s": pa.array([], pa.float64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        l1 = np.log(_block_counts(t["ctx"]) + alpha * v)
-        nll = l1 - t["l2"].to_numpy(zero_copy_only=False)
+    def _per_doc(t: pa.Table, term: np.ndarray, count_n: bool) -> pa.Table:
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(doc, kind="stable")
         d = doc[order]
         change = np.empty(len(d), dtype=bool)
         change[0] = True
         change[1:] = d[1:] != d[:-1]
         starts = np.flatnonzero(change)
+        n = (
+            np.add.reduceat(m[order], starts)
+            if count_n
+            else np.zeros(len(starts), dtype=np.int64)
+        )
         return pa.table(
             {
                 "doc_id": pa.array(d[starts]),
-                "s": pa.array(np.add.reduceat(nll[order], starts)),
-                "n": pa.array(np.diff(np.append(starts, len(d))).astype(np.int64)),
+                "s": pa.array(np.add.reduceat(term[order], starts)),
+                "n": pa.array(n.astype(np.int64)),
             }
         )
+
+    def gram_branch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        c, m = _weighted_counts(t)
+        return _per_doc(t, -m * np.log(c + alpha), count_n=True)
+
+    def ctx_branch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        c, m = _weighted_counts(t)
+        return _per_doc(t, m * np.log(c + alpha * v), count_n=False)
 
     def final(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -203,11 +243,24 @@ def bigram_lm_score(
         )
 
     p = join_partitions(64)
+    a = (
+        docs.map_batches(
+            lambda t: _doc_key_mult(t, "gram", text_col, id_col),
+            batch_format="pyarrow",
+        )
+        .repartition(p, keys=["key"])
+        .map_batches(gram_branch, batch_format="pyarrow", batch_size=None)
+    )
+    b = (
+        docs.map_batches(
+            lambda t: _doc_key_mult(t, "ctx", text_col, id_col),
+            batch_format="pyarrow",
+        )
+        .repartition(p, keys=["key"])
+        .map_batches(ctx_branch, batch_format="pyarrow", batch_size=None)
+    )
     return (
-        grams.repartition(p, keys=["gram"])
-        .map_batches(attach_c2, batch_format="pyarrow", batch_size=None)
-        .repartition(p, keys=["ctx"])
-        .map_batches(attach_c1_partial, batch_format="pyarrow", batch_size=None)
+        a.union(b)
         .repartition(join_partitions(32), keys=["doc_id"])
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
