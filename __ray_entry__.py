@@ -1426,6 +1426,29 @@ def q_multimodal_jpeg_color(sf_dir: str):
     )
 
 
+def q_multimodal_jpeg420(sf_dir: str):
+    """REAL 4:2:0 chroma-subsampled baseline JPEG (the dominant
+    real-world layout) end to end: 4-Y-block MCUs + subsampled chroma
+    planes + replication upsampling; flat 16x16 MCUs make the chroma
+    box-average an identity so the decode chain is the same exact
+    arithmetic the 4:4:4 oracle uses, at 32x32."""
+    from grate_ray.functions.multimodal import (
+        ColorJpegFeatureExtractor,
+        synthesize_jpeg420_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_jpeg420_column, batch_format="pyarrow")
+        .map_batches(
+            ColorJpegFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_adpcm(sf_dir: str):
     """REAL compressed-audio codec end to end: the WAV fixture samples
     are IMA/DVI ADPCM-encoded (4-bit, step-table state machine, 4:1)
@@ -1567,6 +1590,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_png": q_multimodal_png,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
+    "multimodal_jpeg420": q_multimodal_jpeg420,
     "multimodal_adpcm": q_multimodal_adpcm,
     "multimodal_video": q_multimodal_video,
     "multimodal_wav": q_multimodal_wav,
@@ -2778,6 +2802,41 @@ WITH px AS (
 )
 SELECT doc_id,
        CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       round(avg(r2), 6) AS mean_r,
+       round(avg(g2), 6) AS mean_g,
+       round(avg(b2), 6) AS mean_b
+FROM rgb
+GROUP BY doc_id""",
+        # 4:2:0 flat-MCU chain: identical arithmetic to multimodal_jpeg_color
+        # (flat chroma box-average is identity), 4 MCUs at 32x32
+        "multimodal_jpeg420": """
+WITH px AS (
+  SELECT doc_id,
+         (doc_id * 3 + b * 17) % 256 AS r,
+         (doc_id * 5 + b * 29) % 256 AS g,
+         (doc_id * 7 + b * 43) % 256 AS bl
+  FROM documents CROSS JOIN (SELECT UNNEST(range(4)) AS b) bs
+), ycc AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, CAST(floor(0.299*r + 0.587*g + 0.114*bl + 0.5) AS BIGINT))) AS y,
+    LEAST(255, GREATEST(0, CAST(floor(-0.168736*r - 0.331264*g + 0.5*bl + 128 + 0.5) AS BIGINT))) AS cb,
+    LEAST(255, GREATEST(0, CAST(floor(0.5*r - 0.418688*g - 0.081312*bl + 128 + 0.5) AS BIGINT))) AS cr
+  FROM px
+), dq AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, CAST(floor(floor((8*(y - 128))/16.0 + 0.5) * 16 / 8.0 + 128 + 0.5) AS BIGINT))) AS y2,
+    LEAST(255, GREATEST(0, CAST(floor(floor((8*(cb - 128))/17.0 + 0.5) * 17 / 8.0 + 128 + 0.5) AS BIGINT))) AS cb2,
+    LEAST(255, GREATEST(0, CAST(floor(floor((8*(cr - 128))/17.0 + 0.5) * 17 / 8.0 + 128 + 0.5) AS BIGINT))) AS cr2
+  FROM ycc
+), rgb AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, CAST(floor(y2 + 1.402*(cr2 - 128) + 0.5) AS BIGINT))) AS r2,
+    LEAST(255, GREATEST(0, CAST(floor(y2 - 0.344136*(cb2 - 128) - 0.714136*(cr2 - 128) + 0.5) AS BIGINT))) AS g2,
+    LEAST(255, GREATEST(0, CAST(floor(y2 + 1.772*(cb2 - 128) + 0.5) AS BIGINT))) AS b2
+  FROM dq
+)
+SELECT doc_id,
+       CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
        round(avg(r2), 6) AS mean_r,
        round(avg(g2), 6) AS mean_g,
        round(avg(b2), 6) AS mean_b

@@ -669,9 +669,12 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
                 # per-component: id, sampling (H<<4|V), quant selector
-                if samp != 0x11:
-                    raise NotImplementedError("subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hh, vv = samp >> 4, samp & 0xF
+                if hh not in (1, 2) or vv not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hh}x{vv} unsupported (1 or 2 only)"
+                    )
+                comps.append((cid, hh, vv, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("non-baseline JPEG scan unsupported")
         elif marker == 0xDA:
@@ -687,44 +690,70 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
         pos += 2 + ln
     if h is None or data is None or not comps:
         raise ValueError("JPEG missing SOF0/SOS")
-    if h % 8 or w % 8:
-        raise NotImplementedError("partial MCUs unsupported (pad to 8x8)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise NotImplementedError("partial MCUs unsupported (pad to MCU size)")
     d = _dct_mat()
     br = _BitReader(data)
-    planes = [np.zeros((h, w), np.uint8) for _ in comps]
+    # each component decodes into its own (possibly subsampled) plane
+    planes = [
+        np.zeros((h * vv // vmax, w * hh // hmax), np.uint8)
+        for _, hh, vv, _ in comps
+    ]
     tables = []
-    for cid, tq in comps:
+    for cid, hh, vv, tq in comps:
         dcs, acs = sels[cid]
-        tables.append((qtables[tq], htables[(0, dcs)], htables[(1, acs)]))
+        tables.append((qtables[tq], htables[(0, dcs)], htables[(1, acs)], hh, vv))
     prev_dc = [0] * len(comps)
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            for ci, (q, dct, act) in enumerate(tables):
-                zz = np.zeros(64, np.int32)
-                size = _huff_read(br, dct)
-                diff = _extend(br.read_bits(size), size) if size else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_read(br, act)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    size = sym & 0xF
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                coef = np.zeros(64, np.int32)
-                coef[_ZIGZAG] = zz
-                block = d.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ d
-                planes[ci][by : by + 8, bx : bx + 8] = np.clip(
-                    _fl_round(block + 128.0), 0, 255
-                ).astype(np.uint8)
+
+    def read_block(dct, act) -> np.ndarray:
+        zz = np.zeros(64, np.int32)
+        size = _huff_read(br, dct)
+        zz[0] = _extend(br.read_bits(size), size) if size else 0
+        k = 1
+        while k < 64:
+            sym = _huff_read(br, act)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 0xF
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = _extend(br.read_bits(size), size)
+            k += 1
+        return zz
+
+    # interleaved MCUs: per MCU, each component contributes hh×vv blocks
+    for mby in range(0, h, 8 * vmax):
+        for mbx in range(0, w, 8 * hmax):
+            for ci, (q, dct, act, hh, vv) in enumerate(tables):
+                py, px = mby * vv // vmax, mbx * hh // hmax
+                for byy in range(vv):
+                    for bxx in range(hh):
+                        zz = read_block(dct, act)
+                        prev_dc[ci] += zz[0]
+                        zz0 = zz.copy()
+                        zz0[0] = prev_dc[ci]
+                        coef = np.zeros(64, np.int32)
+                        coef[_ZIGZAG] = zz0
+                        block = d.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ d
+                        planes[ci][
+                            py + 8 * byy : py + 8 * byy + 8,
+                            px + 8 * bxx : px + 8 * bxx + 8,
+                        ] = np.clip(_fl_round(block + 128.0), 0, 255).astype(np.uint8)
+    # upsample subsampled planes by replication (deterministic, mirrorable)
+    full = []
+    for plane, (_, hh, vv, _) in zip(planes, comps):
+        if hh != hmax:
+            plane = np.repeat(plane, hmax // hh, axis=1)
+        if vv != vmax:
+            plane = np.repeat(plane, vmax // vv, axis=0)
+        full.append(plane)
+    planes = full
     if len(planes) == 1:
         return w, h, planes[0]
     y = planes[0].astype(np.float64)
@@ -763,50 +792,77 @@ def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     return np.clip(_fl_round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg_color(pixels_rgb: np.ndarray) -> bytes:
-    """(H, W, 3) uint8 RGB (8x8-multiple dims) → real baseline 4:4:4
-    YCbCr JFIF bytes: luma + chroma DQT slots, 3-component SOF0,
-    interleaved MCUs (Y, Cb, Cr per block position) with one DC
-    predictor per component. Huffman slots 0 (luma spec tables) are
-    shared by all components — legal baseline; the decoder reads
-    whatever DHT the file carries."""
+def encode_jpeg_color(pixels_rgb: np.ndarray, subsample: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB → real baseline YCbCr JFIF bytes: luma +
+    chroma DQT slots, 3-component SOF0, interleaved MCUs with one DC
+    predictor per component. ``subsample=False`` writes 4:4:4 (dims must
+    be 8-multiples; MCU = Y, Cb, Cr per block position);
+    ``subsample=True`` writes 4:2:0 — the dominant real-world layout
+    (dims must be 16-multiples; MCU = 4 Y blocks + 1 Cb + 1 Cr, chroma
+    box-averaged 2×2 with floor(x+0.5)). Huffman slots 0 (luma spec
+    tables) are shared by all components — legal baseline; the decoder
+    reads whatever DHT the file carries."""
     h, w, nc = pixels_rgb.shape
     if nc != 3:
         raise ValueError("expected (H, W, 3) RGB")
-    if h % 8 or w % 8:
-        raise ValueError("encoder requires 8x8-multiple dimensions")
+    mcu = 16 if subsample else 8
+    if h % mcu or w % mcu:
+        raise ValueError(f"encoder requires {mcu}x{mcu}-multiple dimensions")
     ycc = rgb_to_ycbcr(pixels_rgb)
+    yp = ycc[..., 0]
+    if subsample:
+        # deterministic 2x2 box average, floor(x+0.5) — mirrorable
+        cbcr = []
+        for ci in (1, 2):
+            p = ycc[..., ci].astype(np.float64)
+            ds = p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cbcr.append(np.clip(_fl_round(ds), 0, 255).astype(np.uint8))
+        cbp, crp = cbcr
+    else:
+        cbp, crp = ycc[..., 1], ycc[..., 2]
     d = _dct_mat()
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
-    qtabs = [JPEG_QTABLE, JPEG_QTABLE_CHROMA, JPEG_QTABLE_CHROMA]
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            for ci in range(3):
-                prev_dc[ci] = _encode_block(
-                    bw,
-                    ycc[by : by + 8, bx : bx + 8, ci],
-                    qtabs[ci],
-                    d,
-                    dc_codes,
-                    ac_codes,
-                    prev_dc[ci],
-                )
+    for mby in range(0, h, mcu):
+        for mbx in range(0, w, mcu):
+            if subsample:
+                for byy in range(2):
+                    for bxx in range(2):
+                        y0, x0 = mby + 8 * byy, mbx + 8 * bxx
+                        prev_dc[0] = _encode_block(
+                            bw, yp[y0 : y0 + 8, x0 : x0 + 8], JPEG_QTABLE,
+                            d, dc_codes, ac_codes, prev_dc[0],
+                        )
+                cy, cx = mby // 2, mbx // 2
+                for ci, plane in ((1, cbp), (2, crp)):
+                    prev_dc[ci] = _encode_block(
+                        bw, plane[cy : cy + 8, cx : cx + 8], JPEG_QTABLE_CHROMA,
+                        d, dc_codes, ac_codes, prev_dc[ci],
+                    )
+            else:
+                for ci, (plane, q) in enumerate(
+                    ((yp, JPEG_QTABLE), (cbp, JPEG_QTABLE_CHROMA), (crp, JPEG_QTABLE_CHROMA))
+                ):
+                    prev_dc[ci] = _encode_block(
+                        bw, plane[mby : mby + 8, mbx : mbx + 8], q,
+                        d, dc_codes, ac_codes, prev_dc[ci],
+                    )
     data = bw.flush()
 
     qzz0 = JPEG_QTABLE.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
     qzz1 = JPEG_QTABLE_CHROMA.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    ysamp = 0x22 if subsample else 0x11
     out = b"\xff\xd8"  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xDB, b"\x00" + qzz0)
     out += _seg(0xDB, b"\x01" + qzz1)
-    # components: Y→quant 0, Cb/Cr→quant 1, all 4:4:4
+    # components: Y→quant 0 (2x2 when subsampled), Cb/Cr→quant 1
     out += _seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, ysamp, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -879,6 +935,28 @@ def synthesize_color_jpeg_column(t: pa.Table, id_col: str = "doc_id") -> pa.Tabl
                 int((dd * 7 + b * 43) % 256),
             )
         blobs.append(encode_jpeg_color(img))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+def synthesize_jpeg420_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic real 4:2:0 JPEG payloads: MCU m (row-major of 4) of
+    doc d is the flat RGB ((d*3+m*17)%256, (d*5+m*29)%256, (d*7+m*43)%256)
+    over its full 16x16 — flat MCUs make the 2×2 chroma box-average an
+    identity, so the decode chain is the SAME exact arithmetic as the
+    4:4:4 fixture while the bitstream exercises 4-Y-block MCUs,
+    subsampled chroma planes and replication upsampling."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    blobs = []
+    for dd in ids:
+        img = np.zeros((32, 32, 3), np.uint8)
+        for m in range(4):
+            my, mx = (m // 2) * 16, (m % 2) * 16
+            img[my : my + 16, mx : mx + 16] = (
+                int((dd * 3 + m * 17) % 256),
+                int((dd * 5 + m * 29) % 256),
+                int((dd * 7 + m * 43) % 256),
+            )
+        blobs.append(encode_jpeg_color(img, subsample=True))
     return t.append_column("payload", pa.array(blobs, pa.binary()))
 
 

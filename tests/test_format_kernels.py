@@ -421,3 +421,47 @@ def test_adpcm_codec_tracks_signal_and_rejects_truncation():
         decode_adpcm(b"WAVE1234")
     with pytest.raises(ValueError):
         decode_adpcm(blob[: len(blob) // 2])
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 baseline: flat MCUs decode exactly (chroma box-average is
+    identity on flats); smooth images stay within normal loss; dims must
+    be MCU multiples; gray/4:4:4 paths unchanged."""
+    import pytest
+
+    from grate_ray.functions.multimodal import decode_jpeg, encode_jpeg_color
+
+    img = np.zeros((32, 48, 3), np.uint8)
+    rng = np.random.default_rng(17)
+    vals = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(6)]
+    for m, v in enumerate(vals):
+        my, mx = (m // 3) * 16, (m % 3) * 16
+        img[my : my + 16, mx : mx + 16] = v
+    w, h, back = decode_jpeg(encode_jpeg_color(img, subsample=True))
+    assert (w, h) == (48, 32)
+    # each MCU uniform and within the quantization-chain error of the
+    # 4:4:4 fixture (flat chroma average is identity)
+    from grate_ray.functions.multimodal import encode_jpeg_color as enc444
+
+    _, _, b444 = decode_jpeg(enc444(img[:16, :16 * 3]))
+    for m, v in enumerate(vals):
+        my, mx = (m // 3) * 16, (m % 3) * 16
+        mcu = back[my : my + 16, mx : mx + 16]
+        assert all(len(np.unique(mcu[..., c])) == 1 for c in range(3)), m
+    # cross-check against the 4:4:4 decode of the same flat values
+    assert (back[:16, : 16 * 3] == b444).all()
+
+    with pytest.raises(ValueError):
+        encode_jpeg_color(np.zeros((24, 24, 3), np.uint8), subsample=True)
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    im = np.stack(
+        [
+            np.clip(128 + 50 * np.sin(yy / 6.0), 0, 255),
+            np.clip(128 + 50 * np.cos(xx / 6.0), 0, 255),
+            np.full((32, 32), 90.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    _, _, b2 = decode_jpeg(encode_jpeg_color(im, subsample=True))
+    assert np.abs(b2.astype(int) - im.astype(int)).max() <= 40
