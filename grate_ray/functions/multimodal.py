@@ -174,25 +174,25 @@ def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c))
 
 
-def encode_png(pixels: np.ndarray, row_filters=None) -> bytes:
-    """(H, W, C) uint8 (C∈{1,3,4}) → real PNG bytes: signature, IHDR,
-    one zlib-compressed IDAT of filtered scanlines, IEND — with correct
-    per-chunk CRC32s.
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_filter_rows(px: np.ndarray, ch: int, row_filters=None) -> bytearray:
+    """Filter a (rows, stride) int32 image into PNG scanline bytes.
     ``row_filters`` picks the filter id (0-4) per row; the default cycles
-    ``row % 5`` so every filter type (None/Sub/Up/Average/Paeth) appears in
-    the stream and the decoder's unfilter path is genuinely exercised.
-    Filtering on encode predicts from the ORIGINAL bytes (what the decoder
-    will have reconstructed), so it is fully vectorized per row.
-    """
-    h, w, ch = pixels.shape
-    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    ``row % 5`` so every filter type appears. Prediction uses the
+    ORIGINAL bytes (what the decoder will have reconstructed), so it is
+    fully vectorized per row."""
+    nrows, stride = px.shape
     bpp = ch
-    px = pixels.astype(np.int32)
     raw = bytearray()
-    prior = np.zeros(w * ch, np.int32)
-    for r in range(h):
-        row = px[r].reshape(-1)
+    prior = np.zeros(stride, np.int32)
+    for r in range(nrows):
+        row = px[r]
         f = int(row_filters[r]) if row_filters is not None else r % 5
         left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, np.int32), prior[:-bpp]])
@@ -211,7 +211,35 @@ def encode_png(pixels: np.ndarray, row_filters=None) -> bytes:
         raw.append(f)
         raw += (out & 0xFF).astype(np.uint8).tobytes()
         prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return raw
+
+
+def encode_png(pixels: np.ndarray, row_filters=None, interlace: bool = False) -> bytes:
+    """(H, W, C) uint8 (C∈{1,3,4}) → real PNG bytes: signature, IHDR,
+    one zlib-compressed IDAT of filtered scanlines, IEND — with correct
+    per-chunk CRC32s.
+
+    ``row_filters`` picks the filter id (0-4) per row; the default cycles
+    ``row % 5`` so every filter type (None/Sub/Up/Average/Paeth) appears in
+    the stream and the decoder's unfilter path is genuinely exercised.
+    ``interlace=True`` writes Adam7: seven sequentially-filtered
+    sub-images over the standard pass grid (each pass restarts its
+    prior-row state, per spec)."""
+    h, w, ch = pixels.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    px = pixels.astype(np.int32)
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _png_filter_rows(
+                sub.reshape(sub.shape[0], -1), ch, row_filters=None
+            )
+    else:
+        raw = _png_filter_rows(px.reshape(h, -1), ch, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -225,12 +253,13 @@ def decode_png(blob: bytes) -> tuple[int, int, np.ndarray]:
     signature + chunk walk with CRC32 verification, multi-IDAT concat,
     zlib inflate, and reconstruction of all five scanline filters.
 
-    Supports 8-bit gray / RGB / RGBA, non-interlaced (the overwhelmingly
-    common storage layout); 16-bit, palette and Adam7 raise
-    ``NotImplementedError`` so callers dead-letter rather than mis-decode.
-    Sub/Average/Paeth reconstruction is sequential within a scanline by
-    definition (each byte depends on the reconstructed left neighbour);
-    the Up filter and whole-row ops stay vectorized.
+    Supports 8-bit gray / RGB / RGBA, non-interlaced AND Adam7
+    interlaced (seven unfiltered sub-images scattered over the pass
+    grid); 16-bit and palette raise ``NotImplementedError`` so callers
+    dead-letter rather than mis-decode. Sub/Average/Paeth reconstruction
+    is sequential within a scanline by definition (each byte depends on
+    the reconstructed left neighbour); the Up filter and whole-row ops
+    stay vectorized.
     """
     if blob[:8] != PNG_SIG:
         raise ValueError("not a PNG")
@@ -258,17 +287,40 @@ def decode_png(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError(
             f"only 8-bit gray/RGB/RGBA PNG supported (depth={depth} ctype={ctype})"
         )
-    if interlace:
-        raise NotImplementedError("Adam7 interlacing not supported")
     ch = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    recon = np.zeros((h, stride), np.uint8)
-    prior = np.zeros(stride, np.int32)
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"unknown interlace method {interlace}")
+    if not interlace:
+        recon, rp = _png_unfilter(raw, 0, h, w * ch, ch)
+        if rp != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        return w, h, recon.reshape(h, w, ch)
+    # Adam7: seven independent filtered sub-images, scattered back
+    out = np.zeros((h, w, ch), np.uint8)
     rp = 0
-    for r in range(h):
+    for x0, y0, dx, dy in _ADAM7:
+        ph = len(range(y0, h, dy))
+        pw = len(range(x0, w, dx))
+        if ph == 0 or pw == 0:
+            continue
+        sub, rp = _png_unfilter(raw, rp, ph, pw * ch, ch)
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    if rp != len(raw):
+        raise ValueError("PNG IDAT length mismatch")
+    return w, h, out
+
+
+def _png_unfilter(
+    raw: bytes, rp: int, nrows: int, stride: int, ch: int
+) -> tuple[np.ndarray, int]:
+    """Reconstruct ``nrows`` filtered scanlines of ``stride`` bytes
+    starting at offset ``rp``; returns (rows, new offset)."""
+    if rp + nrows * (stride + 1) > len(raw):
+        raise ValueError("PNG IDAT length mismatch")
+    recon = np.zeros((nrows, stride), np.uint8)
+    prior = np.zeros(stride, np.int32)
+    for r in range(nrows):
         f = raw[rp]
         row = np.frombuffer(raw, np.uint8, stride, rp + 1).astype(np.int32)
         rp += 1 + stride
@@ -295,7 +347,7 @@ def decode_png(blob: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError(f"bad PNG filter id {f}")
         recon[r] = cur
         prior = cur
-    return w, h, recon.reshape(h, w, ch)
+    return recon, rp
 
 
 def synthesize_png_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
@@ -458,10 +510,18 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)
+
+    def restart(self, k: int) -> None:
+        """Byte-align and emit the RSTn marker (raw, never stuffed)."""
+        self.pad_to_byte()
+        self.out += bytes([0xFF, 0xD0 + (k % 8)])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -519,11 +579,17 @@ def _encode_block(
     return new_dc
 
 
-def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+def encode_jpeg_gray(
+    pixels: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """(H, W) uint8 grayscale (8x8-multiple dims) → real baseline JFIF
     bytes: DQT + SOF0 + DHT (DC and AC tables) + SOS entropy stream with
     canonical Huffman codes, DC prediction, EOB/run-length AC coding and
-    byte stuffing."""
+    byte stuffing. ``restart_interval`` > 0 writes a DRI segment and an
+    RSTn marker (byte-aligned, DC predictor reset) every that many MCUs
+    — the error-resilience feature most camera JPEGs carry."""
     q = JPEG_QTABLE if qtable is None else qtable
     h, w = pixels.shape
     if h % 8 or w % 8:
@@ -533,8 +599,13 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu_i = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.restart(mcu_i // restart_interval - 1)
+                prev_dc = 0
+            mcu_i += 1
             prev_dc = _encode_block(
                 bw, pixels[by : by + 8, bx : bx + 8], q, d, dc_codes, ac_codes, prev_dc
             )
@@ -545,6 +616,8 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xDB, b"\x00" + qzz)
     out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
     out += _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
@@ -573,6 +646,18 @@ class _BitReader:
             self.nbits = 8
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
+
+    def sync_restart(self, expect: int) -> None:
+        """Byte-align and consume the RSTn marker that must follow a
+        completed restart interval; n cycles 0..7."""
+        self.acc = 0
+        self.nbits = 0  # discard pad bits
+        if self.pos + 1 >= len(self.buf) or self.buf[self.pos] != 0xFF:
+            raise ValueError("missing restart marker")
+        m = self.buf[self.pos + 1]
+        if m != 0xD0 + (expect % 8):
+            raise ValueError("restart marker out of sequence")
+        self.pos += 2
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -624,6 +709,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     h = w = None
+    restart_interval = 0
     comps: list[tuple[int, int]] = []  # (component id, quant selector)
     sels: dict[int, tuple[int, int]] = {}  # cid → (dc sel, ac sel)
     data = None
@@ -675,6 +761,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
                         f"sampling factors {hh}x{vv} unsupported (1 or 2 only)"
                     )
                 comps.append((cid, hh, vv, tq))
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("non-baseline JPEG scan unsupported")
         elif marker == 0xDA:
@@ -727,9 +815,16 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
             k += 1
         return zz
 
-    # interleaved MCUs: per MCU, each component contributes hh×vv blocks
+    # interleaved MCUs: per MCU, each component contributes hh×vv blocks;
+    # a DRI interval makes every interval boundary an RSTn sync point
+    # (byte-align, consume marker, reset DC predictors)
+    mcu_i = 0
     for mby in range(0, h, 8 * vmax):
         for mbx in range(0, w, 8 * hmax):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.sync_restart(mcu_i // restart_interval - 1)
+                prev_dc = [0] * len(comps)
+            mcu_i += 1
             for ci, (q, dct, act, hh, vv) in enumerate(tables):
                 py, px = mby * vv // vmax, mbx * hh // hmax
                 for byy in range(vv):

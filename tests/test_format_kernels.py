@@ -465,3 +465,59 @@ def test_jpeg_420_subsampled_roundtrip():
     ).astype(np.uint8)
     _, _, b2 = decode_jpeg(encode_jpeg_color(im, subsample=True))
     assert np.abs(b2.astype(int) - im.astype(int)).max() <= 40
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: restart intervals decode identically to the plain
+    stream (byte-aligned markers, DC predictor resets), and an
+    out-of-sequence RSTn dead-letters."""
+    import pytest
+
+    from grate_ray.functions.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)  # 12 MCUs
+    ref = decode_jpeg_gray(encode_jpeg_gray(img))[2]
+    for ri in (1, 2, 5):
+        blob = encode_jpeg_gray(img, restart_interval=ri)
+        assert b"\xff\xdd" in blob  # DRI present
+        assert (decode_jpeg_gray(blob)[2] == ref).all(), ri
+
+    corrupted = bytearray(encode_jpeg_gray(img, restart_interval=2))
+    i = corrupted.find(b"\xff\xd0")
+    corrupted[i + 1] = 0xD5
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(corrupted))
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7: seven filtered sub-images over the pass grid must scatter
+    back exactly — including degenerate sizes where some passes are
+    empty; truncated interlaced streams dead-letter."""
+    import pytest
+
+    from grate_ray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(23)
+    for shape in [(11, 9, 3), (5, 6, 1), (8, 8, 4), (1, 1, 3), (2, 3, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        blob = encode_png(img, interlace=True)
+        w, h, back = decode_png(blob)
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(back, img), shape
+
+    img = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    blob = encode_png(img, interlace=True)
+    # corrupt: flip the interlace byte to 0 without fixing the stream —
+    # the length check must catch the mismatch (CRC is recomputed here
+    # to isolate the structural check)
+    import struct as _s
+    import zlib as _z
+
+    ihdr_payload = bytearray(blob[16:29])
+    ihdr_payload[-1] = 0
+    fixed = bytearray(blob)
+    fixed[16:29] = ihdr_payload
+    fixed[29:33] = _s.pack(">I", _z.crc32(b"IHDR" + bytes(ihdr_payload)) & 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        decode_png(bytes(fixed))
