@@ -349,6 +349,19 @@ def q_cdc_incremental_view(sf_dir: str):
     return incremental_turn_counts(lake, from_lsn=2 * w - 1, to_lsn=3 * w - 1)
 
 
+def q_cdc_incremental_index(sf_dir: str):
+    """Incremental SECONDARY-INDEX maintenance (CDC × dedup): the
+    content-fingerprint index (fp, conv_id, turn_idx) at the 3rd commit
+    is produced from the index at the 2nd commit by removing every
+    changed key and re-adding the new live rows — an index row set is
+    delete-maintainable where a min aggregate is not. Oracle = full
+    recompute at the 3rd commit."""
+    from grate_ray.pipelines.views import incremental_text_index
+
+    lake, w = _timetravel_lake(sf_dir)
+    return incremental_text_index(lake, from_lsn=2 * w - 1, to_lsn=3 * w - 1)
+
+
 def q_transcript_assemble(sf_dir: str):
     """CDC composed with LLM prep: replayed live lake state → one
     'role: text' document per conversation, turns in order (keyed
@@ -1533,6 +1546,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
     "cdc_incremental_view": q_cdc_incremental_view,
+    "cdc_incremental_index": q_cdc_incremental_index,
     "deadletter_counts": q_deadletter_counts,
     "transcript_turn_counts": q_transcript_turn_counts,
     "decode_roundtrip_nation": q_decode_roundtrip_nation,
@@ -2957,6 +2971,19 @@ FROM (
 ) r
 WHERE rn = 1 AND op <> 'D'
 GROUP BY conv_id, coalesce(role, '')""",
+        "cdc_incremental_index": f"""
+WITH wparam AS (
+  SELECT CAST(max(event_id) // 4 + 1 AS BIGINT) AS w FROM events
+)
+SELECT md5_number_lower(coalesce(text, '')) AS fp, conv_id, turn_idx
+FROM (
+  SELECT b.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx
+           ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ({BINLOG_SQL}) b, wparam
+  WHERE b.lsn < 3 * wparam.w
+) r
+WHERE rn = 1 AND op <> 'D'""",
         # live state → per-conversation 'role: text' docs, turns in order
         "transcript_assemble": f"""
 SELECT conv_id, count(*) AS n_turns,

@@ -14,6 +14,7 @@ which is exact for any commutative, invertible aggregate (counts, sums).
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -109,3 +110,142 @@ def _reduce_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
         return out
 
     return co.map_batches(final, batch_format="pandas", batch_size=None)
+
+
+# --- incremental secondary index (content fingerprint → key) -----------------
+
+
+def text_index_view(lake_dir: str, asof_lsn: int | None = None) -> ray.data.Dataset:
+    """Secondary index over live lake text at a commit point: one row
+    per live (conv_id, turn_idx) with the 64-bit content fingerprint
+    (``fingerprint64`` ≡ DuckDB md5_number_lower) — the relation the
+    exact-dedup / content-lookup family probes. Embarrassingly parallel
+    projection over the reconstructed state."""
+    import pyarrow as pa
+
+    from ..functions.text import fingerprint64
+
+    state = read_lake(
+        lake_dir, asof_lsn=asof_lsn, columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fp": fingerprint64(
+                    t["text"].combine_chunks()
+                    if isinstance(t["text"], pa.ChunkedArray)
+                    else t["text"]
+                ),
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+            }
+        )
+
+    return state.map_batches(project, batch_format="pyarrow")
+
+
+def incremental_text_index(
+    lake_dir: str, from_lsn: int, to_lsn: int
+) -> ray.data.Dataset:
+    """Maintain the content-fingerprint index from ``from_lsn`` to
+    ``to_lsn`` INCREMENTALLY from the changefeed — the non-aggregate
+    counterpart of ``incremental_turn_counts`` (an index row set is
+    maintainable under deletes, unlike a min/argmin aggregate):
+
+        index@B = (index@A  ∖  keys touched by any change)
+                   ∪  fingerprint(new live rows of I/U)
+
+    One keyed co-location by conv_id; the anti-join (base minus touched
+    keys) and the union both happen in the same vectorized block pass.
+    Only winner-moved keys flow; the full to-state is never re-read.
+    The driver oracle is the full recompute at ``to_lsn``."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.text import fingerprint64
+
+    configure_shuffle(16)
+    base = text_index_view(lake_dir, asof_lsn=from_lsn).map_batches(
+        lambda t: t.append_column("kind", pa.array([0] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    changes = lake_changes(lake_dir, from_lsn, to_lsn)
+
+    def touch_and_add(t: pa.Table) -> pa.Table:
+        # every changed key is a removal (kind=1); I/U rows re-add their
+        # new fingerprint (kind=2)
+        out_fp, out_conv, out_turn, out_kind = [], [], [], []
+        conv = t["conv_id"]
+        turn = t["turn_idx"]
+        n = t.num_rows
+        out_fp.append(pa.array(np.zeros(n, np.uint64)))
+        out_conv.append(conv)
+        out_turn.append(turn)
+        out_kind.append(pa.array(np.ones(n, np.int8)))
+        live = pc.is_in(t["change_op"], value_set=pa.array(["I", "U"]))
+        lt = t.filter(live)
+        out_fp.append(
+            fingerprint64(
+                lt["text"].combine_chunks()
+                if isinstance(lt["text"], pa.ChunkedArray)
+                else lt["text"]
+            )
+        )
+        out_conv.append(lt["conv_id"])
+        out_turn.append(lt["turn_idx"])
+        out_kind.append(pa.array(np.full(lt.num_rows, 2, np.int8)))
+        return pa.table(
+            {
+                "fp": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_fp]
+                ),
+                "conv_id": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_conv]
+                ),
+                "turn_idx": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_turn]
+                ),
+                "kind": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_kind]
+                ),
+            }
+        )
+
+    delta = changes.map_batches(touch_and_add, batch_format="pyarrow")
+
+    def apply_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "fp": pd.Series([], dtype="uint64"),
+                    "conv_id": pd.Series([], dtype="object"),
+                    "turn_idx": pd.Series([], dtype="int32"),
+                }
+            )
+        # composite key via block-local factorize — NEVER string-concat
+        # with a separator (pandas string ops silently drop NUL bytes,
+        # and any printable separator can collide: 'conv3'+'40' ==
+        # 'conv34'+'0')
+        codes, _ = pd.factorize(df["conv_id"])
+        key = pd.Series(
+            codes.astype("int64") * 2_000_000_000
+            + df["turn_idx"].to_numpy().astype("int64"),
+            index=df.index,
+        )
+        touched = set(key[df["kind"] == 1])
+        keep_base = (df["kind"] == 0) & ~key.isin(touched)
+        out = df[keep_base | (df["kind"] == 2)]
+        return pd.DataFrame(
+            {
+                "fp": out["fp"].astype("uint64").to_numpy(),
+                "conv_id": out["conv_id"].to_numpy(),
+                "turn_idx": out["turn_idx"].to_numpy(),
+            }
+        )
+
+    return (
+        base.union(delta)
+        .repartition(16, keys=["conv_id"])
+        .map_batches(apply_block, batch_format="pandas", batch_size=None)
+    )

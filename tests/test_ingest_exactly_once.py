@@ -470,3 +470,35 @@ def test_point_lookup_prunes_partitions(tmp_path_factory, ray_session):
     # a key that hashes to a partition outside the pruned set returns
     # nothing rather than a wrong row
     assert read_lake(lake, conv_ids=["no-such-conv"]).count() == 0
+
+
+def test_incremental_index_equals_full_recompute(tmp_path_factory):
+    """index@B maintained from index@A (remove touched keys, re-add live
+    I/U rows) must equal the full fingerprint projection at B — for
+    every consecutive commit pair (exercises U retraction and D removal,
+    not just inserts)."""
+    from grate_ray.pipelines.views import incremental_text_index, text_index_view
+    from grate_ray.state.manifest import read_batch_plan
+
+    d = str(tmp_path_factory.mktemp("ibinlog2"))
+    lake = str(tmp_path_factory.mktemp("ilake2"))
+    generate_binlog(
+        d, GenSpec(num_events=12_000, num_convs=60, seed=101, chunk_rows=1_500)
+    )
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2, auto_compact=False)
+    plan = read_batch_plan(lake)
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .astype({"fp": "uint64"})
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    for a, b in zip(plan, plan[1:]):
+        inc = norm(incremental_text_index(lake, from_lsn=a[1], to_lsn=b[1]))
+        full = norm(text_index_view(lake, asof_lsn=b[1]))
+        assert len(inc) == len(full) > 0, (a, b)
+        for col in ("fp", "conv_id", "turn_idx"):
+            assert inc[col].tolist() == full[col].tolist(), (col, a, b)
