@@ -1439,6 +1439,29 @@ def q_multimodal_jpeg_color(sf_dir: str):
     )
 
 
+def q_multimodal_jpeg_prog(sf_dir: str):
+    """REAL progressive JPEG (SOF2) end to end: six-scan ladder (DC
+    first/refine + two AC bands with successive approximation, EOBRUN
+    coding) decoded by the multi-scan decoder through the same actor
+    pool (decode_jpeg dispatches on SOF2). Flat blocks are DC-only, so
+    the oracle is the baseline DC-quantization arithmetic."""
+    from grate_ray.functions.multimodal import (
+        JpegFeatureExtractor,
+        synthesize_progressive_jpeg_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_progressive_jpeg_column, batch_format="pyarrow")
+        .map_batches(
+            JpegFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_jpeg420(sf_dir: str):
     """REAL 4:2:0 chroma-subsampled baseline JPEG (the dominant
     real-world layout) end to end: 4-Y-block MCUs + subsampled chroma
@@ -1604,6 +1627,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_png": q_multimodal_png,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
+    "multimodal_jpeg_prog": q_multimodal_jpeg_prog,
     "multimodal_jpeg420": q_multimodal_jpeg420,
     "multimodal_adpcm": q_multimodal_adpcm,
     "multimodal_video": q_multimodal_video,
@@ -2779,6 +2803,17 @@ GROUP BY doc_id""",
         # flat JPEG blocks: v' = clip(128 + 2*floor((v-128)/2 + 0.5));
         # block b of doc d has v = (d*3 + b*17) % 256, q[0][0]=16
         "multimodal_jpeg": """
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       round(avg(LEAST(255, GREATEST(0,
+         128 + 2 * CAST(floor(((doc_id * 3 + b * 17) % 256 - 128) / 2.0
+                              + 0.5) AS BIGINT)))), 6) AS mean_gray
+FROM documents CROSS JOIN (SELECT UNNEST(range(4)) AS b) bs
+GROUP BY doc_id""",
+        # progressive: flat blocks are DC-only, same quantization chain
+        # as the baseline fixture (the six-scan ladder reconstructs the
+        # exact coefficients)
+        "multimodal_jpeg_prog": """
 SELECT doc_id,
        CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
        round(avg(LEAST(255, GREATEST(0,

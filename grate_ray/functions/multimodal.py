@@ -4,13 +4,16 @@ mechanics throughout, with FOUR real dependency-free codecs:
 - uncompressed 24-bit BMP (header parsing + numpy pixel math),
 - PNG (8-bit gray/RGB/RGBA, non-interlaced: zlib inflate, chunk CRC
   verification, and all five scanline filters — None/Sub/Up/Average/Paeth),
-- baseline JPEG, grayscale AND 4:4:4 YCbCr color (real JFIF markers,
-  in-file Huffman tables, dual quant tables, interleaved MCUs with
-  per-component DC prediction, dequantize + IDCT, YCbCr→RGB),
+- JPEG: baseline grayscale, 4:4:4 color, 4:2:0 chroma-subsampled color,
+  restart markers (DRI/RSTn), AND grayscale progressive (SOF2 with
+  spectral selection, successive approximation and EOBRUN coding) —
+  real JFIF markers, in-file Huffman tables, dual quant tables,
+  interleaved MCUs with per-component DC prediction, dequantize + IDCT,
+  YCbCr→RGB,
 - WAV (RIFF chunk walk, 16-bit PCM),
 - IMA/DVI ADPCM compressed audio (4-bit step-table state machine, 4:1).
 
-Only progressive/subsampled JPEG and perceptual audio/video codecs
+Only color progressive JPEG and perceptual audio/video codecs
 (MP3/AAC/H.26x — patent-grade DSP, no stdlib path) remain STUBBED
 behind ``NotImplementedError`` in MediaDecoder (AVI/MJPEG containers
 are real — see encode_avi_mjpeg).
@@ -763,7 +766,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
                 comps.append((cid, hh, vv, tq))
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+        elif marker == 0xC2:
+            # progressive stream: hand the whole blob to the multi-scan
+            # decoder (grayscale; color progressive dead-letters there)
+            return decode_jpeg_progressive(blob)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("non-baseline JPEG scan unsupported")
         elif marker == 0xDA:
             ns = payload[0]
@@ -1008,6 +1015,28 @@ class JpegFeatureExtractor:
         out = out.append_column("height", pa.array(hs, pa.int64()))
         out = out.append_column("mean_gray", pa.array(means, pa.float64()))
         return out
+
+
+def synthesize_progressive_jpeg_column(
+    t: pa.Table, id_col: str = "doc_id"
+) -> pa.Table:
+    """Deterministic real PROGRESSIVE JPEG payloads: the same 4-flat-block
+    plane as the baseline fixture (block b of doc d = (d*3+b*17)%256),
+    encoded as a six-scan SOF2 ladder (DC first/refine + two AC bands
+    with successive approximation). Flat blocks are DC-only, so the
+    decoded plane follows the identical quantization arithmetic — while
+    the bitstream exercises multi-scan assembly, EOBRUN coding and DC
+    refinement for real."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    blobs = []
+    for dd in ids:
+        img = np.zeros((JPEG_H, JPEG_W), np.uint8)
+        for b in range(4):
+            v = int((dd * 3 + b * 17) % 256)
+            by, bx = (b // 2) * 8, (b % 2) * 8
+            img[by : by + 8, bx : bx + 8] = v
+        blobs.append(encode_jpeg_progressive(img))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
 
 
 def synthesize_color_jpeg_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
@@ -1470,3 +1499,394 @@ class MediaDecoder:
         out = out.append_column("width", pa.array(width))
         out = out.append_column("height", pa.array(height))
         return out
+
+
+# --- real progressive JPEG (SOF2), grayscale ---------------------------------
+#
+# Spectral selection + successive approximation, both directions: the
+# encoder emits the standard six-scan ladder (DC first Al=1, DC refine,
+# two AC bands first-pass Al=1, two AC refine scans) with EOBRUN
+# accumulation and buffered correction bits; the decoder replays any
+# conformant grayscale progressive scan script (multiple SOS segments,
+# per-scan Ss/Se/Ah/Al) into one coefficient array. The invariant tested
+# is exact: after all scans the coefficient array equals the encoder's
+# quantized coefficients bit for bit, so progressive decode == baseline
+# decode of the same image. Color progressive raises (dead-letter).
+
+
+# Progressive AC alphabet includes the EOBn symbols (r<<4 | 0, r=1..14)
+# that the baseline spec table omits, so progressive files carry their
+# own DHT: all 256 symbols as canonical 9/10-bit codes (255 nine-bit
+# codes + one ten-bit; the all-ones code stays unassigned, as required).
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = list(range(256))
+
+
+def _quantize_zigzag_blocks(pixels: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 → (nblocks, 64) int32 quantized coefficients in
+    ZIGZAG order, raster block order — the shared source both the
+    baseline and progressive encoders code from."""
+    h, w = pixels.shape
+    d = _dct_mat()
+    out = []
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = pixels[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = np.round(d @ block @ d.T, 6)
+            qc = _fl_round(coef / q)
+            out.append(qc.reshape(-1)[_ZIGZAG])
+    return np.array(out, dtype=np.int32)
+
+
+class _ProgressiveWriter:
+    """One entropy scan's emitter: Huffman symbols, EOBRUN accumulation
+    and buffered correction bits. Correction bits live in TWO buffers
+    matching the decoder's consumption order: ``br_eob`` holds the bits
+    of blocks already folded into the pending EOB run (the decoder reads
+    them right after the EOBn symbol, block by block), ``br_cur`` holds
+    the current block's bits since its last emitted symbol (the decoder
+    reads them while advancing the run after the NEXT symbol)."""
+
+    def __init__(self, codes: dict):
+        self.bw = _BitWriter()
+        self.codes = codes
+        self.eobrun = 0
+        self.br_eob: list[int] = []
+        self.br_cur: list[int] = []
+
+    def sym(self, s: int) -> None:
+        self.bw.write(*self.codes[s])
+
+    def flush_cur(self) -> None:
+        for b in self.br_cur:
+            self.bw.write(b, 1)
+        self.br_cur = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            for b in self.br_eob:
+                self.bw.write(b, 1)
+            self.br_eob = []
+            self.eobrun = 0
+
+    def end_block(self, pending: bool) -> None:
+        """Fold the block's tail (trailing zero run and/or pending
+        correction bits) into the EOB run."""
+        if pending:
+            self.eobrun += 1
+            self.br_eob += self.br_cur
+            self.br_cur = []
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def finish(self) -> bytes:
+        self.emit_eobrun()
+        return self.bw.flush()
+
+
+def _emit_mag(bw: _BitWriter, v: int, codes: dict, run: int = 0) -> None:
+    mag, size = abs(v), 0
+    while mag:
+        mag >>= 1
+        size += 1
+    bw.write(*codes[(run << 4) | size])
+    if size:
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, qtable: np.ndarray | None = None
+) -> bytes:
+    """(H, W) uint8 grayscale → real progressive JFIF bytes (SOF2), six
+    scans: DC(Ah=0,Al=1), DC refine(Ah=1,Al=0), AC bands 1-5 and 6-63
+    first pass (Al=1), then their refinement scans (Ah=1,Al=0)."""
+    q = JPEG_QTABLE if qtable is None else qtable
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder requires 8x8-multiple dimensions")
+    coefs = _quantize_zigzag_blocks(pixels, q)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        pred = 0
+        for b in range(len(coefs)):
+            v = int(coefs[b, 0]) >> al  # arithmetic shift (point transform)
+            _emit_mag(bw, v - pred, dc_codes)
+            pred = v
+        return bw.flush()
+
+    def dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for b in range(len(coefs)):
+            bw.write((int(coefs[b, 0]) >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first(ss: int, se: int, al: int) -> bytes:
+        pw = _ProgressiveWriter(ac_codes)
+        for b in range(len(coefs)):
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(coefs[b, k])
+                t = (abs(v)) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                pw.emit_eobrun()
+                while r > 15:
+                    pw.sym(0xF0)
+                    r -= 16
+                _emit_mag(pw.bw, t if v > 0 else -t, ac_codes, run=r)
+                r = 0
+            pw.end_block(r > 0)
+        return pw.finish()
+
+    def ac_refine(ss: int, se: int, al: int) -> bytes:
+        pw = _ProgressiveWriter(ac_codes)
+        for b in range(len(coefs)):
+            absv = [abs(int(coefs[b, k])) >> al for k in range(ss, se + 1)]
+            eob = 0  # index AFTER last newly-significant coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i + 1
+            r = 0
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    # EAGER ZRL at the 16th zero-history coefficient (only
+                    # while a later newly-significant coeff exists): the
+                    # decoder consumes correction bits positionally while
+                    # burning exactly these 16 zeros, so each ZRL window's
+                    # bits must flush with ITS symbol, not pooled later
+                    if r == 16 and i < eob:
+                        pw.emit_eobrun()
+                        pw.sym(0xF0)
+                        pw.flush_cur()
+                        r = 0
+                    continue
+                if t > 1:  # already significant: buffer the correction bit
+                    pw.br_cur.append(t & 1)
+                    continue
+                # newly significant (t == 1); eager ZRLs guarantee r <= 15
+                pw.emit_eobrun()
+                pw.sym((r << 4) | 1)
+                pw.bw.write(1 if int(coefs[b, ss + i]) > 0 else 0, 1)
+                pw.flush_cur()
+                r = 0
+            pw.end_block(r > 0 or bool(pw.br_cur))
+        return pw.finish()
+
+    def sos(ss: int, se: int, ah: int, al: int, data: bytes) -> bytes:
+        return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + data
+
+    qzz = q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    out = b"\xff\xd8"
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + qzz)
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF2
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS))
+    out += sos(0, 0, 0, 1, dc_first(1))
+    out += sos(0, 0, 1, 0, dc_refine(0))
+    out += sos(1, 5, 0, 1, ac_first(1, 5, 1))
+    out += sos(6, 63, 0, 1, ac_first(6, 63, 1))
+    out += sos(1, 5, 1, 0, ac_refine(1, 5, 0))
+    out += sos(6, 63, 1, 0, ac_refine(6, 63, 0))
+    out += b"\xff\xd9"
+    return out
+
+
+def _entropy_span(blob: bytes, start: int) -> tuple[bytes, int]:
+    """Entropy-coded bytes from ``start`` up to the next real marker
+    (stuffed 0x00 and RSTn stay inside the span)."""
+    i = start
+    n = len(blob)
+    while i + 1 < n:
+        if blob[i] == 0xFF and blob[i + 1] != 0x00 and not (
+            0xD0 <= blob[i + 1] <= 0xD7
+        ):
+            return blob[start:i], i
+        i += 1
+    return blob[start:n], n
+
+
+def decode_jpeg_progressive(
+    blob: bytes, _max_scans: int | None = None, _return_coefs: bool = False
+):
+    """Grayscale progressive (SOF2) decode: accumulate every scan
+    (DC first/refine, AC first with EOBRUN, AC refinement with
+    correction bits) into one coefficient array, then dequantize + IDCT.
+    Color progressive raises NotImplementedError (dead-letter)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    qsel = 0
+    scans: list[tuple[tuple[int, int, int, int, int, int], bytes]] = []
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", blob, pos + 2)
+        if pos + 2 + ln > len(blob):
+            raise ValueError("truncated JPEG segment")
+        payload = blob[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(payload, np.uint8, 64, p + 1).astype(np.int32)
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIGZAG] = zz
+                qtables[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _huff_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "only grayscale progressive supported"
+                )
+            qsel = payload[8]
+        elif marker == 0xC0:
+            raise ValueError("baseline SOF in progressive decoder")
+        elif marker == 0xDA:
+            ns = payload[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan unsupported")
+            sel = payload[2]
+            ss, se = payload[3], payload[4]
+            ah, al = payload[5] >> 4, payload[5] & 0xF
+            data, nxt = _entropy_span(blob, pos + 2 + ln)
+            scans.append(((ss, se, ah, al, sel >> 4, sel & 0xF), data))
+            pos = nxt
+            continue
+        pos += 2 + ln
+    if h is None or not scans:
+        raise ValueError("JPEG missing SOF2/SOS")
+    if h % 8 or w % 8:
+        raise NotImplementedError("partial MCUs unsupported")
+    nblocks = (h // 8) * (w // 8)
+    coefs = np.zeros((nblocks, 64), np.int64)  # zigzag order
+
+    for (ss, se, ah, al, dcs, acs), data in (
+        scans if _max_scans is None else scans[:_max_scans]
+    ):
+        br = _BitReader(data)
+        if ss == 0:  # DC scan (se must be 0)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            if ah == 0:
+                dct = htables[(0, dcs)]
+                pred = 0
+                for b in range(nblocks):
+                    size = _huff_read(br, dct)
+                    diff = _extend(br.read_bits(size), size) if size else 0
+                    pred += diff
+                    coefs[b, 0] = pred << al
+            else:
+                for b in range(nblocks):
+                    if br.read_bit():
+                        coefs[b, 0] |= 1 << al
+        else:  # AC scan, single band
+            act = htables[(1, acs)]
+            eobrun = 0
+            p1, m1 = 1 << al, -(1 << al)
+            for b in range(nblocks):
+                if ah == 0:  # first pass
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _huff_read(br, act)
+                        r, s = sym >> 4, sym & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        coefs[b, k] = _extend(br.read_bits(s), s) << al
+                        k += 1
+                else:  # refinement
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _huff_read(br, act)
+                            r, s = sym >> 4, sym & 15
+                            val = 0
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r)
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                            else:
+                                if s != 1:
+                                    raise ValueError("bad refinement symbol")
+                                val = p1 if br.read_bit() else m1
+                            while k <= se:
+                                if coefs[b, k] != 0:
+                                    if br.read_bit() and not (
+                                        coefs[b, k] & p1
+                                    ):
+                                        coefs[b, k] += (
+                                            p1 if coefs[b, k] >= 0 else m1
+                                        )
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                coefs[b, k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if coefs[b, k] != 0:
+                                if br.read_bit() and not (coefs[b, k] & p1):
+                                    coefs[b, k] += p1 if coefs[b, k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+    if _return_coefs:
+        return w, h, coefs
+    q = qtables[qsel]
+    d = _dct_mat()
+    out = np.zeros((h, w), np.uint8)
+    b = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            coef = np.zeros(64, np.int64)
+            coef[_ZIGZAG] = coefs[b]
+            block = d.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ d
+            out[by : by + 8, bx : bx + 8] = np.clip(
+                _fl_round(block + 128.0), 0, 255
+            ).astype(np.uint8)
+            b += 1
+    return w, h, out

@@ -521,3 +521,36 @@ def test_png_adam7_interlaced_roundtrip():
     fixed[29:33] = _s.pack(">I", _z.crc32(b"IHDR" + bytes(ihdr_payload)) & 0xFFFFFFFF)
     with pytest.raises(ValueError):
         decode_png(bytes(fixed))
+
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """SOF2 six-scan ladder (DC first/refine, AC spectral bands with
+    successive approximation, EOBRUN): after all scans the decoded image
+    must equal the baseline decode EXACTLY (the scans reconstruct the
+    same quantized coefficients bit for bit); dispatch through
+    decode_jpeg/decode_jpeg_gray works; truncated streams dead-letter."""
+    import pytest
+
+    from grate_ray.functions.multimodal import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(41)
+    for shape in [(8, 8), (16, 16), (24, 32), (64, 64)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        blob = encode_jpeg_progressive(img)
+        assert b"\xff\xc2" in blob  # SOF2
+        base = decode_jpeg_gray(encode_jpeg_gray(img))[2]
+        assert (decode_jpeg_progressive(blob)[2] == base).all(), shape
+        # generic entry points dispatch on SOF2
+        assert (decode_jpeg(blob)[2] == base).all()
+        assert (decode_jpeg_gray(blob)[2] == base).all()
+
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    blob = encode_jpeg_progressive(img)
+    with pytest.raises(ValueError):
+        decode_jpeg_progressive(blob[: len(blob) * 2 // 3])
