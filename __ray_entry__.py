@@ -1462,6 +1462,47 @@ def q_multimodal_jpeg_prog(sf_dir: str):
     )
 
 
+def q_multimodal_jpeg_prog_color(sf_dir: str):
+    """REAL COLOR progressive JPEG (SOF2, 4:4:4) end to end: interleaved
+    DC scans across three components + per-component AC band scans with
+    successive approximation; flat-RGB blocks make the decode the same
+    exact arithmetic chain as the baseline color oracle."""
+    from grate_ray.functions.multimodal import (
+        ColorJpegFeatureExtractor,
+        encode_jpeg_progressive,
+    )
+
+    import numpy as np
+
+    def synth(t: pa.Table) -> pa.Table:
+        # same flat-RGB fixture as the baseline color query (block b of
+        # doc d), progressive bitstream
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        blobs = []
+        for dd in ids:
+            img = np.zeros((16, 16, 3), np.uint8)
+            for b in range(4):
+                by, bx = (b // 2) * 8, (b % 2) * 8
+                img[by : by + 8, bx : bx + 8] = (
+                    int((dd * 3 + b * 17) % 256),
+                    int((dd * 5 + b * 29) % 256),
+                    int((dd * 7 + b * 43) % 256),
+                )
+            blobs.append(encode_jpeg_progressive(img))
+        return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            ColorJpegFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_jpeg420(sf_dir: str):
     """REAL 4:2:0 chroma-subsampled baseline JPEG (the dominant
     real-world layout) end to end: 4-Y-block MCUs + subsampled chroma
@@ -1628,6 +1669,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_jpeg_prog": q_multimodal_jpeg_prog,
+    "multimodal_jpeg_prog_color": q_multimodal_jpeg_prog_color,
     "multimodal_jpeg420": q_multimodal_jpeg420,
     "multimodal_adpcm": q_multimodal_adpcm,
     "multimodal_video": q_multimodal_video,
@@ -2821,41 +2863,12 @@ SELECT doc_id,
                               + 0.5) AS BIGINT)))), 6) AS mean_gray
 FROM documents CROSS JOIN (SELECT UNNEST(range(4)) AS b) bs
 GROUP BY doc_id""",
+        # color progressive: same flat-block chain as jpeg_color (the
+        # multi-scan ladder reconstructs identical coefficients)
+        "multimodal_jpeg_prog_color": _JPEG_COLOR_CHAIN_SQL,
         # color 4:4:4 flat-block chain: RGB → YCbCr (floor+0.5) → DC
         # quant/dequant (luma /16, chroma /17) → RGB, all floor(x+0.5)
-        "multimodal_jpeg_color": """
-WITH px AS (
-  SELECT doc_id,
-         (doc_id * 3 + b * 17) % 256 AS r,
-         (doc_id * 5 + b * 29) % 256 AS g,
-         (doc_id * 7 + b * 43) % 256 AS bl
-  FROM documents CROSS JOIN (SELECT UNNEST(range(4)) AS b) bs
-), ycc AS (
-  SELECT doc_id,
-    LEAST(255, GREATEST(0, CAST(floor(0.299*r + 0.587*g + 0.114*bl + 0.5) AS BIGINT))) AS y,
-    LEAST(255, GREATEST(0, CAST(floor(-0.168736*r - 0.331264*g + 0.5*bl + 128 + 0.5) AS BIGINT))) AS cb,
-    LEAST(255, GREATEST(0, CAST(floor(0.5*r - 0.418688*g - 0.081312*bl + 128 + 0.5) AS BIGINT))) AS cr
-  FROM px
-), dq AS (
-  SELECT doc_id,
-    LEAST(255, GREATEST(0, CAST(floor(floor((8*(y - 128))/16.0 + 0.5) * 16 / 8.0 + 128 + 0.5) AS BIGINT))) AS y2,
-    LEAST(255, GREATEST(0, CAST(floor(floor((8*(cb - 128))/17.0 + 0.5) * 17 / 8.0 + 128 + 0.5) AS BIGINT))) AS cb2,
-    LEAST(255, GREATEST(0, CAST(floor(floor((8*(cr - 128))/17.0 + 0.5) * 17 / 8.0 + 128 + 0.5) AS BIGINT))) AS cr2
-  FROM ycc
-), rgb AS (
-  SELECT doc_id,
-    LEAST(255, GREATEST(0, CAST(floor(y2 + 1.402*(cr2 - 128) + 0.5) AS BIGINT))) AS r2,
-    LEAST(255, GREATEST(0, CAST(floor(y2 - 0.344136*(cb2 - 128) - 0.714136*(cr2 - 128) + 0.5) AS BIGINT))) AS g2,
-    LEAST(255, GREATEST(0, CAST(floor(y2 + 1.772*(cb2 - 128) + 0.5) AS BIGINT))) AS b2
-  FROM dq
-)
-SELECT doc_id,
-       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
-       round(avg(r2), 6) AS mean_r,
-       round(avg(g2), 6) AS mean_g,
-       round(avg(b2), 6) AS mean_b
-FROM rgb
-GROUP BY doc_id""",
+        "multimodal_jpeg_color": _JPEG_COLOR_CHAIN_SQL,
         # 4:2:0 flat-MCU chain: identical arithmetic to multimodal_jpeg_color
         # (flat chroma box-average is identity), 4 MCUs at 32x32
         "multimodal_jpeg420": """
@@ -3119,6 +3132,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return run
 
     return {name: wrapped(fn) for name, fn in QUERIES.items()}
+
+
+_JPEG_COLOR_CHAIN_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         (doc_id * 3 + b * 17) % 256 AS r,
+         (doc_id * 5 + b * 29) % 256 AS g,
+         (doc_id * 7 + b * 43) % 256 AS bl
+  FROM documents CROSS JOIN (SELECT UNNEST(range(4)) AS b) bs
+), ycc AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, CAST(floor(0.299*r + 0.587*g + 0.114*bl + 0.5) AS BIGINT))) AS y,
+    LEAST(255, GREATEST(0, CAST(floor(-0.168736*r - 0.331264*g + 0.5*bl + 128 + 0.5) AS BIGINT))) AS cb,
+    LEAST(255, GREATEST(0, CAST(floor(0.5*r - 0.418688*g - 0.081312*bl + 128 + 0.5) AS BIGINT))) AS cr
+  FROM px
+), dq AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, CAST(floor(floor((8*(y - 128))/16.0 + 0.5) * 16 / 8.0 + 128 + 0.5) AS BIGINT))) AS y2,
+    LEAST(255, GREATEST(0, CAST(floor(floor((8*(cb - 128))/17.0 + 0.5) * 17 / 8.0 + 128 + 0.5) AS BIGINT))) AS cb2,
+    LEAST(255, GREATEST(0, CAST(floor(floor((8*(cr - 128))/17.0 + 0.5) * 17 / 8.0 + 128 + 0.5) AS BIGINT))) AS cr2
+  FROM ycc
+), rgb AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, CAST(floor(y2 + 1.402*(cr2 - 128) + 0.5) AS BIGINT))) AS r2,
+    LEAST(255, GREATEST(0, CAST(floor(y2 - 0.344136*(cb2 - 128) - 0.714136*(cr2 - 128) + 0.5) AS BIGINT))) AS g2,
+    LEAST(255, GREATEST(0, CAST(floor(y2 + 1.772*(cb2 - 128) + 0.5) AS BIGINT))) AS b2
+  FROM dq
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       round(avg(r2), 6) AS mean_r,
+       round(avg(g2), 6) AS mean_g,
+       round(avg(b2), 6) AS mean_b
+FROM rgb
+GROUP BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:

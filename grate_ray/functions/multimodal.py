@@ -5,18 +5,17 @@ mechanics throughout, with FOUR real dependency-free codecs:
 - PNG (8-bit gray/RGB/RGBA, non-interlaced: zlib inflate, chunk CRC
   verification, and all five scanline filters — None/Sub/Up/Average/Paeth),
 - JPEG: baseline grayscale, 4:4:4 color, 4:2:0 chroma-subsampled color,
-  restart markers (DRI/RSTn), AND grayscale progressive (SOF2 with
-  spectral selection, successive approximation and EOBRUN coding) —
-  real JFIF markers, in-file Huffman tables, dual quant tables,
-  interleaved MCUs with per-component DC prediction, dequantize + IDCT,
-  YCbCr→RGB,
+  restart markers (DRI/RSTn), AND progressive (SOF2, grayscale and
+  4:4:4 color: spectral selection, successive approximation, EOBRUN
+  coding, interleaved DC scans) — real JFIF markers, in-file Huffman
+  tables, dual quant tables, per-component DC prediction, dequantize +
+  IDCT, YCbCr→RGB,
 - WAV (RIFF chunk walk, 16-bit PCM),
 - IMA/DVI ADPCM compressed audio (4-bit step-table state machine, 4:1).
 
-Only color progressive JPEG and perceptual audio/video codecs
-(MP3/AAC/H.26x — patent-grade DSP, no stdlib path) remain STUBBED
-behind ``NotImplementedError`` in MediaDecoder (AVI/MJPEG containers
-are real — see encode_avi_mjpeg).
+Only the perceptual audio/video codecs (MP3/AAC/H.26x — patent-grade
+DSP, no stdlib path) remain STUBBED behind ``NotImplementedError`` in
+MediaDecoder (AVI/MJPEG containers are real — see encode_avi_mjpeg).
 
 Pattern for 100 TB media pipelines: binary columns stay in Arrow
 (``batch_format="pyarrow"`` end to end — binary does not survive pandas
@@ -1601,35 +1600,54 @@ def _emit_mag(bw: _BitWriter, v: int, codes: dict, run: int = 0) -> None:
 def encode_jpeg_progressive(
     pixels: np.ndarray, qtable: np.ndarray | None = None
 ) -> bytes:
-    """(H, W) uint8 grayscale → real progressive JFIF bytes (SOF2), six
-    scans: DC(Ah=0,Al=1), DC refine(Ah=1,Al=0), AC bands 1-5 and 6-63
-    first pass (Al=1), then their refinement scans (Ah=1,Al=0)."""
-    q = JPEG_QTABLE if qtable is None else qtable
-    h, w = pixels.shape
+    """(H, W) uint8 grayscale or (H, W, 3) uint8 RGB → real progressive
+    JFIF bytes (SOF2). Scan ladder: interleaved DC first (Ah=0, Al=1)
+    and DC refinement across all components, then per-component AC bands
+    1-5 and 6-63 first pass (Al=1) followed by their refinement scans.
+    Color is 4:4:4 YCbCr with the dual quant tables of the baseline
+    encoder."""
+    color = pixels.ndim == 3
+    if color:
+        h, w, nc = pixels.shape
+        if nc != 3:
+            raise ValueError("expected (H, W, 3) RGB")
+        ycc = rgb_to_ycbcr(pixels)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qtabs = [JPEG_QTABLE, JPEG_QTABLE_CHROMA, JPEG_QTABLE_CHROMA]
+    else:
+        h, w = pixels.shape
+        planes = [pixels]
+        qtabs = [JPEG_QTABLE if qtable is None else qtable]
     if h % 8 or w % 8:
         raise ValueError("encoder requires 8x8-multiple dimensions")
-    coefs = _quantize_zigzag_blocks(pixels, q)
+    coefs_list = [_quantize_zigzag_blocks(pl, qt) for pl, qt in zip(planes, qtabs)]
+    ncomp = len(coefs_list)
+    nblocks = len(coefs_list[0])
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALS)
 
     def dc_first(al: int) -> bytes:
+        # interleaved MCU order: one block per component per position
         bw = _BitWriter()
-        pred = 0
-        for b in range(len(coefs)):
-            v = int(coefs[b, 0]) >> al  # arithmetic shift (point transform)
-            _emit_mag(bw, v - pred, dc_codes)
-            pred = v
+        preds = [0] * ncomp
+        for b in range(nblocks):
+            for ci in range(ncomp):
+                v = int(coefs_list[ci][b, 0]) >> al  # arithmetic point transform
+                _emit_mag(bw, v - preds[ci], dc_codes)
+                preds[ci] = v
         return bw.flush()
 
     def dc_refine(al: int) -> bytes:
         bw = _BitWriter()
-        for b in range(len(coefs)):
-            bw.write((int(coefs[b, 0]) >> al) & 1, 1)
+        for b in range(nblocks):
+            for ci in range(ncomp):
+                bw.write((int(coefs_list[ci][b, 0]) >> al) & 1, 1)
         return bw.flush()
 
-    def ac_first(ss: int, se: int, al: int) -> bytes:
+    def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        coefs = coefs_list[ci]
         pw = _ProgressiveWriter(ac_codes)
-        for b in range(len(coefs)):
+        for b in range(nblocks):
             r = 0
             for k in range(ss, se + 1):
                 v = int(coefs[b, k])
@@ -1646,9 +1664,10 @@ def encode_jpeg_progressive(
             pw.end_block(r > 0)
         return pw.finish()
 
-    def ac_refine(ss: int, se: int, al: int) -> bytes:
+    def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        coefs = coefs_list[ci]
         pw = _ProgressiveWriter(ac_codes)
-        for b in range(len(coefs)):
+        for b in range(nblocks):
             absv = [abs(int(coefs[b, k])) >> al for k in range(ss, se + 1)]
             eob = 0  # index AFTER last newly-significant coefficient
             for i, t in enumerate(absv):
@@ -1681,22 +1700,42 @@ def encode_jpeg_progressive(
             pw.end_block(r > 0 or bool(pw.br_cur))
         return pw.finish()
 
-    def sos(ss: int, se: int, ah: int, al: int, data: bytes) -> bytes:
-        return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + data
+    def sos_dc(ah: int, al: int, data: bytes) -> bytes:
+        comps = []
+        for ci in range(ncomp):
+            comps += [ci + 1, 0x00]
+        return _seg(
+            0xDA, bytes([ncomp] + comps + [0, 0, (ah << 4) | al])
+        ) + data
 
-    qzz = q.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    def sos_ac(ci: int, ss: int, se: int, ah: int, al: int, data: bytes) -> bytes:
+        return _seg(
+            0xDA, bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+        ) + data
+
     out = b"\xff\xd8"
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, b"\x00" + qzz)
-    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF2
+    out += _seg(
+        0xDB, b"\x00" + qtabs[0].reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    )
+    if color:
+        out += _seg(
+            0xDB, b"\x01" + qtabs[1].reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        )
+        sof_comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    else:
+        sof_comps = b"\x01\x11\x00"
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)  # SOF2
     out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, b"\x10" + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS))
-    out += sos(0, 0, 0, 1, dc_first(1))
-    out += sos(0, 0, 1, 0, dc_refine(0))
-    out += sos(1, 5, 0, 1, ac_first(1, 5, 1))
-    out += sos(6, 63, 0, 1, ac_first(6, 63, 1))
-    out += sos(1, 5, 1, 0, ac_refine(1, 5, 0))
-    out += sos(6, 63, 1, 0, ac_refine(6, 63, 0))
+    out += sos_dc(0, 1, dc_first(1))
+    out += sos_dc(1, 0, dc_refine(0))
+    for ci in range(ncomp):
+        out += sos_ac(ci, 1, 5, 0, 1, ac_first(ci, 1, 5, 1))
+        out += sos_ac(ci, 6, 63, 0, 1, ac_first(ci, 6, 63, 1))
+    for ci in range(ncomp):
+        out += sos_ac(ci, 1, 5, 1, 0, ac_refine(ci, 1, 5, 0))
+        out += sos_ac(ci, 6, 63, 1, 0, ac_refine(ci, 6, 63, 0))
     out += b"\xff\xd9"
     return out
 
@@ -1718,18 +1757,20 @@ def _entropy_span(blob: bytes, start: int) -> tuple[bytes, int]:
 def decode_jpeg_progressive(
     blob: bytes, _max_scans: int | None = None, _return_coefs: bool = False
 ):
-    """Grayscale progressive (SOF2) decode: accumulate every scan
-    (DC first/refine, AC first with EOBRUN, AC refinement with
-    correction bits) into one coefficient array, then dequantize + IDCT.
-    Color progressive raises NotImplementedError (dead-letter)."""
+    """Progressive (SOF2) decode, 1- or 3-component 4:4:4: accumulate
+    every scan (interleaved or single-component DC first/refine, AC
+    first with EOBRUN, AC refinement with correction bits) into
+    per-component coefficient arrays, then dequantize + IDCT (+
+    YCbCr→RGB for color). Subsampled progressive raises
+    NotImplementedError (dead-letter)."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     h = w = None
-    qsel = 0
-    scans: list[tuple[tuple[int, int, int, int, int, int], bytes]] = []
+    comps: list[tuple[int, int]] = []  # (component id, quant selector)
+    scans: list = []
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -1762,52 +1803,69 @@ def decode_jpeg_progressive(
                 p += 17 + n
         elif marker == 0xC2:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only grayscale progressive supported"
+                    "only 1- or 3-component progressive supported"
                 )
-            qsel = payload[8]
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled progressive unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
         elif marker == 0xC0:
             raise ValueError("baseline SOF in progressive decoder")
         elif marker == 0xDA:
             ns = payload[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan unsupported")
-            sel = payload[2]
-            ss, se = payload[3], payload[4]
-            ah, al = payload[5] >> 4, payload[5] & 0xF
+            scomps = []
+            for c in range(ns):
+                cid = payload[1 + 2 * c]
+                sel = payload[2 + 2 * c]
+                scomps.append((cid, sel >> 4, sel & 0xF))
+            off = 1 + 2 * ns
+            ss, se = payload[off], payload[off + 1]
+            ah, al = payload[off + 2] >> 4, payload[off + 2] & 0xF
             data, nxt = _entropy_span(blob, pos + 2 + ln)
-            scans.append(((ss, se, ah, al, sel >> 4, sel & 0xF), data))
+            scans.append(((ss, se, ah, al, scomps), data))
             pos = nxt
             continue
         pos += 2 + ln
-    if h is None or not scans:
+    if h is None or not scans or not comps:
         raise ValueError("JPEG missing SOF2/SOS")
     if h % 8 or w % 8:
         raise NotImplementedError("partial MCUs unsupported")
     nblocks = (h // 8) * (w // 8)
-    coefs = np.zeros((nblocks, 64), np.int64)  # zigzag order
+    cindex = {cid: i for i, (cid, _tq) in enumerate(comps)}
+    coefs_list = [np.zeros((nblocks, 64), np.int64) for _ in comps]
 
-    for (ss, se, ah, al, dcs, acs), data in (
+    for (ss, se, ah, al, scomps), data in (
         scans if _max_scans is None else scans[:_max_scans]
     ):
         br = _BitReader(data)
-        if ss == 0:  # DC scan (se must be 0)
+        if ss == 0:  # DC scan (se must be 0); may be interleaved
             if se != 0:
                 raise ValueError("DC scan with Se != 0")
+            idxs = [cindex[cid] for cid, _d, _a in scomps]
             if ah == 0:
-                dct = htables[(0, dcs)]
-                pred = 0
+                dcts = [htables[(0, d)] for _cid, d, _a in scomps]
+                preds = [0] * len(idxs)
                 for b in range(nblocks):
-                    size = _huff_read(br, dct)
-                    diff = _extend(br.read_bits(size), size) if size else 0
-                    pred += diff
-                    coefs[b, 0] = pred << al
+                    for j, ci in enumerate(idxs):
+                        size = _huff_read(br, dcts[j])
+                        diff = _extend(br.read_bits(size), size) if size else 0
+                        preds[j] += diff
+                        coefs_list[ci][b, 0] = preds[j] << al
             else:
                 for b in range(nblocks):
-                    if br.read_bit():
-                        coefs[b, 0] |= 1 << al
-        else:  # AC scan, single band
+                    for ci in idxs:
+                        if br.read_bit():
+                            coefs_list[ci][b, 0] |= 1 << al
+        else:  # AC scan: single component, single band
+            if len(scomps) != 1:
+                raise ValueError("interleaved AC scan is not legal JPEG")
+            cid, _dcs, acs = scomps[0]
+            coefs = coefs_list[cindex[cid]]
             act = htables[(1, acs)]
             eobrun = 0
             p1, m1 = 1 << al, -(1 << al)
@@ -1852,9 +1910,7 @@ def decode_jpeg_progressive(
                                 val = p1 if br.read_bit() else m1
                             while k <= se:
                                 if coefs[b, k] != 0:
-                                    if br.read_bit() and not (
-                                        coefs[b, k] & p1
-                                    ):
+                                    if br.read_bit() and not (coefs[b, k] & p1):
                                         coefs[b, k] += (
                                             p1 if coefs[b, k] >= 0 else m1
                                         )
@@ -1875,18 +1931,34 @@ def decode_jpeg_progressive(
                         eobrun -= 1
 
     if _return_coefs:
-        return w, h, coefs
-    q = qtables[qsel]
+        return w, h, coefs_list[0] if len(coefs_list) == 1 else coefs_list
     d = _dct_mat()
-    out = np.zeros((h, w), np.uint8)
-    b = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            coef = np.zeros(64, np.int64)
-            coef[_ZIGZAG] = coefs[b]
-            block = d.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ d
-            out[by : by + 8, bx : bx + 8] = np.clip(
-                _fl_round(block + 128.0), 0, 255
-            ).astype(np.uint8)
-            b += 1
-    return w, h, out
+    planes = []
+    for (cid, tq), coefs in zip(comps, coefs_list):
+        q = qtables[tq]
+        plane = np.zeros((h, w), np.uint8)
+        b = 0
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                coef = np.zeros(64, np.int64)
+                coef[_ZIGZAG] = coefs[b]
+                block = d.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ d
+                plane[by : by + 8, bx : bx + 8] = np.clip(
+                    _fl_round(block + 128.0), 0, 255
+                ).astype(np.uint8)
+                b += 1
+        planes.append(plane)
+    if len(planes) == 1:
+        return w, h, planes[0]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return w, h, np.clip(_fl_round(rgb), 0, 255).astype(np.uint8)

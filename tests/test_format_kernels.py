@@ -554,3 +554,28 @@ def test_progressive_jpeg_equals_baseline_decode():
     blob = encode_jpeg_progressive(img)
     with pytest.raises(ValueError):
         decode_jpeg_progressive(blob[: len(blob) * 2 // 3])
+
+
+def test_progressive_jpeg_color_equals_baseline_color():
+    """Color (4:4:4) progressive: interleaved DC scans + per-component
+    AC band scans reconstruct the exact coefficients — decode equals the
+    baseline color decode bit for bit; gray entry point dead-letters."""
+    import pytest
+
+    from grate_ray.functions.multimodal import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_color,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(43)
+    for shape in [(8, 8, 3), (16, 16, 3), (16, 24, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        blob = encode_jpeg_progressive(img)
+        base = decode_jpeg(encode_jpeg_color(img))[2]
+        assert (decode_jpeg_progressive(blob)[2] == base).all(), shape
+        assert (decode_jpeg(blob)[2] == base).all()
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(encode_jpeg_progressive(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
