@@ -81,3 +81,74 @@ def approx_distinct(
     rows = ds.map_batches(batch_sketch, batch_format="pyarrow").take_all()
     sketches = [np.frombuffer(r["sketch"], dtype=np.uint8) for r in rows]
     return hll_estimate(hll_merge(sketches))
+
+
+# --- count-min sketch (mergeable heavy-hitter counts) -------------------------
+
+
+class CountMin:
+    """Count-min sketch: d rows × w counters, query returns an
+    OVERESTIMATE-only approximate count (error ≤ 2N/w with prob
+    1 − 2^−d). Mergeable by elementwise addition, so each batch emits a
+    fixed-size partial and the exchange ships d·w counters instead of
+    keys — the bounded-memory full-stream alternative to sampling for
+    hot-key detection."""
+
+    __slots__ = ("d", "w", "table")
+
+    def __init__(self, d: int = 4, w: int = 4096, table: np.ndarray | None = None):
+        self.d = d
+        self.w = w
+        self.table = (
+            np.zeros((d, w), dtype=np.int64) if table is None else table
+        )
+
+    # odd multipliers from splitmix-style constants; per-row hash =
+    # ((a_i * fp) >> 33) % w over the blake2b-64 key fingerprint
+    _A = np.array(
+        [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+         0xD6E8FEB86659FD93, 0xA5A3B195353C5E37, 0xC2B2AE3D27D4EB4F],
+        dtype=np.uint64,
+    )
+
+    def _rows(self, keys: list[str]) -> np.ndarray:
+        """(d, n) column indices for the key list."""
+        fp = _hash64(keys)
+        idx = np.empty((self.d, len(fp)), dtype=np.int64)
+        for i in range(self.d):
+            mixed = (self._A[i] * fp) >> np.uint64(33)
+            idx[i] = (mixed % np.uint64(self.w)).astype(np.int64)
+        return idx
+
+    def add(self, keys: list[str], counts: np.ndarray | None = None) -> None:
+        if not keys:
+            return
+        c = (
+            np.ones(len(keys), dtype=np.int64)
+            if counts is None
+            else np.asarray(counts, dtype=np.int64)
+        )
+        idx = self._rows(keys)
+        for i in range(self.d):
+            np.add.at(self.table[i], idx[i], c)
+
+    def query(self, keys: list[str]) -> np.ndarray:
+        if not keys:
+            return np.zeros(0, dtype=np.int64)
+        idx = self._rows(keys)
+        est = self.table[0][idx[0]]
+        for i in range(1, self.d):
+            est = np.minimum(est, self.table[i][idx[i]])
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.d, self.w) == (other.d, other.w)
+        return CountMin(self.d, self.w, self.table + other.table)
+
+    def to_row(self) -> dict:
+        return {"d": self.d, "w": self.w, "t": self.table.reshape(-1)}
+
+    @classmethod
+    def from_row(cls, row: dict) -> "CountMin":
+        d, w = int(row["d"]), int(row["w"])
+        return cls(d, w, np.asarray(row["t"], dtype=np.int64).reshape(d, w))

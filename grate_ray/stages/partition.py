@@ -119,3 +119,63 @@ def find_hot_keys(
     totals = partials.groupby(col)["n"].sum()
     cutoff = threshold_frac * totals.sum()
     return frozenset(totals[totals >= cutoff].index.tolist())
+
+
+def find_hot_keys_cms(
+    ds,
+    col: str = "conv_id",
+    threshold_frac: float = 0.05,
+    d: int = 4,
+    w: int = 4096,
+) -> frozenset[str]:
+    """Hot-key detection over the FULL stream with bounded memory and no
+    sampling: two passes.
+
+    1. every batch emits one fixed-size count-min partial (d·w counters
+       — sketches merge by addition, so the driver folds kilobytes per
+       batch regardless of key cardinality or log size);
+    2. a second pass streams each batch's DISTINCT keys through the
+       merged sketch and keeps those whose estimate clears the
+       threshold. Count-min only OVERESTIMATES, so no hot key can be
+       missed (rare near-threshold cold keys may slip in — salting a
+       cold key is a no-op, so false positives are harmless here).
+
+    Unlike the sampled ``find_hot_keys``, a key needs no single-batch or
+    sampled presence: its weight accumulates exactly across the whole
+    log inside the sketch."""
+    from ..functions.sketch import CountMin
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        cm = CountMin(d, w)
+        vc = t[col].combine_chunks().value_counts()
+        cm.add(
+            vc.field("values").to_pylist(),
+            vc.field("counts").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "t": pa.array([cm.table.reshape(-1)]),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    merged = CountMin(d, w)
+    total = 0
+    for part in ds.map_batches(sketch_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for trow, n in zip(part["t"].to_pylist(), part["n"].to_pylist()):
+            merged = merged.merge(CountMin.from_row({"d": d, "w": w, "t": trow}))
+            total += int(n)
+    if total == 0:
+        return frozenset()
+    cutoff = threshold_frac * total
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t[col].combine_chunks()).to_pylist()
+        est = merged.query(keys)
+        hot = [k for k, e in zip(keys, est) if e >= cutoff]
+        return pa.table({col: pa.array(hot, pa.string())})
+
+    hits = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return frozenset(hits[col].tolist())

@@ -98,3 +98,55 @@ def test_find_hot_keys_sees_tail_only_hot_key():
     assert "tailhot" in hot
     # no cold key sneaks in: each conv{i} holds ~0.08% of events
     assert all(k == "tailhot" for k in hot)
+
+
+def test_count_min_sketch_properties():
+    """Overestimate-only, exact when unsaturated, merge == bulk add."""
+    import numpy as np
+
+    from grate_ray.functions.sketch import CountMin
+
+    rng = np.random.default_rng(3)
+    keys = [f"k{i}" for i in range(300)]
+    counts = rng.integers(1, 50, len(keys))
+    cm = CountMin(4, 4096)
+    cm.add(keys, counts)
+    est = cm.query(keys)
+    assert (est >= counts).all()          # never underestimates
+    assert (est <= counts + counts.sum()).all()
+    # wide sketch vs 300 keys: collisions negligible → exact for most
+    assert (est == counts).mean() > 0.95
+
+    half = len(keys) // 2
+    a, b = CountMin(4, 4096), CountMin(4, 4096)
+    a.add(keys[:half], counts[:half])
+    b.add(keys[half:], counts[half:])
+    assert (a.merge(b).table == cm.table).all()
+
+    rt = CountMin.from_row(cm.to_row())
+    assert (rt.query(keys) == est).all()
+
+
+def test_find_hot_keys_cms_full_stream(ray_session):
+    """CMS detector finds a hot key that exists ONLY in the log's tail
+    and one spread thinly across every batch — the cases sampling or
+    per-batch top-k can degrade on; cold keys stay cold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from grate_ray.stages.partition import find_hot_keys_cms
+
+    rng = np.random.default_rng(9)
+    n = 60_000
+    keys = np.array([f"conv{i}" for i in rng.integers(0, 2000, n)], dtype=object)
+    # hot key A: only in the final 8% of the log
+    keys[int(n * 0.92):] = "hotA"
+    # hot key B: every 12th event throughout (≈8.3% of the stream)
+    keys[::12] = "hotB"
+    t = pa.table({"conv_id": pa.array(list(keys), pa.string()),
+                  "lsn": pa.array(np.arange(n), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(16)
+    hot = find_hot_keys_cms(ds, threshold_frac=0.05)
+    assert "hotA" in hot and "hotB" in hot
+    assert all(k in ("hotA", "hotB") for k in hot)
