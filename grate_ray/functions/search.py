@@ -99,29 +99,26 @@ def bm25_topk(
         mask = pc.is_in(flat, value_set=term_arr).to_numpy(zero_copy_only=False)
         if not mask.any():
             return empty
-        doc = np.repeat(
-            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), counts
-        )[mask]
-        hit = flat.filter(pa.array(mask))
-        codes = np.fromiter(
-            (term_code[w] for w in hit.to_pylist()), dtype=np.int64, count=len(hit)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, counts)[mask]
+        codes = (
+            pc.index_in(flat, value_set=term_arr)
+            .to_numpy(zero_copy_only=False)[mask]
+            .astype(np.int64)
         )
         key = doc * len(terms) + codes
         uk, tf = np.unique(key, return_counts=True)
         udoc = uk // len(terms)
-        dl_by_doc = dict(
-            zip(t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), counts)
-        )
+        # dl lookup: batch-local positional map (ids are unique per batch)
+        order = np.argsort(ids, kind="stable")
+        pos = np.searchsorted(ids[order], udoc)
+        dl = np.asarray(counts, dtype=np.int64)[order][pos]
         return pa.table(
             {
                 "doc_id": pa.array(udoc),
                 "term": pa.array([terms[c] for c in uk % len(terms)], pa.string()),
                 "tf": pa.array(tf.astype(np.int64)),
-                "dl": pa.array(
-                    np.fromiter(
-                        (dl_by_doc[d] for d in udoc), dtype=np.int64, count=len(udoc)
-                    )
-                ),
+                "dl": pa.array(dl),
             }
         )
 
