@@ -173,6 +173,19 @@ def q_cdc_ingest_lake(sf_dir: str):
 _POINT_LOOKUP_CONVS = ["conv7", "conv42", "conv113"]
 
 
+def q_heavy_hitters(sf_dir: str):
+    """EXACT heavy-hitter conversations (≥0.7% of binlog events) with
+    count-min pruning: the mergeable sketch pass yields a candidate
+    superset (overestimate-only ⇒ nothing missed), the exact filtered
+    count pass removes false positives — provably equal to the plain
+    GROUP BY ... HAVING oracle, with bounded driver state."""
+    from grate_ray.context import configure_shuffle
+    from grate_ray.stages.partition import heavy_hitters
+
+    configure_shuffle(16)
+    return heavy_hitters(_binlog(sf_dir), col="conv_id", threshold_frac=0.007)
+
+
 def q_cdc_point_lookup(sf_dir: str):
     """POINT LOOKUP with partition pruning: the lake is hash-partitioned
     by crc32(conv_id) % P, so a 3-conversation read touches only the ≤3
@@ -1607,6 +1620,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_ingest_lake": q_cdc_ingest_lake,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
+    "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
     "cdc_incremental_view": q_cdc_incremental_view,
@@ -2564,6 +2578,12 @@ SELECT event_id,
        END AS rk_value
 FROM events""",
         "cdc_ingest_lake": lww,
+        "heavy_hitters": f"""
+WITH b AS ({BINLOG_SQL}), tot AS (SELECT count(*) AS n FROM b)
+SELECT conv_id, count(*) AS n_events
+FROM b, tot
+GROUP BY conv_id, tot.n
+HAVING count(*) >= 0.007 * tot.n""",
         "cdc_point_lookup": (
             f"SELECT * FROM ({lww}) s WHERE conv_id IN ("
             + ", ".join(f"'{c}'" for c in _POINT_LOOKUP_CONVS)

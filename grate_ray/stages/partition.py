@@ -178,4 +178,65 @@ def find_hot_keys_cms(
         return pa.table({col: pa.array(hot, pa.string())})
 
     hits = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    if hits.empty:
+        return frozenset()
     return frozenset(hits[col].tolist())
+
+
+def heavy_hitters(
+    ds,
+    col: str = "conv_id",
+    threshold_frac: float = 0.01,
+    d: int = 4,
+    w: int = 8192,
+):
+    """EXACT heavy hitters with sketch pruning: the count-min pass
+    yields a candidate superset (overestimate-only ⇒ no hot key can be
+    missed); a second filtered pass counts ONLY the candidates exactly
+    (broadcast `is_in` probe + per-batch partial counts + a tiny
+    combine) and keeps keys with ≥ threshold_frac of all rows. The
+    result is provably exact — false-positive candidates fall out of
+    the final exact filter — while nothing driver-side scales beyond
+    the sketch and the (small) candidate relation.
+
+    Emits (col, n_events) rows, one per heavy hitter."""
+    import pandas as pd
+
+    total = ds.count()
+    if total == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({col: pa.array([], pa.string()),
+                      "n_events": pa.array([], pa.int64())})
+        )
+    cand = find_hot_keys_cms(ds, col, threshold_frac, d, w)
+    if not cand:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({col: pa.array([], pa.string()),
+                      "n_events": pa.array([], pa.int64())})
+        )
+    ref = pa.array(sorted(cand), pa.string())
+
+    def part(t: pa.Table) -> pa.Table:
+        x = t.filter(pc.is_in(t[col], value_set=ref))
+        vc = x[col].combine_chunks().value_counts()
+        return pa.table({col: vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({col: pd.Series([], dtype="object"),
+                                 "n_events": pd.Series([], dtype="int64")})
+        g = df.groupby(col, sort=False)["n"].sum().reset_index(name="n_events")
+        g = g[g["n_events"] >= threshold_frac * total].reset_index(drop=True)
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .repartition(8, keys=[col])
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -150,3 +150,37 @@ def test_find_hot_keys_cms_full_stream(ray_session):
     hot = find_hot_keys_cms(ds, threshold_frac=0.05)
     assert "hotA" in hot and "hotB" in hot
     assert all(k in ("hotA", "hotB") for k in hot)
+
+
+def test_heavy_hitters_exact_with_pruning(ray_session):
+    """Sketch-pruned heavy hitters equal the exact GROUP BY answer —
+    including a planted tail-only hot key; candidate false positives
+    from sketch collisions cannot leak through the exact filter."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.stages.partition import heavy_hitters
+
+    configure_shuffle(8)
+    rng = np.random.default_rng(17)
+    n = 40_000
+    keys = np.array([f"c{i}" for i in rng.integers(0, 3000, n)], dtype=object)
+    keys[int(n * 0.95):] = "tailhot"
+    keys[::30] = "spreadhot"
+    df = pd.Series(keys).value_counts()
+    thr = 0.01
+    exp = {k: int(v) for k, v in df.items() if v >= thr * n}
+
+    t = pa.table({"conv_id": pa.array(list(keys), pa.string())})
+    out = (
+        heavy_hitters(
+            ray.data.from_arrow(t).repartition(16), threshold_frac=thr, w=2048
+        )
+        .to_pandas()
+        .set_index("conv_id")["n_events"]
+        .to_dict()
+    )
+    assert out == exp and "tailhot" in out and "spreadhot" in out
