@@ -197,6 +197,20 @@ def q_cdc_point_lookup(sf_dir: str):
     return read_lake(lake, conv_ids=_POINT_LOOKUP_CONVS)
 
 
+def q_cdc_filtered_read(sf_dir: str):
+    """ZONE-MAP filtered read: every commit manifest carries per-column
+    min/max stats (Delta-log style); read_lake(filters=...) unions them
+    along each partition's chain, prunes partitions the conjunct provably
+    can't match, and applies the exact vectorized filter after LWW
+    finalize. Oracle: the same predicates over the LWW final state."""
+    from grate_ray.pipelines.ingest import read_lake
+
+    lake = _ingest_lake(sf_dir)
+    return read_lake(
+        lake, filters=[("turn_idx", ">=", 6), ("role", "==", "assistant")]
+    )
+
+
 def q_cdc_ingest_metrics(sf_dir: str):
     """Lineage/metrics rollup of the committed ingest: per-op event totals
     summed over every partition commit — each source event counted exactly
@@ -1620,6 +1634,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_ingest_lake": q_cdc_ingest_lake,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
+    "cdc_filtered_read": q_cdc_filtered_read,
     "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -2588,6 +2603,10 @@ HAVING count(*) >= 0.007 * tot.n""",
             f"SELECT * FROM ({lww}) s WHERE conv_id IN ("
             + ", ".join(f"'{c}'" for c in _POINT_LOOKUP_CONVS)
             + ")"
+        ),
+        "cdc_filtered_read": (
+            f"SELECT * FROM ({lww}) s "
+            "WHERE turn_idx >= 6 AND role = 'assistant'"
         ),
         # time travel to the 2nd micro-batch commit boundary: asof = 2W-1,
         # W = max_lsn//4 + 1 (the deterministic bucket width the fixture

@@ -45,6 +45,7 @@ from ..stages.merge import (
 from ..stages.partition import add_partition_column
 from ..state.manifest import (
     append_batch_plan,
+    chain_stats,
     commit_delta,
     commit_empty,
     commit_partition,
@@ -55,6 +56,7 @@ from ..state.manifest import (
     read_batch_plan,
     read_state,
     write_lake_config,
+    zone_may_match,
 )
 
 METRICS_SCHEMA = pa.schema(
@@ -548,12 +550,67 @@ def partitions_for_keys(lake_dir: str, conv_ids: list[str]) -> list[int] | None:
     return sorted({zlib.crc32(c.encode("utf-8")) % p for c in conv_ids})
 
 
+_FILTER_KERNELS = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+
+
+def _zone_value(val):
+    """Normalize a filter value to the zone-map stats encoding
+    (timestamps are stored as epoch-microsecond ints)."""
+    import datetime
+
+    import numpy as np
+
+    if isinstance(val, np.datetime64):
+        val = val.astype("datetime64[us]").item()
+    if isinstance(val, datetime.datetime):
+        return int(pa.scalar(val, pa.timestamp("us")).value)
+    return val
+
+
+def prune_partitions(
+    lake_dir: str,
+    parts: list[int],
+    filters: list[tuple],
+    asof_lsn: int | None = None,
+) -> list[int]:
+    """ZONE-MAP partition pruning: drop every partition whose chain-union
+    column stats prove a conjunct can match no row of the reconstructed
+    state (see manifest.chain_stats for the soundness argument). Lakes
+    whose manifests predate stats keep all partitions."""
+    kept = []
+    for p in parts:
+        zone = chain_stats(lake_dir, p, lsn_hi=asof_lsn)
+        if zone is None or all(
+            zone_may_match(zone, col, op, _zone_value(val))
+            for col, op, val in filters
+        ):
+            kept.append(p)
+    return kept
+
+
+def _apply_filters(t: pa.Table, filters: list[tuple]) -> pa.Table:
+    """Exact conjunctive filter (vectorized; Kleene AND drops nulls)."""
+    mask = None
+    for col, op, val in filters:
+        m = _FILTER_KERNELS[op](t[col], pa.scalar(val))
+        mask = m if mask is None else pc.and_(mask, m)
+    return t.filter(mask) if mask is not None else t
+
+
 def read_lake(
     lake_dir: str,
     num_partitions: int | None = None,
     columns: list[str] | None = None,
     asof_lsn: int | None = None,
     conv_ids: list[str] | None = None,
+    filters: list[tuple] | None = None,
 ) -> ray.data.Dataset:
     """The live view of the lake: latest committed state per partition
     (nearest snapshot + LWW-merged deltas), tombstones dropped, key-sorted
@@ -587,6 +644,14 @@ def read_lake(
     can hold those keys (``partitions_for_keys``) are reconstructed, and
     rows are filtered to the key list — a 3-conversation lookup against
     a 4096-partition lake touches ≤3 chains, not 4096.
+
+    ``filters`` is a conjunctive list of ``(column, op, value)``
+    predicates (ops ``== != < <= > >=``) with ZONE-MAP data skipping:
+    partitions whose per-commit chain-union column stats (written into
+    every manifest at commit time, Delta-log style) prove the conjunct
+    empty are never reconstructed; surviving partitions apply the exact
+    vectorized filter after LWW finalize. Values may be Python
+    scalars / datetimes (timestamps compare exactly).
     """
     parts = [
         p
@@ -599,6 +664,8 @@ def read_lake(
         target = partitions_for_keys(lake_dir, conv_ids)
         if target is not None:
             parts = [p for p in parts if p in set(target)]
+    if filters:
+        parts = prune_partitions(lake_dir, parts, filters, asof_lsn=asof_lsn)
     if not parts:
         from ..schema import empty_lake_table
 
@@ -608,6 +675,8 @@ def read_lake(
     read_cols = None
     if columns is not None:
         need = {"op", "conv_id", "turn_idx", "ts", "lsn"}
+        if filters:
+            need |= {col for col, _, _ in filters}
         read_cols = sorted(need | set(columns))
 
     # one reconstruction task per partition (each reads its own chain —
@@ -623,6 +692,8 @@ def read_lake(
             v = finalize(st)
             if key_set is not None:
                 v = v.filter(pc.is_in(v["conv_id"], value_set=key_set))
+            if filters:
+                v = _apply_filters(v, filters)
             out.append(v.select(columns) if columns is not None else v)
         if not out:
             from ..schema import empty_lake_table

@@ -35,6 +35,7 @@ import os
 import tempfile
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -178,6 +179,49 @@ def _merge_chain(tables: list[pa.Table]) -> pa.Table:
     return lww_reduce(pa.concat_tables(tables, promote_options="default"))
 
 
+def _column_stats(table: pa.Table) -> dict:
+    """Per-column zone-map stats written into every data-file commit
+    (the Delta-log move: stats live in the commit metadata, so query
+    planning never opens a parquet footer). Three shapes per column:
+
+    - ``{"min": v, "max": v, "n_null": k}`` — known range (timestamps
+      encoded as epoch-microsecond ints so the JSON round-trip is exact);
+    - ``{"all_null": true, "n_null": n}`` — every value null (ignorable
+      for pruning: a comparison predicate drops nulls);
+    - ``{"unknown": true}`` — column present but unrankable (nested type,
+      or a float range poisoned by NaN) — poisons pruning on the column.
+    """
+    stats: dict[str, dict] = {}
+    for i, field in enumerate(table.schema):
+        t = field.type
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_timestamp(t)
+        ):
+            stats[field.name] = {"unknown": True}
+            continue
+        col = table.column(i)
+        n_null = col.null_count
+        if n_null == table.num_rows:
+            stats[field.name] = {"all_null": True, "n_null": n_null}
+            continue
+        mm = pc.min_max(col)
+        lo, hi = mm["min"], mm["max"]
+        if pa.types.is_timestamp(t):
+            lo, hi = lo.value, hi.value
+        else:
+            lo, hi = lo.as_py(), hi.as_py()
+        if isinstance(lo, float) and (lo != lo or hi != hi):  # NaN poisons
+            stats[field.name] = {"unknown": True}
+            continue
+        stats[field.name] = {"min": lo, "max": hi, "n_null": n_null}
+    return stats
+
+
 def _commit_lsns(lake_dir: str, part: int) -> list[int]:
     d = manifest_dir(lake_dir, part)
     if not os.path.isdir(d):
@@ -189,26 +233,98 @@ def _commit_lsns(lake_dir: str, part: int) -> list[int]:
     )
 
 
-def chain_files(lake_dir: str, part: int, lsn_hi: int | None = None) -> list[str]:
-    """The state/delta files (lake-relative) reconstructing a commit:
-    nearest snapshot at-or-before it, then every delta after, in order.
-    Empty commits contribute nothing. Walks the manifest chain BACKWARD
-    from the commit so cost is O(deltas since last snapshot), not
+def _chain_manifests(
+    lake_dir: str, part: int, lsn_hi: int | None = None
+) -> list[dict]:
+    """Manifests of the data files reconstructing a commit: nearest
+    snapshot at-or-before it, then every delta after, in order. Empty
+    commits contribute nothing. Walks the manifest chain BACKWARD from
+    the commit so cost is O(deltas since last snapshot), not
     O(total commits)."""
     if lsn_hi is None:
         lsn_hi = committed_lsn(lake_dir, part)
     if lsn_hi is None:
         return []
-    files_rev: list[str] = []
+    out_rev: list[dict] = []
     for lsn in reversed([l for l in _commit_lsns(lake_dir, part) if l <= lsn_hi]):
         m = read_manifest(lake_dir, part, lsn)
         kind = m.get("kind", "snapshot")
         if kind == "snapshot":
-            files_rev.append(m["state_file"])
+            out_rev.append(m)
             break
         if kind == "delta":
-            files_rev.append(m["state_file"])
-    return list(reversed(files_rev))
+            out_rev.append(m)
+    return list(reversed(out_rev))
+
+
+def chain_files(lake_dir: str, part: int, lsn_hi: int | None = None) -> list[str]:
+    """The state/delta files (lake-relative) reconstructing a commit."""
+    return [m["state_file"] for m in _chain_manifests(lake_dir, part, lsn_hi)]
+
+
+def chain_stats(
+    lake_dir: str, part: int, lsn_hi: int | None = None
+) -> dict[str, dict] | None:
+    """ZONE MAP for a commit: per-column union (min of mins, max of
+    maxes) of the chain's data-file stats. Sound for pruning the FINAL
+    LWW state because every final value appears verbatim in some chain
+    file — a union range that excludes a predicate excludes every row the
+    reconstruction can produce (tombstone key values only widen the
+    union, never narrow it). A column missing from an older file's stats
+    (pre-evolution epoch) is fine: rows whose winner comes from that file
+    read as null for the column, and comparison predicates drop nulls.
+
+    Returns None when any chain manifest predates stats entirely —
+    pruning then degrades to "keep the partition" (sound).
+    """
+    mans = _chain_manifests(lake_dir, part, lsn_hi)
+    if not mans:
+        return None
+    zone: dict[str, dict] = {}
+    for m in mans:
+        s = m.get("stats")
+        if s is None:
+            return None
+        for col, cs in s.items():
+            if cs.get("unknown"):
+                zone[col] = {"unknown": True}
+                continue
+            if cs.get("all_null"):
+                continue
+            z = zone.get(col)
+            if z is None:
+                zone[col] = {"min": cs["min"], "max": cs["max"]}
+            elif not z.get("unknown"):
+                z["min"] = min(z["min"], cs["min"])
+                z["max"] = max(z["max"], cs["max"])
+    return zone
+
+
+def zone_may_match(zone: dict[str, dict], col: str, op: str, val) -> bool:
+    """Can any row of a partition whose zone map is ``zone`` satisfy
+    ``col <op> val``? False ⇒ the partition is provably empty under the
+    predicate and its chain is never read. Unknown columns / poisoned
+    stats keep the partition (sound). A column absent from the zone has
+    only null values in every chain file — comparisons never match."""
+    cs = zone.get(col)
+    if cs is None:
+        return False  # all-null everywhere: comparison predicates drop nulls
+    if cs.get("unknown"):
+        return True
+    lo, hi = cs["min"], cs["max"]
+    if op == "==":
+        return lo <= val <= hi
+    if op == "!=":
+        return not (lo == hi == val)
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    raise ValueError(f"unsupported filter op {op!r}")
 
 
 def deltas_since_snapshot(lake_dir: str, part: int) -> int:
@@ -313,6 +429,8 @@ def _commit(
         "state_rows": state_rows,
         "metrics": metrics or {},
         "schema": table.schema.to_string() if table is not None else None,
+        # zone-map stats for the data file (None for empty commits)
+        "stats": _column_stats(table) if table is not None else None,
     }
     _write_manifest_atomic(manifest, mpath, manifest_dir(lake_dir, part))
     return manifest
