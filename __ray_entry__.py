@@ -122,6 +122,40 @@ def q_cdc_schema_evolution(sf_dir: str):
     return apply_binlog(e0.union(e1), num_partitions=16)
 
 
+def q_cdc_schema_rename(sf_dir: str):
+    """COLUMN-RENAME schema evolution: even-lsn events arrive from a
+    legacy epoch whose payload columns are named speaker/content; the
+    rename-aware reconciler (stages/evolve.py make_reconciler(renames=))
+    maps them into the canonical role/text fields before the LWW apply,
+    so the final state is identical to a stream that never renamed
+    (oracle: the plain LWW final state). Key/envelope columns are
+    rename-protected."""
+    from grate_ray.pipelines.cdc import apply_binlog
+    from grate_ray.schema import BINLOG_SCHEMA
+    from grate_ray.stages.evolve import make_reconciler
+
+    def to_legacy(t: pa.Table) -> pa.Table:
+        even = pc.equal(pc.bit_wise_and(t["lsn"], pa.scalar(1, pa.int64())), 0)
+        t = t.filter(even)
+        back = {"role": "speaker", "text": "content"}
+        return t.rename_columns([back.get(n, n) for n in t.column_names])
+
+    def keep_odd(t: pa.Table) -> pa.Table:
+        odd = pc.equal(pc.bit_wise_and(t["lsn"], pa.scalar(1, pa.int64())), 1)
+        return t.filter(odd)
+
+    rec = make_reconciler(
+        BINLOG_SCHEMA, renames={"speaker": "role", "content": "text"}
+    )
+    legacy = (
+        _binlog(sf_dir)
+        .map_batches(to_legacy, batch_format="pyarrow")
+        .map_batches(rec, batch_format="pyarrow")
+    )
+    modern = _binlog(sf_dir).map_batches(keep_odd, batch_format="pyarrow")
+    return apply_binlog(legacy.union(modern), num_partitions=16)
+
+
 def _ingest_lake(sf_dir: str) -> str:
     """Run the REAL exactly-once ingest (delta commits, manifests,
     empty-partition HW advance) over the derived binlog into a scratch
@@ -1631,6 +1665,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_op_counts": q_cdc_op_counts,
     "cdc_conv_stats": q_cdc_conv_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_schema_rename": q_cdc_schema_rename,
     "cdc_ingest_lake": q_cdc_ingest_lake,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
@@ -2491,6 +2526,9 @@ SELECT conv_id,
        max(lsn) AS max_lsn
 FROM ({BINLOG_SQL}) b GROUP BY conv_id""",
         "cdc_schema_evolution": LWW_FINAL_SQL.format(binlog=evolved_binlog),
+        # rename evolution is lossless: the reconciled stream's final
+        # state equals the never-renamed stream's final state
+        "cdc_schema_rename": lww,
         "cdc_merged_ranges": LWW_FINAL_SQL.format(
             binlog=f"""
 SELECT op, lsn, conv_id, CAST(turn_idx + o AS INTEGER) AS turn_idx, role,

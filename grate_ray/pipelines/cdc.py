@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..schema import BINLOG_SCHEMA
-from ..stages.evolve import make_reconciler, unify
+from ..stages.evolve import make_reconciler, rename_schema, unify
 from ..stages.merge import finalize, lww_reduce
 from ..stages.partition import (
     add_partition_column,
@@ -56,9 +56,20 @@ def _read_blocks_for(files: list[str]) -> int | None:
     return max(len(files), cpus * 4)
 
 
-def schema_groups(path: str) -> tuple[list[tuple[pa.Schema, list[str]]], pa.Schema]:
+def schema_groups(
+    path: str, renames: dict[str, str] | None = None
+) -> tuple[list[tuple[pa.Schema, list[str]]], pa.Schema]:
     """Group binlog chunk files by physical schema; return groups + the
-    unified (widened) target schema."""
+    unified (widened) target schema. ``renames`` (legacy physical name →
+    canonical) is applied to each observed schema before unification so a
+    renamed column lands in its canonical field instead of forking the
+    target."""
+    from ..stages.evolve import PROTECTED_COLS
+
+    if renames and PROTECTED_COLS & (set(renames) | set(renames.values())):
+        raise ValueError(
+            f"cannot rename key/envelope columns: {sorted(PROTECTED_COLS)}"
+        )
     files = list_binlog_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet chunks under {path}")
@@ -67,7 +78,9 @@ def schema_groups(path: str) -> tuple[list[tuple[pa.Schema, list[str]]], pa.Sche
         s = pq.read_schema(f)
         by_schema.setdefault(s.to_string(), (s, []))[1].append(f)
     groups = list(by_schema.values())
-    target = unify([s for s, _ in groups] + [BINLOG_SCHEMA])
+    target = unify(
+        [rename_schema(s, renames) for s, _ in groups] + [BINLOG_SCHEMA]
+    )
     return groups, target
 
 
@@ -77,6 +90,7 @@ def read_binlog(
     prep=None,
     batch_size: int | None = None,
     num_cpus: float | None = None,
+    renames: dict[str, str] | None = None,
 ) -> ray.data.Dataset:
     """Read a binlog directory that may mix physical schemas (epochs).
 
@@ -87,7 +101,7 @@ def read_binlog(
     object-store pass (measured: a separate reconcile operator costs a full
     extra pass of the log through plasma).
     """
-    groups, target = schema_groups(path)
+    groups, target = schema_groups(path, renames=renames)
     if target_schema is not None:
         target = target_schema
     parts = []
@@ -95,7 +109,7 @@ def read_binlog(
         ds = ray.data.read_parquet(
             group, override_num_blocks=_read_blocks_for(group)
         )
-        rec = None if s.equals(target) else make_reconciler(target)
+        rec = None if s.equals(target) else make_reconciler(target, renames)
         if rec is not None or prep is not None:
             def fn(t, rec=rec):
                 if rec is not None:
@@ -168,6 +182,7 @@ def replay(
     num_partitions: int = 32,
     hot_keys: frozenset[str] | None = None,
     num_salts: int = 8,
+    renames: dict[str, str] | None = None,
 ) -> ray.data.Dataset:
     """Fused fast path: ONE map operator does reconcile + partial LWW
     reduce + partition tagging (single object-store pass of the log), then
@@ -186,7 +201,8 @@ def replay(
             )
 
         ds = read_binlog(
-            binlog_path, prep=prep_salted, batch_size=REDUCE_BATCH_SIZE, num_cpus=1
+            binlog_path, prep=prep_salted, batch_size=REDUCE_BATCH_SIZE,
+            num_cpus=1, renames=renames,
         )
         ds = ds.groupby("spart").map_groups(
             lambda t: lww_reduce(t), batch_format="pyarrow"
@@ -200,6 +216,7 @@ def replay(
         return add_partition_column(lww_reduce(t), num_partitions)
 
     ds = read_binlog(
-        binlog_path, prep=prep, batch_size=REDUCE_BATCH_SIZE, num_cpus=1
+        binlog_path, prep=prep, batch_size=REDUCE_BATCH_SIZE, num_cpus=1,
+        renames=renames,
     )
     return ds.groupby("part").map_groups(final_group, batch_format="pyarrow")

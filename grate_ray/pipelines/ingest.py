@@ -54,6 +54,7 @@ from ..state.manifest import (
     lake_num_partitions,
     list_partitions,
     read_batch_plan,
+    read_column_mapping,
     read_state,
     write_lake_config,
     zone_may_match,
@@ -281,9 +282,15 @@ def ingest(
     auto_compact: bool = True,
     compact_max_chain: int | None = None,
     compact_keep: int = 1,
+    renames: dict[str, str] | None = None,
 ) -> pa.Table:
     """Tail the binlog into the lake; returns the metrics table (one row per
     partition commit across all micro-batches run).
+
+    ``renames``: legacy physical column name → canonical name, applied in
+    the reconciler before the cast/extend — COLUMN-RENAME schema evolution
+    for source epochs that renamed a payload column (key/envelope columns
+    are never renameable).
 
     ``auto_compact``: after the tail drains, run the distributed compaction
     pass iff a cheap footer-only check says it's needed — any partition's
@@ -387,7 +394,16 @@ def ingest(
         for f in fpaths:
             s = pq.read_schema(f)
             by_schema.setdefault(s.to_string(), (s, []))[1].append(f)
-        target = unify([s for s, _ in by_schema.values()] + [BINLOG_SCHEMA])
+        from ..stages.evolve import PROTECTED_COLS, rename_schema
+
+        if renames and PROTECTED_COLS & (set(renames) | set(renames.values())):
+            raise ValueError(
+                f"cannot rename key/envelope columns: {sorted(PROTECTED_COLS)}"
+            )
+        target = unify(
+            [rename_schema(s, renames) for s, _ in by_schema.values()]
+            + [BINLOG_SCHEMA]
+        )
         from .cdc import _read_blocks_for
         from ..context import REDUCE_BATCH_SIZE, configure_shuffle
 
@@ -397,7 +413,7 @@ def ingest(
             d = ray.data.read_parquet(
                 group, override_num_blocks=_read_blocks_for(group)
             )
-            rec = None if s.equals(target) else make_reconciler(target)
+            rec = None if s.equals(target) else make_reconciler(target, renames)
 
             # reconcile + validate/dead-letter + counted partial reduce +
             # partition tag fused into ONE operator: a single object-store
@@ -652,7 +668,19 @@ def read_lake(
     empty are never reconstructed; surviving partitions apply the exact
     vectorized filter after LWW finalize. Values may be Python
     scalars / datetimes (timestamps compare exactly).
+
+    The lake's persisted COLUMN MAPPING (``evolve_lake_schema`` —
+    rename/drop evolution, metadata-only, Delta-column-mapping style)
+    applies here: ``columns`` and ``filters`` take LOGICAL names; dropped
+    columns never appear; renamed physical data reads under its logical
+    name. Zone-map pruning translates logical → physical to match the
+    stats written at commit time.
     """
+    mapping = read_column_mapping(lake_dir)
+    col_renames: dict[str, str] = mapping.get("renames", {})
+    col_drops = set(mapping.get("drops", []))
+    to_phys = {v: k for k, v in col_renames.items()}  # logical → physical
+
     parts = [
         p
         for p in list_partitions(lake_dir)
@@ -665,11 +693,23 @@ def read_lake(
         if target is not None:
             parts = [p for p in parts if p in set(target)]
     if filters:
-        parts = prune_partitions(lake_dir, parts, filters, asof_lsn=asof_lsn)
+        phys_filters = [(to_phys.get(c, c), op, v) for c, op, v in filters]
+        parts = prune_partitions(
+            lake_dir, parts, phys_filters, asof_lsn=asof_lsn
+        )
+
+    def _to_logical(t: pa.Table) -> pa.Table:
+        from ..stages.evolve import apply_renames
+
+        keep = [c for c in t.column_names if c not in col_drops]
+        if len(keep) != len(t.column_names):
+            t = t.select(keep)
+        return apply_renames(t, col_renames)
+
     if not parts:
         from ..schema import empty_lake_table
 
-        t = empty_lake_table()
+        t = _to_logical(empty_lake_table())
         return ray.data.from_arrow(t.select(columns) if columns else t)
 
     read_cols = None
@@ -677,7 +717,7 @@ def read_lake(
         need = {"op", "conv_id", "turn_idx", "ts", "lsn"}
         if filters:
             need |= {col for col, _, _ in filters}
-        read_cols = sorted(need | set(columns))
+        read_cols = sorted({to_phys.get(c, c) for c in need | set(columns)})
 
     # one reconstruction task per partition (each reads its own chain —
     # embarrassingly parallel, no shuffle)
@@ -689,7 +729,9 @@ def read_lake(
             st = read_state(lake_dir, int(p), lsn_hi=asof_lsn, columns=read_cols)
             if st is None or st.num_rows == 0:
                 continue
-            v = finalize(st)
+            # mapping applies to the finalized view (finalize projects the
+            # canonical physical payload; rename/drop are read-time moves)
+            v = _to_logical(finalize(st))
             if key_set is not None:
                 v = v.filter(pc.is_in(v["conv_id"], value_set=key_set))
             if filters:
@@ -698,7 +740,7 @@ def read_lake(
         if not out:
             from ..schema import empty_lake_table
 
-            e = empty_lake_table()
+            e = _to_logical(empty_lake_table())
             return e.select(columns) if columns is not None else e
         return pa.concat_tables(out, promote_options="default")
 

@@ -61,6 +61,28 @@ def unify(schemas: list[pa.Schema]) -> pa.Schema:
     return pa.schema([pa.field(n, t) for n, t in fields.items()])
 
 
+# envelope + key + LWW-order columns: schema evolution may never rename or
+# drop these (the merge machinery addresses them by name)
+PROTECTED_COLS = frozenset({"op", "lsn", "conv_id", "turn_idx", "ts"})
+
+
+def apply_renames(t: pa.Table, renames: dict[str, str] | None) -> pa.Table:
+    """Rename columns physical → logical (zero-copy, metadata-only).
+    Names absent from the table are ignored, so one rename map serves
+    every epoch of a mixed-schema stream."""
+    if not renames:
+        return t
+    return t.rename_columns([renames.get(n, n) for n in t.column_names])
+
+
+def rename_schema(s: pa.Schema, renames: dict[str, str] | None) -> pa.Schema:
+    if not renames:
+        return s
+    return pa.schema(
+        [pa.field(renames.get(f.name, f.name), f.type) for f in s]
+    )
+
+
 def reconcile(t: pa.Table, target: pa.Schema) -> pa.Table:
     """Cast/extend ``t`` to carry at least the target schema's columns.
 
@@ -87,10 +109,14 @@ def reconcile(t: pa.Table, target: pa.Schema) -> pa.Table:
     return pa.table(cols)
 
 
-def make_reconciler(target: pa.Schema):
-    """A map_batches-ready closure (stateless task) that pins the target."""
+def make_reconciler(target: pa.Schema, renames: dict[str, str] | None = None):
+    """A map_batches-ready closure (stateless task) that pins the target.
+    ``renames`` maps legacy physical column names → canonical names and is
+    applied before the cast/extend (COLUMN RENAME evolution: a source
+    epoch that renamed ``role`` → ``speaker`` reconciles into the same
+    lake column, Delta-column-mapping style)."""
 
     def _fn(t: pa.Table) -> pa.Table:
-        return reconcile(t, target)
+        return reconcile(apply_renames(t, renames), target)
 
     return _fn

@@ -94,6 +94,92 @@ def append_batch_plan(lake_dir: str, new_batches: list[list[int]]) -> None:
     os.replace(tmp, batch_plan_path(lake_dir))
 
 
+def column_mapping_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_column_mapping.json")
+
+
+def read_column_mapping(lake_dir: str) -> dict:
+    """The lake's read-side schema evolution sidecar (Delta-column-mapping
+    style): ``renames`` maps PHYSICAL column names (as stored in data
+    files) → logical names readers see; ``drops`` lists physical names
+    removed from the logical schema. Data files are never rewritten —
+    renames and drops are metadata-only and apply at read time."""
+    p = column_mapping_path(lake_dir)
+    if not os.path.exists(p):
+        return {"renames": {}, "drops": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _physical_columns(lake_dir: str) -> set[str]:
+    """Physical column names stored in lake data files, read from the
+    newest chain manifest's stats (no parquet footer touched)."""
+    for p in list_partitions(lake_dir):
+        for m in reversed(_chain_manifests(lake_dir, p)):
+            s = m.get("stats")
+            if s:
+                return set(s)
+    return set()
+
+
+def evolve_lake_schema(
+    lake_dir: str,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> dict:
+    """Apply rename/drop schema evolution to the lake's LOGICAL schema
+    (metadata-only; no data file is touched). ``rename`` keys and ``drop``
+    entries are CURRENT logical names. Validates: key/envelope columns are
+    untouchable, rename targets must not collide with existing logical
+    names, and renames compose across calls (a→b then b→c reads a's
+    physical data as c). Returns the updated mapping."""
+    from ..stages.evolve import PROTECTED_COLS
+
+    m = read_column_mapping(lake_dir)
+    renames: dict[str, str] = dict(m.get("renames", {}))
+    drops: set[str] = set(m.get("drops", []))
+    physical = _physical_columns(lake_dir)
+
+    def logical_view() -> dict[str, str]:
+        """current logical name → physical name"""
+        return {
+            renames.get(c, c): c for c in physical if c not in drops
+        }
+
+    for old, new in (rename or {}).items():
+        if old in PROTECTED_COLS or new in PROTECTED_COLS:
+            raise ValueError(
+                f"cannot rename key/envelope column {old!r} -> {new!r}"
+            )
+        view = logical_view()
+        if physical and old not in view:
+            raise ValueError(f"unknown column {old!r}")
+        if new in view and view[new] != view.get(old):
+            raise ValueError(f"rename target {new!r} collides")
+        phys = view.get(old, old)
+        renames.pop(phys, None)
+        if new != phys:
+            renames[phys] = new
+
+    for logical in drop or []:
+        if logical in PROTECTED_COLS:
+            raise ValueError(f"cannot drop key/envelope column {logical!r}")
+        view = logical_view()
+        if physical and logical not in view:
+            raise ValueError(f"unknown column {logical!r}")
+        phys = view.get(logical, logical)
+        drops.add(phys)
+        renames.pop(phys, None)
+
+    out = {"renames": renames, "drops": sorted(drops)}
+    os.makedirs(lake_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=lake_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, column_mapping_path(lake_dir))
+    return out
+
+
 def write_lake_config(lake_dir: str, num_partitions: int) -> None:
     """Persist (or validate) the lake's partition count. The hash mapping
     key→partition is fixed at first ingest; re-ingesting with a different
