@@ -156,6 +156,37 @@ def q_cdc_schema_rename(sf_dir: str):
     return apply_binlog(legacy.union(modern), num_partitions=16)
 
 
+def q_cdc_multi_source(sf_dir: str):
+    """MULTI-SOURCE CDC merge: the base stream (source 0) plus a derived
+    correction feed (source 1: every lsn%7==3 non-delete re-issued as an
+    update with 'rev: '-prefixed text one second later) merge under the
+    deterministic interleaved global order lsn' = lsn*2 + source_idx;
+    LWW applies over the merged stream. The oracle mirrors the union and
+    interleave arithmetic in SQL."""
+    from grate_ray.pipelines.cdc import apply_binlog, merge_source_streams
+
+    def corrections(t: pa.Table) -> pa.Table:
+        lsn = t["lsn"].to_numpy(zero_copy_only=False)
+        keep = pc.and_(pa.array(lsn % 7 == 3), pc.not_equal(t["op"], "D"))
+        t = t.filter(keep)
+        t = t.set_column(
+            t.column_names.index("op"),
+            "op",
+            pa.array(["U"] * t.num_rows, pa.string()),
+        )
+        txt = pc.binary_join_element_wise(
+            pa.array(["rev:"] * t.num_rows, pa.string()), t["text"], " "
+        )
+        t = t.set_column(t.column_names.index("text"), "text", txt)
+        ts2 = pc.add(t["ts"], pa.scalar(1_000_000, pa.duration("us")))
+        return t.set_column(t.column_names.index("ts"), "ts", ts2)
+
+    base = _binlog(sf_dir)
+    corr = _binlog(sf_dir).map_batches(corrections, batch_format="pyarrow")
+    merged = merge_source_streams([base, corr])
+    return apply_binlog(merged, num_partitions=16)
+
+
 def _ingest_lake(sf_dir: str) -> str:
     """Run the REAL exactly-once ingest (delta commits, manifests,
     empty-partition HW advance) over the derived binlog into a scratch
@@ -1666,6 +1697,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_conv_stats": q_cdc_conv_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_schema_rename": q_cdc_schema_rename,
+    "cdc_multi_source": q_cdc_multi_source,
     "cdc_ingest_lake": q_cdc_ingest_lake,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
@@ -2529,6 +2561,25 @@ FROM ({BINLOG_SQL}) b GROUP BY conv_id""",
         # rename evolution is lossless: the reconciled stream's final
         # state equals the never-renamed stream's final state
         "cdc_schema_rename": lww,
+        # multi-source merge: union of source 0 (base) and source 1 (the
+        # correction feed) under the interleaved global lsn' = lsn*2 + idx
+        "cdc_multi_source": f"""
+WITH b AS ({BINLOG_SQL}),
+u AS (
+  SELECT op, lsn * 2 AS lsn, conv_id, turn_idx, role, text, tool, ts FROM b
+  UNION ALL
+  SELECT 'U' AS op, lsn * 2 + 1 AS lsn, conv_id, turn_idx, role,
+         'rev: ' || text AS text, tool, ts + INTERVAL 1 SECOND AS ts
+  FROM b WHERE lsn % 7 = 3 AND op <> 'D'
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY conv_id, turn_idx
+           ORDER BY ts DESC, lsn DESC) AS rn
+  FROM u
+) r
+WHERE rn = 1 AND op <> 'D'""",
         "cdc_merged_ranges": LWW_FINAL_SQL.format(
             binlog=f"""
 SELECT op, lsn, conv_id, CAST(turn_idx + o AS INTEGER) AS turn_idx, role,

@@ -184,3 +184,45 @@ def test_heavy_hitters_exact_with_pruning(ray_session):
         .to_dict()
     )
     assert out == exp and "tailhot" in out and "spreadhot" in out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_source_streams_total_order(tmp_path_factory):
+    """Two independent sources merge under lsn' = lsn*K + idx: a source-1
+    event at the same (key, ts) as a source-0 event with the same local
+    lsn must win (higher interleaved lsn), and per-source order is kept."""
+    import ray
+
+    from grate_ray.pipelines.cdc import merge_source_streams
+    from grate_ray.stages.merge import finalize, lww_reduce
+
+    ts = pa.array([1_000_000] * 3, pa.int64()).cast(pa.timestamp("us"))
+
+    def mk(texts):
+        return pa.table(
+            {
+                "op": pa.array(["I", "U", "U"], pa.string()),
+                "lsn": pa.array([1, 2, 3], pa.int64()),
+                "conv_id": pa.array(["c"] * 3, pa.string()),
+                "turn_idx": pa.array([0, 0, 0], pa.int32()),
+                "role": pa.array(["user"] * 3, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "tool": pa.array([None] * 3, pa.string()),
+                "ts": ts,
+            }
+        )
+
+    s0 = ray.data.from_arrow(mk(["a0", "b0", "c0"]))
+    s1 = ray.data.from_arrow(mk(["a1", "b1", "c1"]))
+    merged = merge_source_streams([s0, s1])
+    t = pa.concat_tables(
+        [ray.get(r) for r in merged.to_arrow_refs()],
+        promote_options="default",
+    )
+    # interleave: per-source lsn order preserved, no collisions
+    g = sorted(t["lsn"].to_pylist())
+    assert len(set(g)) == 6
+    assert t.column("source_id").null_count == 0
+    # ties on ts resolve by global lsn: source-1 local-lsn-3 has glsn 7 → wins
+    final = finalize(lww_reduce(t))
+    assert final["text"].to_pylist() == ["c1"]
