@@ -1144,6 +1144,17 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_QUERIES, k=5)
 
 
+def q_tfidf_topk(sf_dir: str):
+    """TF-IDF keyword extraction: top-5 terms per document by
+    tf·ln(N/df) over the FULL corpus vocabulary — postings exploded once,
+    df computed co-located by term (never on the driver), per-doc top-k
+    co-located by doc; ranking key (round(score,6) desc, term asc)
+    mirrored in SQL."""
+    from grate_ray.functions.search import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir), k=5)
+
+
 def q_dedup_substring(sf_dir: str):
     """Exact substring-span dedup over the planted near-dup corpus:
     truncated copies share all their 8-word windows with the original,
@@ -1749,6 +1760,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontaminate": q_decontaminate,
     "lm_perplexity": q_lm_perplexity,
     "bm25_topk": q_bm25_topk,
+    "tfidf_topk": q_tfidf_topk,
     "dedup_substring": q_dedup_substring,
     "stratified_sample": q_stratified_sample,
     "window_watermark": q_window_watermark,
@@ -2912,6 +2924,28 @@ WHERE rn = 1""",
         "decontaminate": _DECONTAM_SQL,
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "bm25_topk": _bm25_sql(_BM25_QUERIES, k=5),
+        "tfidf_topk": """
+WITH d AS (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS ws
+           FROM documents),
+n AS (SELECT count(*) AS n FROM d),
+tf AS (
+  SELECT doc_id, wd AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS wd FROM d)
+  GROUP BY doc_id, wd
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 6) DESC, term) AS rank
+  FROM sc
+)
+SELECT doc_id, rank, term, score FROM r WHERE rank <= 5""",
         "embed_kmeans": _kmeans_sql(ncentroids=8, seed=21),
         "multimodal_adpcm": _adpcm_sql(n=64),
         "dedup_substring": _SUBSTRING_SQL.format(corpus=_CORPUS_SQL),

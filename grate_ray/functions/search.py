@@ -55,6 +55,130 @@ def corpus_stats(
     return n, (s / n if n else 0.0)
 
 
+def tfidf_topk(
+    docs: ray.data.Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document top-k keywords by TF-IDF: score = tf · ln(N / df),
+    ranked (round(score,6) DESC, term ASC) so ties are deterministic and
+    SQL-mirrorable. Output: (doc_id, rank, term, score).
+
+    Unlike BM25's tiny broadcast query-term set, the FULL corpus
+    vocabulary participates — so df lives on the cluster, never the
+    driver: one batch pass explodes exact (doc, term, tf) postings
+    (per-batch factorize + unique, no Python loop over tokens), one
+    keyed hop by term computes df as a co-located row count and scores
+    right there, one keyed hop by doc takes the per-doc top-k (each
+    (doc, term) row is unique, so the group is complete wherever it
+    lands). Corpus size N is the only driver scalar."""
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    n_docs = docs.count()
+
+    def postings(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        if len(flat) == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        codes, uniques = pd.factorize(flat.to_pandas())
+        key = doc * len(uniques) + codes
+        uk, tf = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[uk // len(uniques)]),
+                "term": pa.array(
+                    uniques[(uk % len(uniques))].astype(object), pa.string()
+                ),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    def score_by_term(t: pa.Table) -> pa.Table:
+        """Co-located by term: df = rows per term in this block (exact
+        global df — each (doc, term) posting is unique)."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(t["term"].to_pandas())
+        df = np.bincount(codes)[codes].astype(np.float64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf * np.log(float(n_docs) / df)
+        return pa.table(
+            {"doc_id": t["doc_id"], "term": t["term"], "score": pa.array(score)}
+        )
+
+    def doc_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        pdf = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "score": t["score"],
+                "r6": pa.array(
+                    np.round(t["score"].to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        ).to_pandas()
+        pdf = pdf.sort_values(
+            ["doc_id", "r6", "term"], ascending=[True, False, True],
+            kind="stable",
+        )
+        pdf["rank"] = pdf.groupby("doc_id").cumcount() + 1
+        pdf = pdf[pdf["rank"] <= k]
+        return pa.table(
+            {
+                "doc_id": pa.array(pdf["doc_id"].to_numpy()),
+                "rank": pa.array(pdf["rank"].to_numpy().astype(np.int64)),
+                "term": pa.array(pdf["term"].astype(object), pa.string()),
+                # 6dp-rounded: the published score is the ranking key (raw
+                # doubles differ from a SQL mirror by ULPs of ln())
+                "score": pa.array(pdf["r6"].to_numpy()),
+            }
+        )
+
+    p = join_partitions(32)
+    return (
+        docs.map_batches(postings, batch_format="pyarrow")
+        .repartition(p, keys=["term"])
+        .map_batches(score_by_term, batch_format="pyarrow", batch_size=None)
+        .repartition(p, keys=["doc_id"])
+        .map_batches(doc_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def bm25_topk(
     docs: ray.data.Dataset,
     queries: dict[int, list[str]],

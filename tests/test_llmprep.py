@@ -346,3 +346,53 @@ def test_pack_sequences_covers_stream_exactly(ray_session, sf_dir):
     total = int(df["seg_len"].sum())
     assert total == int(per_seq.sum())
     assert df["seq_id"].min() == 0
+
+
+def test_tfidf_topk_matches_reference(ray_session):
+    """Random tiny corpus; distributed TF-IDF equals plain-Python
+    tf*ln(N/df) with (round(score,6) desc, term asc) per-doc ranking."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.search import tfidf_topk
+
+    configure_shuffle(8)
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 15)))
+        for _ in range(30)
+    ]
+    k = 3
+    n = len(texts)
+    tf = [
+        {w: t.split(" ").count(w) for w in set(t.split(" "))} for t in texts
+    ]
+    df = {w: sum(1 for d in tf if w in d) for w in vocab}
+    exp = {}
+    for i, d in enumerate(tf):
+        scored = sorted(
+            ((round(f * math.log(n / df[w]), 6), w) for w, f in d.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        exp[i] = scored
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = (
+        tfidf_topk(ray.data.from_arrow(t), k=k)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+    )
+    for i in exp:
+        got = out[out["doc_id"] == i]
+        assert list(got["term"]) == [w for _, w in exp[i]], i
+        assert list(got["score"]) == [s for s, _ in exp[i]], i
+        assert list(got["rank"]) == list(range(1, len(exp[i]) + 1))
