@@ -1275,6 +1275,24 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(ds, qids, qmat, k=5, nbits=4)
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ADC top-5: 64-float vectors compress to 8
+    uint8 codes against seeded 6dp-snapped sub-codebooks (regenerated in
+    every actor — nothing broadcast); scores are ADC lookup-table sums.
+    The memory-bound ANN scale path: codes are 32× smaller than the
+    vectors. Oracle mirrors encode (argmin |c|²−2·x·c, lower-code ties)
+    and the LUT-sum scoring with codebook literals."""
+    from grate_ray.functions.ann import pq_topk
+
+    import ray.data
+
+    qids, qmat = _queries_mat(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_topk(ds, qids, qmat, k=5, m=8, ksub=16, seed=33)
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF-bucketed ANN (coarse Voronoi quantizer, nprobe cells per
     query) — the inverted-file scale path alongside ann_lsh."""
@@ -1769,6 +1787,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_features": q_multimodal_features,
@@ -2415,6 +2434,69 @@ SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def _ann_pq_sql(k: int = 5, m: int = 8, ksub: int = 16, seed: int = 33) -> str:
+    """Exact SQL mirror of ann.pq_topk: sub-codebook literals (6dp
+    doubles, identical to what every actor regenerates) in a VALUES
+    table; encode = argmin(cn2 − 2·round(dot,6)) with lower-code ties;
+    score = round(sum of per-subspace LUT entries, 6)."""
+    import numpy as np
+
+    from grate_ray.functions.ann import pq_codebooks
+
+    books = pq_codebooks(64, m, ksub, seed)
+    cn2 = np.round((books**2).sum(axis=2), 6)
+    dsub = 64 // m
+    rows = ",\n  ".join(
+        "({}, {}, [{}], {})".format(
+            mi,
+            ki,
+            ", ".join(repr(float(v)) for v in books[mi, ki]),
+            repr(float(cn2[mi, ki])),
+        )
+        for mi in range(m)
+        for ki in range(ksub)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cb(sub, code, c, cn2) AS (
+  VALUES {rows}
+), dots AS (
+  SELECT e.vec_id, cb.sub, cb.code, cb.cn2,
+         round(list_dot_product(
+           e.emb[cb.sub * {dsub} + 1 : cb.sub * {dsub} + {dsub}], cb.c), 6
+         ) AS d
+  FROM e CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY cn2 - 2 * d ASC, code ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id % 50 = 0
+), lut AS (
+  SELECT q.query_id, cb.sub, cb.code,
+         round(list_dot_product(
+           q.qe[cb.sub * {dsub} + 1 : cb.sub * {dsub} + {dsub}], cb.c), 6
+         ) AS l
+  FROM q CROSS JOIN cb
+), scored AS (
+  SELECT l.query_id, c.vec_id, round(sum(l.l), 6) AS score
+  FROM codes c
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def _ann_ivf_sql(
     k: int = 5, ncentroids: int = 16, nprobe: int = 4, seed: int = 9
 ) -> str:
@@ -2968,6 +3050,7 @@ FROM f GROUP BY wus""",
         "ann_bruteforce": _ANN_SQL,
         "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),
+        "ann_pq": _ann_pq_sql(k=5, m=8, ksub=16, seed=33),
         "dedup_embedding": """
 WITH u AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings

@@ -260,6 +260,136 @@ def ivf_topk(
     return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def pq_codebooks(dim: int, m: int, ksub: int, seed: int) -> np.ndarray:
+    """(m, ksub, dim//m) seeded spherical sub-codebooks, snapped to 6dp
+    so every task regenerates identical doubles and the SQL oracle can
+    embed the same literals. (A production build would train each
+    sub-codebook with k-means on a sample — ``kmeans_assign`` is the
+    in-repo trainer; seeded directions keep the quantizer deterministic
+    and oracle-mirrorable.)"""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return np.round(
+        np.stack([ivf_centroids(dsub, ksub, seed + j) for j in range(m)]), 6
+    )
+
+
+def pq_encode_codes(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) → (n, m) uint8 PQ codes: per subspace, the L2-nearest
+    code — argmin over (|c|² − 2·x_sub·c), the |x_sub|²-free form; dot
+    products snapped to 6dp so numpy and a SQL mirror take identical
+    argmin decisions (ties → lower code, numpy first-min)."""
+    m, ksub, dsub = books.shape
+    xs = x.reshape(len(x), m, dsub)
+    dots = np.round(np.einsum("nmd,mkd->nmk", xs, books), 6)
+    cn2 = np.round((books**2).sum(axis=2), 6)  # (m, ksub)
+    dist = cn2[None, :, :] - 2.0 * dots
+    return dist.argmin(axis=2).astype(np.uint8)
+
+
+class _PQScorer:
+    """Actor: regenerates the seeded codebooks locally (nothing to
+    broadcast) and precomputes each query's ADC lookup table (m × ksub
+    partial dot products, 6dp). Per batch: encode vectors to (n, m)
+    uint8 codes, score = Σ_sub lut[sub, code[sub]] via one gather."""
+
+    def __init__(self, q_ref, m, ksub, seed, id_col, emb_col):
+        q_ids, q_mat = ray.get(q_ref)
+        self.q_ids = q_ids
+        self.m = m
+        self.books = pq_codebooks(q_mat.shape[1], m, ksub, seed)
+        dsub = q_mat.shape[1] // m
+        qs = q_mat.reshape(len(q_mat), m, dsub)
+        self.lut = np.round(np.einsum("qmd,mkd->qmk", qs, self.books), 6)
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _stack(t[self.emb_col])
+        codes = pq_encode_codes(x, self.books)  # (n, m)
+        sub_idx = np.arange(self.m)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            sc = self.lut[qi][sub_idx, codes].sum(axis=1)
+            out_q.append(np.full(len(ids), qid, dtype=np.int64))
+            out_v.append(ids)
+            out_s.append(np.round(sc, 6))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 33,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Product-quantization ADC top-k (the memory-bound ANN scale path:
+    a 64-float vector compresses to m=8 bytes, so a 100 TB embedding
+    corpus's codes fit hot): encode per batch, score every query against
+    the batch via the ADC lookup gather, per-batch local top-k prune,
+    tiny groupby(query) final — only n_queries × k rows per batch ever
+    move. Approximation comes from the quantizer only; scoring and
+    ranking (round(score,6) desc, vec_id asc) are deterministic."""
+    import pandas as pd
+
+    q_ref = ray.put(
+        (np.asarray(query_ids), np.asarray(query_mat, dtype=np.float64))
+    )
+    scored = ds.map_batches(
+        _PQScorer,
+        fn_constructor_args=(q_ref, m, ksub, seed, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=(1, actor_pool_size()),
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["query_id"], t["vec_id"]))
+        if t.num_rows == 0:
+            return t
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("query_id", "ascending"),
+                ("score", "descending"),
+                ("vec_id", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(q), dtype=bool)
+        change[0] = True
+        change[1:] = q[1:] != q[:-1]
+        starts = np.flatnonzero(change)
+        rank = np.arange(len(q), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(q)))
+        )
+        return t.filter(pa.array(rank < k))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        scored.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def hyperplanes(d: int, nbits: int, seed: int) -> np.ndarray:
     """Seeded (d, nbits) hyperplane matrix — derived deterministically
     from (seed, d, nbits), so every task regenerates it locally (nothing

@@ -414,3 +414,62 @@ def test_kmeans_assign_matches_serial(ray_session):
     )
     assert (out["cluster"].to_numpy() == exp).all()
     assert len(np.unique(exp)) > 1  # clustering is non-trivial
+
+
+def test_pq_topk_matches_serial(ray_session):
+    """PQ ADC top-k equals a serial reference with the same encode
+    (argmin |c|²−2·x·c, 6dp-snapped dots, lower-code ties) and LUT-sum
+    scoring; and PQ ranking correlates with exact dot ranking."""
+    import numpy as np
+    import ray.data
+
+    from grate_ray.functions.ann import pq_codebooks, pq_encode_codes, pq_topk
+
+    rng = np.random.default_rng(3)
+    n, dim, m, ksub, k = 120, 64, 8, 16, 5
+    mat = rng.standard_normal((n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    qsel = ids[ids % 40 == 0]
+    qmat = mat[qsel]
+
+    books = pq_codebooks(dim, m, ksub, seed=33)
+    codes = pq_encode_codes(mat, books)
+    assert codes.shape == (n, m) and codes.dtype == np.uint8
+    # deterministic: re-encode identical
+    assert (pq_encode_codes(mat, books) == codes).all()
+
+    # serial ADC reference
+    exp = {}
+    for qi, qid in enumerate(qsel):
+        lut = np.round(
+            np.einsum("md,mkd->mk", qmat[qi].reshape(m, dim // m), books), 6
+        )
+        sc = np.round(lut[np.arange(m)[:, None], codes.T].sum(axis=0), 6)
+        cand = [(s, v) for s, v in zip(sc, ids) if v != qid]
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        exp[qid] = cand[:k]
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in mat]),
+        }
+    )
+    out = (
+        pq_topk(
+            ray.data.from_arrow(t).repartition(5), qsel, qmat,
+            k=k, m=m, ksub=ksub, seed=33,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    for qid in qsel:
+        g = out[out["query_id"] == qid]
+        assert list(g["vec_id"]) == [v for _, v in exp[qid]], qid
+        assert list(g["score"]) == [s for s, _ in exp[qid]], qid
+
+    # quantized score is a usable proxy for the true dot product
+    true = mat @ qmat[0]
+    top_true = set(ids[np.argsort(-true)][:20]) - {qsel[0]}
+    got_top = set(out[out["query_id"] == qsel[0]]["vec_id"])
+    assert len(got_top & top_true) >= 1
