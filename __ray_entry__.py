@@ -1155,6 +1155,19 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(_docs(sf_dir), k=5)
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (3 merge rounds): corpus read
+    once into a distributed (word, freq, seq) vocab relation; each round
+    counts weighted adjacent pairs (numeric factorize keys, per-block
+    top-1 prune, tiny driver reduce) and applies the winning merge as ONE
+    vectorized replace via the double-space token encoding — whose
+    left-to-right non-overlapping replace semantics are shared by SQL
+    replace(), making the whole 3-round run exactly mirrorable."""
+    from grate_ray.functions.bpe import bpe_train_merges
+
+    return bpe_train_merges(_docs(sf_dir), num_merges=3)
+
+
 def q_dedup_substring(sf_dir: str):
     """Exact substring-span dedup over the planted near-dup corpus:
     truncated copies share all their 8-word windows with the original,
@@ -1779,6 +1792,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lm_perplexity": q_lm_perplexity,
     "bm25_topk": q_bm25_topk,
     "tfidf_topk": q_tfidf_topk,
+    "bpe_merges": q_bpe_merges,
     "dedup_substring": q_dedup_substring,
     "stratified_sample": q_stratified_sample,
     "window_watermark": q_window_watermark,
@@ -2434,6 +2448,62 @@ SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def _bpe_sql(num_merges: int = 3) -> str:
+    """Exact SQL mirror of bpe.bpe_train_merges: the double-space token
+    encoding makes each merge a plain replace(); rounds chain as CTEs.
+    Pair extraction zips two parallel unnests of the shifted token
+    list."""
+
+    def pairs(v: str, p: str) -> str:
+        return f"""
+{p} AS (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
+    SELECT freq,
+           unnest(l[1:len(l)-1]) AS a,
+           unnest(l[2:len(l)]) AS b
+    FROM (SELECT freq, string_split(trim(seq), '  ') AS l FROM {v})
+  ) GROUP BY a, b
+)"""
+
+    ctes = [
+        """w AS (
+  SELECT wd AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS wd
+        FROM documents)
+  WHERE wd <> '' GROUP BY wd
+)""",
+        """v0 AS (
+  SELECT word, freq,
+         '  ' || array_to_string(string_split_regex(word, ''), '  ')
+             || '  ' AS seq
+  FROM w
+)""",
+    ]
+    finals = []
+    for s in range(num_merges):
+        ctes.append(pairs(f"v{s}", f"p{s}").strip())
+        ctes.append(
+            f"b{s} AS (SELECT a, b, n FROM p{s} "
+            f"ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        if s + 1 < num_merges:
+            ctes.append(
+                f"""v{s + 1} AS (
+  SELECT word, freq,
+         replace(seq, ' ' || b{s}.a || '  ' || b{s}.b || ' ',
+                 ' ' || b{s}.a || b{s}.b || ' ') AS seq
+  FROM v{s} CROSS JOIN b{s}
+)"""
+            )
+        finals.append(
+            f"SELECT CAST({s} AS BIGINT) AS step, a AS lhs, b AS rhs, n "
+            f"FROM b{s}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+    )
+
+
 def _ann_pq_sql(k: int = 5, m: int = 8, ksub: int = 16, seed: int = 33) -> str:
     """Exact SQL mirror of ann.pq_topk: sub-codebook literals (6dp
     doubles, identical to what every actor regenerates) in a VALUES
@@ -3051,6 +3121,7 @@ FROM f GROUP BY wus""",
         "ann_lsh": _ann_lsh_sql(k=5, nbits=4),
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),
         "ann_pq": _ann_pq_sql(k=5, m=8, ksub=16, seed=33),
+        "bpe_merges": _bpe_sql(num_merges=3),
         "dedup_embedding": """
 WITH u AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings

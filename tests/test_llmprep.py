@@ -396,3 +396,55 @@ def test_tfidf_topk_matches_reference(ray_session):
         assert list(got["term"]) == [w for _, w in exp[i]], i
         assert list(got["score"]) == [s for s, _ in exp[i]], i
         assert list(got["rank"]) == list(range(1, len(exp[i]) + 1))
+
+
+def test_bpe_merges_match_serial(ray_session):
+    """Distributed BPE equals a serial reference implementing the same
+    greedy left-to-right merge with (count desc, pair asc) selection."""
+    from collections import Counter
+
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.bpe import bpe_train_merges
+
+    configure_shuffle(8)  # before from_arrow: datasets snapshot the context
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "wide wider widest low new",
+    ]
+    K = 4
+
+    # serial reference over the word-frequency relation
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in wf}
+    exp = []
+    for step in range(K):
+        pc_ = Counter()
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                pc_[(toks[i], toks[i + 1])] += wf[w]
+        if not pc_:
+            break
+        (a, b), n = sorted(pc_.items(), key=lambda x: (-x[1], x[0]))[0]
+        exp.append((step, a, b, n))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts)})
+    got = bpe_train_merges(
+        ray.data.from_arrow(t).repartition(2), num_merges=K
+    )
+    rows = list(zip(got["step"].to_pylist(), got["lhs"].to_pylist(),
+                    got["rhs"].to_pylist(), got["n"].to_pylist()))
+    assert rows == exp
