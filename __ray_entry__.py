@@ -1499,6 +1499,31 @@ def q_multimodal_frames(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def q_multimodal_gif(sf_dir: str):
+    """REAL GIF decode end to end: deterministic palette-indexed GIF89a
+    payloads per doc (true file format: logical screen descriptor, global
+    color table, real variable-width LZW with CLEAR/EOI and 12-bit
+    growth; every 3rd image interlaced), decoded by the actor-pool
+    GifFeatureExtractor. The oracle reproduces channel means from the
+    palette + index arithmetic, so one wrong LZW code or interlace row
+    fails the hash."""
+    from grate_ray.functions.multimodal import (
+        GifFeatureExtractor,
+        synthesize_gif_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_gif_column, batch_format="pyarrow")
+        .map_batches(
+            GifFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_png(sf_dir: str):
     """REAL PNG decode end to end: deterministic 8-bit RGB PNGs are
     synthesized per doc (true file format: signature, CRC-checked chunks,
@@ -1807,6 +1832,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_bmp": q_multimodal_bmp,
     "multimodal_png": q_multimodal_png,
+    "multimodal_gif": q_multimodal_gif,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_jpeg_prog": q_multimodal_jpeg_prog,
@@ -3142,6 +3168,18 @@ SELECT doc_id,
        (octet_length(CAST(text AS BLOB)) + 4) % 640 AS width,
        (octet_length(CAST(text AS BLOB)) + 4) % 480 AS height
 FROM documents""",
+        "multimodal_gif": """
+WITH p AS (SELECT unnest(range(0, 240)) AS p),
+px AS (
+  SELECT doc_id, ((doc_id * 7 + p.p * 5) % 256) AS i
+  FROM documents CROSS JOIN p
+)
+SELECT doc_id,
+       CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+       round(avg((i * 2 + 1) % 256), 6) AS mean_r,
+       round(avg((i * 5 + 3) % 256), 6) AS mean_g,
+       round(avg((i * 11 + 7) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id""",
         "multimodal_bmp": """
 SELECT doc_id,
        CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,

@@ -1962,3 +1962,264 @@ def decode_jpeg_progressive(
         axis=-1,
     )
     return w, h, np.clip(_fl_round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- real GIF codec (LZW; no external libs) -----------------------------------
+#
+# GIF87a/89a: logical screen descriptor, global color table, image
+# descriptor (optional interlace), LZW-compressed index stream in
+# sub-blocks, trailer. The LZW variant is GIF's: variable code width
+# starting at min_code_size+1 (LSB-first bit packing), CLEAR/EOI codes,
+# dictionary growth to 12 bits with a CLEAR-reset at 4096. Width-growth
+# synchronization: the decoder adds its table entry one code behind the
+# encoder, so the decoder grows at next_code == 2^width while the encoder
+# grows at next_code == 2^width + 1 — the standard pairing (fuzzed across
+# both growth boundaries and the 4096 reset in tests).
+
+GIF_W, GIF_H = 20, 12
+
+
+def _gif_palette() -> np.ndarray:
+    """Deterministic 256-entry palette: entry i = ((i*2+1)%256,
+    (i*5+3)%256, (i*11+7)%256) — pure arithmetic for the SQL oracle."""
+    i = np.arange(256, dtype=np.int64)
+    return np.stack(
+        [(i * 2 + 1) % 256, (i * 5 + 3) % 256, (i * 11 + 7) % 256], axis=1
+    ).astype(np.uint8)
+
+
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    emit(clear, width)
+    seq = indices.astype(np.uint8).tobytes()
+    prev = seq[:1]
+    for j in range(1, len(seq)):
+        k = seq[j : j + 1]
+        if prev + k in table:
+            prev = prev + k
+            continue
+        emit(table[prev], width)
+        if next_code < 4096:
+            table[prev + k] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # dictionary full: reset both sides via CLEAR
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        prev = k
+    emit(table[prev], width)
+    emit(eoi, width)
+    if n_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> np.ndarray:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = acc = n_acc = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, n_acc
+        while n_acc < width:
+            if pos >= len(data):
+                raise ValueError("gif: truncated LZW stream")
+            acc |= data[pos] << n_acc
+            pos += 1
+            n_acc += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        return v
+
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        c = read(width)
+        if c == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if c == eoi:
+            break
+        if c < len(table):
+            entry = table[c]
+        elif c == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("gif: bad LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace (start, step)
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """(h, w) uint8 index grid + (n, 3) palette → GIF89a bytes."""
+    h, w = indices.shape
+    n = len(palette)
+    size_bits = max(1, int(np.ceil(np.log2(n))) if n > 1 else 1)
+    full = 1 << size_bits
+    pal = np.zeros((full, 3), np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (size_bits - 1), 0, 0])  # GCT flag + size
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0])
+    if interlace:
+        rows = np.concatenate(
+            [np.arange(s, h, st) for s, st in _GIF_PASSES]
+        )
+        indices = indices[rows]
+    mcs = max(2, size_bits)  # LZW min code size (≥2 per spec)
+    out.append(mcs)
+    comp = _lzw_encode(indices.reshape(-1), mcs)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """GIF bytes → (w, h, rgb uint8 (h, w, 3)). Supports global color
+    table, one image (local table + interlace handled), skips 89a
+    extension blocks; animation/multiple frames dead-letter. Truncated
+    payloads raise ValueError (the dead-letter contract), never
+    struct.error/IndexError."""
+    try:
+        return _decode_gif(blob)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"gif: truncated payload ({e})") from e
+
+
+def _decode_gif(blob: bytes) -> tuple[int, int, np.ndarray]:
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad magic")
+    w, h = struct.unpack_from("<HH", blob, 6)
+    packed, _bg, _ar = blob[10], blob[11], blob[12]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while True:
+        if pos >= len(blob):
+            raise ValueError("gif: missing image descriptor")
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 == 0x2C:
+            break
+        if b0 == 0x3B:
+            raise ValueError("gif: no image data")
+        raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+    _lx, _ty, iw, ih = struct.unpack_from("<HHHH", blob, pos)
+    pos += 8
+    ip = blob[pos]
+    pos += 1
+    if ip & 0x80:  # local color table wins
+        n = 2 << (ip & 0x07)
+        palette = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    if palette is None:
+        raise ValueError("gif: no color table")
+    mcs = blob[pos]
+    pos += 1
+    comp = bytearray()
+    while blob[pos]:
+        ln = blob[pos]
+        comp += blob[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    idx = _lzw_decode(bytes(comp), mcs)
+    if len(idx) != iw * ih:
+        raise ValueError(f"gif: got {len(idx)} pixels, want {iw * ih}")
+    grid = idx.reshape(ih, iw)
+    if ip & 0x40:  # deinterlace
+        rows = np.concatenate(
+            [np.arange(s, ih, st) for s, st in _GIF_PASSES]
+        )
+        de = np.empty_like(grid)
+        de[rows] = grid
+        grid = de
+    return iw, ih, palette[grid]
+
+
+def synthesize_gif_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic real GIF payloads: pixel p of doc d has palette
+    index ``(d*7 + p*5) % 256`` against the arithmetic palette — the SQL
+    oracle reproduces decoded channel means exactly. Every 3rd image is
+    interlaced so decode exercises the four-pass row order."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    pal = _gif_palette()
+    p = np.arange(GIF_W * GIF_H, dtype=np.int64)
+    blobs = []
+    for d in ids:
+        idx = ((d * 7 + p * 5) % 256).astype(np.uint8).reshape(GIF_H, GIF_W)
+        blobs.append(encode_gif(idx, pal, interlace=(d % 3 == 0)))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+class GifFeatureExtractor:
+    """Actor-pool stage: REAL GIF decode (LZW, interlace, color table) →
+    per-image (width, height, channel means). Same contract as the other
+    codec extractors."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, mr, mg, mb = [], [], [], [], []
+        for blob in t[self.payload_col].to_pylist():
+            w, h, px = decode_gif(blob)
+            means = px.reshape(-1, 3).mean(axis=0)
+            ws.append(w)
+            hs.append(h)
+            mr.append(round(float(means[0]), 6))
+            mg.append(round(float(means[1]), 6))
+            mb.append(round(float(means[2]), 6))
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column("mean_r", pa.array(mr, pa.float64()))
+        out = out.append_column("mean_g", pa.array(mg, pa.float64()))
+        out = out.append_column("mean_b", pa.array(mb, pa.float64()))
+        return out

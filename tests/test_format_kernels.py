@@ -579,3 +579,50 @@ def test_progressive_jpeg_color_equals_baseline_color():
         assert (decode_jpeg(blob)[2] == base).all()
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(encode_jpeg_progressive(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+
+
+def test_gif_roundtrip_all_paths():
+    """GIF LZW round-trips: random images (code-width growth through 10,
+    11, 12 bits and the 4096 CLEAR-reset), structured runs (long LZW
+    matches incl. KwKwK), flat images, interlace on and off, and a small
+    palette; corrupt magic and truncated streams raise."""
+    import numpy as np
+    import pytest
+
+    from grate_ray.functions.multimodal import (
+        _gif_palette,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(42)
+    pal = _gif_palette()
+    cases = [
+        rng.integers(0, 256, size=(7, 9)).astype(np.uint8),
+        (np.arange(30 * 40) % 5).astype(np.uint8).reshape(30, 40),
+        np.zeros((13, 17), np.uint8),  # KwKwK-heavy
+        rng.integers(0, 256, size=(80, 80)).astype(np.uint8),  # 4096 reset
+        np.ones((1, 1), np.uint8),
+    ]
+    for idx in cases:
+        for interlace in (False, True):
+            blob = encode_gif(idx, pal, interlace=interlace)
+            w, h, px = decode_gif(blob)
+            assert (w, h) == (idx.shape[1], idx.shape[0])
+            assert np.array_equal(px, pal[idx])
+
+    # small local palette (4 colors → 2-bit min code size)
+    small = np.array([[10, 20, 30], [40, 10, 20]], np.uint8)
+    idx4 = rng.integers(0, 4, size=(6, 6)).astype(np.uint8)
+    pal4 = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    blob = encode_gif(idx4, pal4)
+    assert np.array_equal(decode_gif(blob)[2], pal4[idx4])
+    del small
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_gif(b"NOTGIF" + bytes(20))
+    good = encode_gif(idx4, pal4)
+    with pytest.raises(ValueError):
+        decode_gif(good[: len(good) // 2])
