@@ -276,6 +276,19 @@ def q_cdc_filtered_read(sf_dir: str):
     )
 
 
+def q_cdc_global_rank(sf_dir: str):
+    """Exact dense global rank of the committed lake view under
+    (conv_id, turn_idx) ordering — the §2.6 ordering contract made
+    distributed: sampled range boundaries, P exclusive prefix offsets on
+    the driver, one keyed hop, block-local vectorized rank. Oracle:
+    row_number() over the LWW final state."""
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.relational import global_rank
+
+    lake = _ingest_lake(sf_dir)
+    return global_rank(read_lake(lake, columns=["conv_id", "turn_idx"]))
+
+
 def q_cdc_ingest_metrics(sf_dir: str):
     """Lineage/metrics rollup of the committed ingest: per-op event totals
     summed over every partition commit — each source event counted exactly
@@ -1769,6 +1782,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
+    "cdc_global_rank": q_cdc_global_rank,
     "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -2886,6 +2900,10 @@ HAVING count(*) >= 0.007 * tot.n""",
         "cdc_filtered_read": (
             f"SELECT * FROM ({lww}) s "
             "WHERE turn_idx >= 6 AND role = 'assistant'"
+        ),
+        "cdc_global_rank": (
+            f"SELECT conv_id, turn_idx, row_number() OVER "
+            f"(ORDER BY conv_id, turn_idx) - 1 AS rank FROM ({lww}) s"
         ),
         # time travel to the 2nd micro-batch commit boundary: asof = 2W-1,
         # W = max_lsn//4 + 1 (the deterministic bucket width the fixture

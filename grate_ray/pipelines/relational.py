@@ -536,3 +536,122 @@ def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def global_rank(
+    ds: ray.data.Dataset, num_parts: int | None = None
+) -> ray.data.Dataset:
+    """Exact DENSE GLOBAL RANK under (conv_id, turn_idx) ordering without
+    a single-node sort — the distributed ordering contract made explicit
+    (rank 0 = globally smallest key). Three phases, all bounded:
+
+    1. per-block order statistics sample → P−1 range boundaries on
+       conv_id (whole conversations never straddle a range);
+    2. per-range row counts → P exclusive prefix offsets on the driver
+       (P values, independent of data size);
+    3. one keyed repartition by range, then a block-local vectorized sort
+       assigns rank = range_offset + local position.
+
+    Emits (conv_id, turn_idx, rank). The data makes exactly one keyed
+    hop; only samples and P counts ever reach the driver."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    if num_parts is None:
+        try:
+            cpus = (
+                int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized()
+                else 8
+            )
+        except Exception:
+            cpus = 8
+        num_parts = max(8, 2 * cpus)
+
+    def block_sample(t: pa.Table) -> pa.Table:
+        conv = np.sort(t["conv_id"].to_numpy(zero_copy_only=False))
+        if len(conv) > 8:
+            pick = np.linspace(0, len(conv) - 1, 8).astype(np.int64)
+            conv = conv[pick]
+        return pa.table({"conv_id": pa.array(conv.astype(object), pa.string())})
+
+    sampled = np.sort(
+        ds.select_columns(["conv_id"])
+        .map_batches(block_sample, batch_format="pyarrow")
+        .to_pandas()["conv_id"]
+        .to_numpy(dtype=object)
+    )
+    if len(sampled) == 0:
+        boundaries = np.array([], dtype=object)
+    else:
+        idx = np.unique(
+            (np.linspace(0, 1, num_parts + 1)[1:-1] * (len(sampled) - 1))
+            .round()
+            .astype(np.int64)
+        )
+        boundaries = np.unique(sampled[idx])
+
+    def tag(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(boundaries, conv, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "part": pa.array(part),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    counts = (
+        tagged.groupby("part")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("part")
+    )
+    excl = counts["n"].cumsum() - counts["n"]
+    offsets = dict(zip(counts["part"].astype(int), excl.astype(int)))
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("part", "ascending"),
+                ("conv_id", "ascending"),
+                ("turn_idx", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(part), dtype=bool)
+        change[0] = True
+        change[1:] = part[1:] != part[:-1]
+        starts = np.flatnonzero(change)
+        local = np.arange(len(part), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(part)))
+        )
+        base = np.array([offsets[int(p)] for p in part[starts]], np.int64)
+        rank = np.repeat(base, np.diff(np.append(starts, len(part)))) + local
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "rank": pa.array(rank),
+            }
+        )
+
+    return tagged.repartition(
+        join_partitions(num_parts), keys=["part"]
+    ).map_batches(rank_block, batch_format="pyarrow", batch_size=None)

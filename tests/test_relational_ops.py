@@ -141,3 +141,39 @@ def test_watermark_tumbling_matches_serial(ray_session):
     exp_us = {int(k): v for k, v in exp.items()}
     assert got_us == exp_us
     assert sum(v[1] for v in exp.values()) > 100  # disorder actually bites
+
+
+def test_global_rank_exact(ray_session):
+    """Dense global rank equals the serial argsort ranking; conversations
+    never straddle range boundaries (all rows of a conv in one part)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.pipelines.relational import global_rank
+
+    configure_shuffle(8)
+    rng = np.random.default_rng(9)
+    convs = [f"conv{i}" for i in rng.permutation(37)]
+    rows = [(c, int(t)) for c in convs for t in rng.permutation(5)]
+    rng.shuffle(rows)
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+    out = (
+        global_rank(ray.data.from_arrow(t).repartition(6), num_parts=7)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = sorted(rows)
+    assert list(zip(out["conv_id"], out["turn_idx"])) == want
+    # the rank column must be exactly the position in the sorted order
+    assert out.sort_values("rank")[["conv_id", "turn_idx"]].values.tolist() == [
+        list(r) for r in want
+    ]
+    assert sorted(out["rank"]) == list(range(len(rows)))
