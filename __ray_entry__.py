@@ -289,6 +289,26 @@ def q_cdc_global_rank(sf_dir: str):
     return global_rank(read_lake(lake, columns=["conv_id", "turn_idx"]))
 
 
+def q_cdc_export_roundtrip(sf_dir: str):
+    """INCREMENTAL flat export round-trip (K1/K2 resumable-output
+    contract): export_lake_incremental re-renders only partitions whose
+    head commit advanced past the per-partition watermark (a re-run
+    exports zero bytes), one deterministic atomically-replaced file per
+    partition; the exported tree must read back as the exact LWW final
+    state."""
+    import glob
+
+    import ray.data
+
+    from grate_ray.pipelines.ingest import export_lake_incremental
+
+    lake = _ingest_lake(sf_dir)
+    out = lake.rstrip("/") + "_export"
+    export_lake_incremental(lake, out)
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    return ray.data.read_parquet(files)
+
+
 def q_cdc_ingest_metrics(sf_dir: str):
     """Lineage/metrics rollup of the committed ingest: per-op event totals
     summed over every partition commit — each source event counted exactly
@@ -1783,6 +1803,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
     "cdc_global_rank": q_cdc_global_rank,
+    "cdc_export_roundtrip": q_cdc_export_roundtrip,
     "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -2905,6 +2926,7 @@ HAVING count(*) >= 0.007 * tot.n""",
             f"SELECT conv_id, turn_idx, row_number() OVER "
             f"(ORDER BY conv_id, turn_idx) - 1 AS rank FROM ({lww}) s"
         ),
+        "cdc_export_roundtrip": lww,
         # time travel to the 2nd micro-batch commit boundary: asof = 2W-1,
         # W = max_lsn//4 + 1 (the deterministic bucket width the fixture
         # chunks by) — LWW over only the binlog prefix lsn < 2W

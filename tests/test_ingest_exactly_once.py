@@ -502,3 +502,57 @@ def test_incremental_index_equals_full_recompute(tmp_path_factory):
         assert len(inc) == len(full) > 0, (a, b)
         for col in ("fp", "conv_id", "turn_idx"):
             assert inc[col].tolist() == full[col].tolist(), (col, a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_export_watermarks(tmp_path_factory):
+    """Export re-renders only partitions whose head commit advanced; an
+    unchanged lake exports nothing; a schema-mapping change invalidates
+    every watermark; final files read back as the exact oracle state."""
+    import glob
+
+    from grate_ray.pipelines.ingest import export_lake_incremental
+    from grate_ray.state.manifest import evolve_lake_schema
+
+    d = str(tmp_path_factory.mktemp("xbinlog"))
+    lake = str(tmp_path_factory.mktemp("xlake"))
+    out = str(tmp_path_factory.mktemp("xout"))
+    generate_binlog(
+        d, GenSpec(num_events=8_000, num_convs=60, seed=19, chunk_rows=1_000)
+    )
+    # stage 1: half the log
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2,
+           max_microbatches=2)
+    r1 = export_lake_incremental(lake, out)
+    assert len(r1["exported"]) > 0 and not r1["skipped"]
+    # unchanged lake → no work
+    r2 = export_lake_incremental(lake, out)
+    assert not r2["exported"] and len(r2["skipped"]) == len(r1["exported"])
+    # stage 2: drain the rest → only advanced partitions re-render
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2)
+    r3 = export_lake_incremental(lake, out)
+    assert len(r3["exported"]) > 0
+    got = (
+        pa.concat_tables(
+            [pq.read_table(f) for f in
+             sorted(glob.glob(os.path.join(out, "part-*.parquet")))],
+            promote_options="default",
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = _oracle(d).to_pandas()
+    assert len(got) == len(want)
+    for col in want.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+    # mapping change (rename) invalidates watermarks → full re-render
+    evolve_lake_schema(lake, rename={"tool": "tool_name"})
+    r4 = export_lake_incremental(lake, out)
+    from grate_ray.state.manifest import list_partitions
+
+    assert set(r4["exported"]) == set(list_partitions(lake))
+    cols = pq.read_schema(
+        sorted(glob.glob(os.path.join(out, "part-*.parquet")))[0]
+    ).names
+    assert "tool_name" in cols and "tool" not in cols
