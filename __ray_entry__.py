@@ -289,6 +289,33 @@ def q_cdc_global_rank(sf_dir: str):
     return global_rank(read_lake(lake, columns=["conv_id", "turn_idx"]))
 
 
+_LOOKUP_KEYS = [("conv7", 0), ("conv42", 1), ("conv113", 2)]
+
+
+def q_cdc_content_lookup(sf_dir: str):
+    """Index-accelerated CONTENT lookup: the texts of three known keys
+    are fingerprinted (tiny broadcast), ONE streaming probe of the
+    secondary fingerprint index yields candidate keys, and only their
+    partitions are reconstructed; a final text-equality filter makes the
+    result exact under fingerprint collisions. Oracle: all live rows
+    whose text equals any target's text."""
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.views import content_lookup
+
+    lake = _ingest_lake(sf_dir)
+    seed = read_lake(
+        lake, conv_ids=sorted({c for c, _ in _LOOKUP_KEYS})
+    ).to_pandas()
+    texts = [
+        t
+        for c, ti in _LOOKUP_KEYS
+        for t in seed[(seed["conv_id"] == c) & (seed["turn_idx"] == ti)][
+            "text"
+        ].tolist()
+    ]
+    return content_lookup(lake, texts)
+
+
 def q_cdc_export_roundtrip(sf_dir: str):
     """INCREMENTAL flat export round-trip (K1/K2 resumable-output
     contract): export_lake_incremental re-renders only partitions whose
@@ -1804,6 +1831,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_filtered_read": q_cdc_filtered_read,
     "cdc_global_rank": q_cdc_global_rank,
     "cdc_export_roundtrip": q_cdc_export_roundtrip,
+    "cdc_content_lookup": q_cdc_content_lookup,
     "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -2927,6 +2955,15 @@ HAVING count(*) >= 0.007 * tot.n""",
             f"(ORDER BY conv_id, turn_idx) - 1 AS rank FROM ({lww}) s"
         ),
         "cdc_export_roundtrip": lww,
+        "cdc_content_lookup": f"""
+WITH s AS ({lww}),
+tg AS (
+  SELECT text FROM s
+  WHERE (conv_id = 'conv7' AND turn_idx = 0)
+     OR (conv_id = 'conv42' AND turn_idx = 1)
+     OR (conv_id = 'conv113' AND turn_idx = 2)
+)
+SELECT * FROM s WHERE text IN (SELECT text FROM tg)""",
         # time travel to the 2nd micro-batch commit boundary: asof = 2W-1,
         # W = max_lsn//4 + 1 (the deterministic bucket width the fixture
         # chunks by) — LWW over only the binlog prefix lsn < 2W

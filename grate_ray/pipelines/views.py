@@ -249,3 +249,41 @@ def incremental_text_index(
         .repartition(16, keys=["conv_id"])
         .map_batches(apply_block, batch_format="pandas", batch_size=None)
     )
+
+
+def content_lookup(lake_dir: str, texts: list[str]) -> ray.data.Dataset:
+    """CONTENT → ROW lookup accelerated by the secondary index: the
+    target texts fingerprint to a tiny broadcast set, ONE streaming
+    ``is_in`` probe of the fingerprint index yields the candidate keys
+    (no shuffle), and only the partitions that can hold those
+    conversations are reconstructed (``read_lake(conv_ids=...)`` point
+    pruning). A text-equality filter on the fetched rows removes any
+    fingerprint collision, so results are exact: every live lake row
+    whose text equals one of the targets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.text import fingerprint64
+
+    targets = pa.array([t or "" for t in texts], pa.string())
+    fps = fingerprint64(targets)
+
+    def probe(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["fp"], value_set=fps))
+
+    matched = (
+        text_index_view(lake_dir)
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()  # bounded by the number of matching rows
+    )
+    convs = sorted(set(matched["conv_id"])) if len(matched) else []
+    if not convs:
+        from ..schema import empty_lake_table
+
+        return ray.data.from_arrow(empty_lake_table())
+    rows = read_lake(lake_dir, conv_ids=convs)
+
+    def exact(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["text"], value_set=targets))
+
+    return rows.map_batches(exact, batch_format="pyarrow")

@@ -556,3 +556,30 @@ def test_incremental_export_watermarks(tmp_path_factory):
         sorted(glob.glob(os.path.join(out, "part-*.parquet")))[0]
     ).names
     assert "tool_name" in cols and "tool" not in cols
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_content_lookup_finds_all_copies(tmp_path_factory):
+    """Index-accelerated content lookup returns EVERY live row sharing a
+    target's text (planted cross-conversation duplicates), and nothing
+    else; unknown text → empty with schema."""
+    from grate_ray.pipelines.views import content_lookup
+
+    d = str(tmp_path_factory.mktemp("lbinlog"))
+    lake = str(tmp_path_factory.mktemp("llake"))
+    generate_binlog(
+        d, GenSpec(num_events=4_000, num_convs=30, seed=3, chunk_rows=2_000)
+    )
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2)
+    full = read_lake(lake).to_pandas()
+    # pick a text and count its live copies (genlog texts repeat by key)
+    target = full["text"].iloc[5]
+    want = full[full["text"] == target]
+    got = content_lookup(lake, [target]).to_pandas()
+    assert len(got) == len(want)
+    assert set(zip(got["conv_id"], got["turn_idx"])) == set(
+        zip(want["conv_id"], want["turn_idx"])
+    )
+    miss = content_lookup(lake, ["no such text anywhere"])
+    assert miss.count() == 0
+    assert "conv_id" in miss.schema().names
