@@ -289,6 +289,21 @@ def q_cdc_global_rank(sf_dir: str):
     return global_rank(read_lake(lake, columns=["conv_id", "turn_idx"]))
 
 
+def q_cdc_repartition(sf_dir: str):
+    """Lake RE-BUCKETING (P=16 → 7): full envelope state (tombstones
+    included) re-hashes in one keyed exchange; every new partition
+    commits one snapshot at the old high-water mark so ingest resumes
+    exactly (kill/resume covered in pytest). The re-bucketed live view
+    must equal the LWW final state."""
+    from grate_ray.pipelines.compact import repartition_lake
+    from grate_ray.pipelines.ingest import read_lake
+
+    lake = _ingest_lake(sf_dir)
+    out = lake.rstrip("/") + "_rp7"
+    repartition_lake(lake, out, new_partitions=7)
+    return read_lake(out)
+
+
 _LOOKUP_KEYS = [("conv7", 0), ("conv42", 1), ("conv113", 2)]
 
 
@@ -1832,6 +1847,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_global_rank": q_cdc_global_rank,
     "cdc_export_roundtrip": q_cdc_export_roundtrip,
     "cdc_content_lookup": q_cdc_content_lookup,
+    "cdc_repartition": q_cdc_repartition,
     "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -2955,6 +2971,7 @@ HAVING count(*) >= 0.007 * tot.n""",
             f"(ORDER BY conv_id, turn_idx) - 1 AS rank FROM ({lww}) s"
         ),
         "cdc_export_roundtrip": lww,
+        "cdc_repartition": lww,
         "cdc_content_lookup": f"""
 WITH s AS ({lww}),
 tg AS (

@@ -152,3 +152,121 @@ def compact_lake(
         "schemas_unified": int(pc.sum(out["rewritten"]).as_py() or 0),
         "snapshots_gced": int(pc.sum(out["gced"]).as_py() or 0),
     }
+
+
+def repartition_lake(
+    lake_dir: str, out_dir: str, new_partitions: int
+) -> pa.Table:
+    """RE-BUCKET the lake to a new partition count (the operational move
+    when the cluster scales: key→partition is pinned at first ingest, so
+    growing from P to P' requires a one-time re-hash). Exactness rules:
+
+    - requires a DRAINED lake (every partition at the same committed
+      high-water mark — true after any completed ``ingest`` call, whose
+      empty commits advance all partitions per micro-batch); raises
+      otherwise, because resuming a new lake whose high-water mark had to
+      drop to min(old marks) would re-count metrics for the gap window;
+    - each old partition's FULL envelope state (tombstones included —
+      dropping them would let late out-of-order events resurrect deleted
+      keys) re-hashes by ``crc32(conv_id) % P'`` in one keyed exchange;
+    - every new partition commits ONE snapshot at the same ``lsn_hi``,
+      so a subsequent ``ingest(out_dir, ...)`` resumes exactly where the
+      old lake stopped; the micro-batch plan and column-mapping sidecars
+      carry over verbatim.
+
+    Returns (part, state_rows) per new partition. Idempotent: manifests
+    make the re-run a no-op."""
+    import shutil
+
+    import ray
+    import ray.data
+
+    from ..context import configure_shuffle
+    from ..schema import KEY_COLS
+    from ..stages.partition import add_partition_column
+    from ..state.manifest import (
+        batch_plan_path,
+        column_mapping_path,
+        commit_partition,
+    )
+    from ..state.manifest import write_lake_config as _wlc
+
+    parts = list_partitions(lake_dir)
+    if not parts:
+        raise ValueError(f"no committed partitions under {lake_dir}")
+    hws = {p: committed_lsn(lake_dir, p) for p in parts}
+    hw_set = {h for h in hws.values() if h is not None}
+    if len(hw_set) != 1:
+        raise ValueError(
+            f"repartition requires a drained lake (equal per-partition "
+            f"high-water marks); got {sorted(hw_set)}"
+        )
+    hw = hw_set.pop()
+
+    os.makedirs(out_dir, exist_ok=True)
+    _wlc(out_dir, new_partitions)
+    for sidecar in (batch_plan_path(lake_dir), column_mapping_path(lake_dir)):
+        if os.path.exists(sidecar):
+            shutil.copy(
+                sidecar, os.path.join(out_dir, os.path.basename(sidecar))
+            )
+
+    configure_shuffle(new_partitions)
+    src = ray.data.from_items([{"part": p} for p in parts]).repartition(
+        len(parts)
+    )
+
+    def load(t: pa.Table) -> pa.Table:
+        out = []
+        for p in t["part"].to_pylist():
+            st = read_state(lake_dir, int(p))
+            if st is None or st.num_rows == 0:
+                continue
+            out.append(
+                add_partition_column(st.drop_columns(["part"]) if "part" in
+                                     st.column_names else st, new_partitions)
+            )
+        if not out:
+            from ..schema import BINLOG_SCHEMA
+
+            e = BINLOG_SCHEMA.empty_table()
+            return add_partition_column(e, new_partitions)
+        return pa.concat_tables(out, promote_options="default")
+
+    def commit_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"part": pa.array([], pa.int32()),
+                 "state_rows": pa.array([], pa.int64())}
+            )
+        import pyarrow.compute as pc
+
+        part = int(t["part"][0].as_py())
+        st = t.drop_columns(["part"])
+        order = pc.sort_indices(
+            st, sort_keys=[(k, "ascending") for k in KEY_COLS]
+        )
+        st = st.take(order)
+        commit_partition(out_dir, part, 0, hw, st, {"repartitioned_from": len(parts)})
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "state_rows": pa.array([st.num_rows], pa.int64()),
+            }
+        )
+
+    res = (
+        src.map_batches(load, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(commit_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # partitions with no rows still need an empty commit so the new
+    # lake's high-water mark is uniform (resume prunes correctly)
+    from ..state.manifest import commit_empty
+
+    done = set(res["part"].astype(int)) if len(res) else set()
+    for p in range(new_partitions):
+        if p not in done:
+            commit_empty(out_dir, p, 0, hw)
+    return pa.Table.from_pandas(res, preserve_index=False)

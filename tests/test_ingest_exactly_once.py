@@ -583,3 +583,44 @@ def test_content_lookup_finds_all_copies(tmp_path_factory):
     miss = content_lookup(lake, ["no such text anywhere"])
     assert miss.count() == 0
     assert "conv_id" in miss.schema().names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repartition_lake_and_resume(tmp_path_factory):
+    """Re-bucket 8→5 partitions mid-stream (at a micro-batch boundary),
+    resume ingest on the NEW lake: final state equals the oracle, and
+    metrics across old+new lakes count every event exactly once."""
+    from grate_ray.pipelines.compact import repartition_lake
+    from grate_ray.state.manifest import list_partitions
+
+    d = str(tmp_path_factory.mktemp("rbinlog"))
+    lake = str(tmp_path_factory.mktemp("rlakeA"))
+    lake2 = str(tmp_path_factory.mktemp("rlakeB"))
+    generate_binlog(
+        d, GenSpec(num_events=12_000, num_convs=90, seed=29,
+                   epoch0_frac=0.3, chunk_rows=1_500)
+    )
+    m1 = ingest(d, lake, num_partitions=P, files_per_microbatch=2,
+                max_microbatches=2)
+    res = repartition_lake(lake, lake2, new_partitions=5)
+    assert set(list_partitions(lake2)) == set(range(5))
+    # old and new live views agree
+    a = read_lake(lake).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = read_lake(lake2).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a.equals(b)
+    # resume the tail on the re-bucketed lake
+    m2 = ingest(d, lake2, num_partitions=5, files_per_microbatch=2)
+    got = read_lake(lake2).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = _oracle(d).to_pandas()
+    assert len(got) == len(want)
+    for col in want.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+    both = pa.concat_tables(
+        [m1, m2], promote_options="default").to_pandas()
+    assert both[~both["skipped"]]["n_events"].sum() == 12_000
+    # idempotent: re-running the repartition is a no-op
+    res2 = repartition_lake(lake, lake2.rstrip("/"), new_partitions=5)
+    assert sorted(res2["part"].to_pylist()) == sorted(res["part"].to_pylist())
