@@ -289,6 +289,48 @@ def q_cdc_global_rank(sf_dir: str):
     return global_rank(read_lake(lake, columns=["conv_id", "turn_idx"]))
 
 
+def q_table_diff(sf_dir: str):
+    """Snapshot-diff CDC capture: documents vs a deterministically
+    perturbed version (doc_id%13==0 dropped → D, doc_id%7==0 retexted →
+    U, doc_id%11==0 re-added under +1M ids → I). One keyed co-location,
+    block-local vectorized index algebra, null-safe value compare.
+    Oracle: the FULL OUTER JOIN formulation."""
+    from grate_ray.pipelines.relational import table_diff
+
+    old = _docs(sf_dir)
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pa.array(ids % 13 != 0)
+        kept = t.filter(keep)
+        kids = kept["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        retext = pa.array(kids % 7 == 0)
+        newtext = pc.if_else(
+            retext,
+            pc.binary_join_element_wise(
+                pa.array(["rev:"] * kept.num_rows, pa.string()),
+                kept["text"],
+                " ",
+            ),
+            kept["text"],
+        )
+        kept = pa.table({"doc_id": kept["doc_id"], "text": newtext})
+        add_src = t.filter(pa.array(ids % 11 == 0))
+        aid = add_src["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        added = pa.table(
+            {
+                "doc_id": pa.array(aid + 1_000_000),
+                "text": pa.array(
+                    [f"added {int(i)}" for i in aid], pa.string()
+                ),
+            }
+        )
+        return pa.concat_tables([kept, added], promote_options="default")
+
+    new = _docs(sf_dir).map_batches(perturb, batch_format="pyarrow")
+    return table_diff(old, new)
+
+
 def q_cdc_repartition(sf_dir: str):
     """Lake RE-BUCKETING (P=16 → 7): full envelope state (tombstones
     included) re-hashes in one keyed exchange; every new partition
@@ -1848,6 +1890,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_export_roundtrip": q_cdc_export_roundtrip,
     "cdc_content_lookup": q_cdc_content_lookup,
     "cdc_repartition": q_cdc_repartition,
+    "table_diff": q_table_diff,
     "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -2972,6 +3015,24 @@ HAVING count(*) >= 0.007 * tot.n""",
         ),
         "cdc_export_roundtrip": lww,
         "cdc_repartition": lww,
+        "table_diff": """
+WITH o AS (SELECT doc_id, text FROM documents),
+n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'rev: ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'added ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'I'
+            WHEN n.doc_id IS NULL THEN 'D'
+            ELSE 'U' END AS change_op,
+       CASE WHEN n.doc_id IS NULL THEN o.text ELSE n.text END AS text
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR o.text IS DISTINCT FROM n.text""",
         "cdc_content_lookup": f"""
 WITH s AS ({lww}),
 tg AS (

@@ -655,3 +655,100 @@ def global_rank(
     return tagged.repartition(
         join_partitions(num_parts), keys=["part"]
     ).map_batches(rank_block, batch_format="pyarrow", batch_size=None)
+
+
+def table_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key_col: str = "doc_id",
+    val_col: str = "text",
+) -> ray.data.Dataset:
+    """Generalized SNAPSHOT DIFF → change events (CDC *capture* when all
+    you have is two table versions, the inverse of the apply path): keys
+    only in ``new`` emit I, only in ``old`` emit D (carrying the old
+    value), keys in both with a different value emit U (new value);
+    equal rows emit nothing.
+
+    Shape: both sides tag a side bit in a stateless pass, ONE keyed
+    co-location by key hash, and the diff is block-local vectorized
+    index algebra (each key's two sides land in the same block). Null
+    values compare null-safe (null == null → no change)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    val_col: t[val_col],
+                    "side": pa.array(
+                        np.full(t.num_rows, side, np.int8())
+                    ),
+                }
+            )
+
+        return f
+
+    both = old.map_batches(tag(0), batch_format="pyarrow").union(
+        new.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def diff(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "change_op": pa.array([], pa.string()),
+                val_col: pa.array([], t.schema.field(val_col).type),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        o = df[df["side"] == 0].set_index(key_col)[val_col]
+        n = df[df["side"] == 1].set_index(key_col)[val_col]
+        ins = n.index.difference(o.index)
+        dels = o.index.difference(n.index)
+        common = o.index.intersection(n.index)
+        ov, nv = o.loc[common], n.loc[common]
+        neq = ~((ov.isna() & nv.isna()) | (ov == nv))
+        upd = common[neq.to_numpy()]
+        out = pd.DataFrame(
+            {
+                key_col: np.concatenate(
+                    [ins.to_numpy(), upd.to_numpy(), dels.to_numpy()]
+                ),
+                "change_op": ["I"] * len(ins) + ["U"] * len(upd)
+                + ["D"] * len(dels),
+                val_col: np.concatenate(
+                    [
+                        n.loc[ins].to_numpy(dtype=object),
+                        n.loc[upd].to_numpy(dtype=object),
+                        o.loc[dels].to_numpy(dtype=object),
+                    ]
+                )
+                if len(ins) + len(upd) + len(dels)
+                else np.array([], dtype=object),
+            }
+        )
+        if not len(out):
+            return empty
+        return pa.table(
+            {
+                key_col: pa.array(out[key_col]).cast(
+                    t.schema.field(key_col).type
+                ),
+                "change_op": pa.array(out["change_op"], pa.string()),
+                val_col: pa.array(
+                    out[val_col].astype(object), t.schema.field(val_col).type
+                ),
+            }
+        )
+
+    return both.repartition(join_partitions(32), keys=[key_col]).map_batches(
+        diff, batch_format="pyarrow", batch_size=None
+    )

@@ -177,3 +177,48 @@ def test_global_rank_exact(ray_session):
         list(r) for r in want
     ]
     assert sorted(out["rank"]) == list(range(len(rows)))
+
+
+def test_table_diff_semantics(ray_session):
+    """I/U/D classification, null-safe compare (null==null emits no
+    change; null→value and value→null emit U)."""
+    import pyarrow as pa
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.pipelines.relational import table_diff
+
+    configure_shuffle(8)
+    old = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["a", "b", None, "d", None], pa.string()),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(["b2", None, None, "e", "f"], pa.string()),
+        }
+    )
+    out = (
+        table_diff(
+            ray.data.from_arrow(old).repartition(2),
+            ray.data.from_arrow(new).repartition(3),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = {
+        (int(r.doc_id), r.change_op, r.text if r.text == r.text else None)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (1, "D", "a"),   # only in old
+        (2, "U", "b2"),  # changed
+        # 3: null == null → no change
+        (4, "U", None),  # value → null
+        (5, "U", "e"),   # null → value
+        (6, "I", "f"),   # only in new
+    }
