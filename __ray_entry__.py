@@ -331,6 +331,19 @@ def q_table_diff(sf_dir: str):
     return table_diff(old, new)
 
 
+def q_dialog_pairs(sf_dir: str):
+    """SFT training-pair extraction from the committed lake: every
+    assistant turn → (context = previous 3 turns as 'role: text' lines,
+    response); contexts are built block-locally after ONE keyed
+    co-location (shift/concat column arithmetic, no per-example loop).
+    Oracle: windowed string_agg over the LWW final state."""
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.llmprep import dialog_pairs
+
+    lake = _ingest_lake(sf_dir)
+    return dialog_pairs(read_lake(lake), window=3)
+
+
 def q_cdc_repartition(sf_dir: str):
     """Lake RE-BUCKETING (P=16 → 7): full envelope state (tombstones
     included) re-hashes in one keyed exchange; every new partition
@@ -1891,6 +1904,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_content_lookup": q_cdc_content_lookup,
     "cdc_repartition": q_cdc_repartition,
     "table_diff": q_table_diff,
+    "dialog_pairs": q_dialog_pairs,
     "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -3015,6 +3029,20 @@ HAVING count(*) >= 0.007 * tot.n""",
         ),
         "cdc_export_roundtrip": lww,
         "cdc_repartition": lww,
+        "dialog_pairs": f"""
+WITH s AS ({lww}),
+l AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(role, '') || ': ' || coalesce(text, '') AS line
+  FROM s
+)
+SELECT conv_id, turn_idx,
+       coalesce(string_agg(line, chr(10)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context,
+       text AS response
+FROM l
+QUALIFY role = 'assistant'""",
         "table_diff": """
 WITH o AS (SELECT doc_id, text FROM documents),
 n AS (

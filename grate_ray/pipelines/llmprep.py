@@ -303,3 +303,68 @@ def pack_sequences(
         )
 
     return t1.groupby("part").map_groups(segments, batch_format="pandas")
+
+
+def dialog_pairs(state, window: int = 3) -> ray.data.Dataset:
+    """TRAINING-PAIR extraction over replayed lake state: every assistant
+    turn becomes one (context, response) example, the context being the
+    previous ``window`` turns rendered ``role: text`` and joined by
+    newlines — the supervised-fine-tuning prep that consumes a
+    conversation lake.
+
+    Scale shape: one keyed repartition co-locates each conversation;
+    the per-block pass sorts once and builds every window with pandas
+    shift/concat column arithmetic (no per-example Python loop); only
+    raw turns shuffle — assembled contexts are born in their final
+    block."""
+    import numpy as np
+    import pandas as pd
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(32)
+    co = state.repartition(32, keys=["conv_id"])
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype="int32"),
+                "context": pd.Series([], dtype=object),
+                "response": pd.Series([], dtype=object),
+            }
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        line = df["role"].fillna("") + ": " + df["text"].fillna("")
+        # k-shifted line columns WITHIN each conversation: shift(k) then
+        # blank rows whose shift crossed a conversation boundary
+        conv = df["conv_id"]
+        parts = []
+        for k in range(window, 0, -1):
+            shifted = line.shift(k)
+            same = conv.eq(conv.shift(k))
+            parts.append(shifted.where(same, None))
+        ctx = pd.Series([""] * len(df), dtype=object)
+        started = pd.Series([False] * len(df))
+        for p in parts:
+            have = p.notna()
+            ctx = ctx.where(~(started & have), ctx + "\n")
+            ctx = ctx.where(~have, ctx + p.fillna(""))
+            started = started | have
+        mask = (df["role"] == "assistant").to_numpy()
+        if not mask.any():
+            return empty
+        out = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy()[mask],
+                "turn_idx": df["turn_idx"].to_numpy()[mask],
+                "context": ctx.to_numpy()[mask],
+                "response": df["text"].to_numpy()[mask],
+            }
+        )
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        return out
+
+    return co.map_batches(build, batch_format="pandas", batch_size=None)

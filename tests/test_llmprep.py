@@ -448,3 +448,48 @@ def test_bpe_merges_match_serial(ray_session):
     rows = list(zip(got["step"].to_pylist(), got["lhs"].to_pylist(),
                     got["rhs"].to_pylist(), got["n"].to_pylist()))
     assert rows == exp
+
+
+def test_dialog_pairs_windows(ray_session):
+    """Context windows: oldest-first join of ≤window preceding turns,
+    conversation boundaries respected, only assistant turns emit."""
+    import pyarrow as pa
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.pipelines.llmprep import dialog_pairs
+
+    configure_shuffle(8)
+    rows = [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "user", "q1"),
+        ("c1", 3, "assistant", "a1"),
+        ("c1", 4, "user", "q2"),
+        ("c1", 5, "assistant", "a2"),
+        ("c2", 0, "assistant", "solo"),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        dialog_pairs(ray.data.from_arrow(t).repartition(3), window=3)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (r.conv_id, int(r.turn_idx)): (r.context, r.response)
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("c1", 1): ("user: hi", "hello"),
+        ("c1", 3): ("user: hi\nassistant: hello\nuser: q1", "a1"),
+        ("c1", 5): ("user: q1\nassistant: a1\nuser: q2", "a2"),
+        ("c2", 0): ("", "solo"),
+    }
