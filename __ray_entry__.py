@@ -1298,6 +1298,17 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train_merges(_docs(sf_dir), num_merges=3)
 
 
+def q_doc_winnow(sf_dir: str):
+    """Winnowing fingerprints (MOSS): per-doc sliding-window argmin over
+    word-4-gram md5 hashes, window w=4, leftmost ties — a guaranteed-
+    coverage fingerprint set, computed in ONE stateless map pass (no
+    shuffle). Oracle mirrors gram construction, md5_number_lower hashing
+    and the per-window leftmost-argmin selection."""
+    from grate_ray.functions.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir), k=4, w=4)
+
+
 def q_dedup_substring(sf_dir: str):
     """Exact substring-span dedup over the planted near-dup corpus:
     truncated copies share all their 8-word windows with the original,
@@ -1954,6 +1965,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bm25_topk": q_bm25_topk,
     "tfidf_topk": q_tfidf_topk,
     "bpe_merges": q_bpe_merges,
+    "doc_winnow": q_doc_winnow,
     "dedup_substring": q_dedup_substring,
     "stratified_sample": q_stratified_sample,
     "window_watermark": q_window_watermark,
@@ -3331,6 +3343,31 @@ FROM f GROUP BY wus""",
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),
         "ann_pq": _ann_pq_sql(k=5, m=8, ksub=16, seed=33),
         "bpe_merges": _bpe_sql(num_merges=3),
+        "doc_winnow": """
+WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+           FROM documents),
+p0 AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(len(ws) - 3, 0))) AS pos
+  FROM d
+),
+h AS (
+  SELECT doc_id, pos,
+         md5_number_lower(array_to_string(ws[pos + 1 : pos + 4], ' ')) AS fp
+  FROM p0
+),
+nh AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+sel AS (
+  SELECT g.doc_id, g.pos, g.fp,
+         row_number() OVER (PARTITION BY g.doc_id, s.pos
+                            ORDER BY g.fp, g.pos) AS rn
+  FROM h s
+  JOIN h g ON g.doc_id = s.doc_id
+          AND g.pos BETWEEN s.pos AND s.pos + 3
+  JOIN nh ON nh.doc_id = s.doc_id
+  WHERE s.pos <= nh.n - 4
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel WHERE rn = 1""",
         "dedup_embedding": """
 WITH u AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings

@@ -1139,3 +1139,76 @@ def substring_dedup(
         .repartition(join_partitions(32), keys=["doc_id"])
         .map_batches(per_doc, batch_format="pyarrow", batch_size=None)
     )
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """WINNOWING document fingerprints (the MOSS local-fingerprinting
+    scheme, word-gram recast): hash every positional word-k-gram, slide
+    a window of ``w`` consecutive hashes, select each window's minimum
+    (leftmost on ties), and emit the DISTINCT selected positions —
+    a provably 2/(w+1)-density fingerprint set that two documents
+    sharing any run of ≥ w+k-1 words must overlap on (the guarantee
+    plain sampled shingles can't give).
+
+    Scale shape: winnowing is per-document — ONE stateless map pass, no
+    shuffle at all; the argmin-per-window is a single vectorized
+    ``sliding_window_view`` over the batch's concatenated gram hashes
+    with document boundaries masked. Hashes are ``fingerprint64``
+    (≡ md5_number_lower), so the SQL oracle reproduces fp values
+    exactly. Docs with fewer than w grams emit nothing."""
+    from ..functions.text import fingerprint64
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.uint64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+        counts = (
+            pc.list_value_length(words).to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = words.flatten()
+        ng = np.maximum(counts - (k - 1), 0)
+        if int(ng.sum()) == 0:
+            return empty
+        word_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        starts = np.repeat(word_starts, ng) + _within_run_ranges(ng)
+        parts = [flat.take(pa.array(starts + j)) for j in range(k)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        fp = fingerprint64(gram).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), ng
+        )
+        pos = _within_run_ranges(ng)
+        if len(fp) < w:
+            return empty
+        sw = np.lib.stride_tricks.sliding_window_view(fp, w)
+        ok = doc[: len(doc) - w + 1] == doc[w - 1 :]  # window within one doc
+        if not ok.any():
+            return empty
+        am = sw.argmin(axis=1)  # leftmost min, matches (fp asc, pos asc)
+        sel = np.unique(np.flatnonzero(ok) + am[ok])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[sel]),
+                "pos": pa.array(pos[sel]),
+                "fp": pa.array(fp[sel], pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -473,3 +473,61 @@ def test_pq_topk_matches_serial(ray_session):
     top_true = set(ids[np.argsort(-true)][:20]) - {qsel[0]}
     got_top = set(out[out["query_id"] == qsel[0]]["vec_id"])
     assert len(got_top & top_true) >= 1
+
+
+def test_winnow_fingerprints_reference_and_guarantee(ray_session):
+    """Winnowing equals a serial reference (per-window leftmost argmin,
+    distinct positions), and satisfies the MOSS coverage guarantee: two
+    docs sharing a run of >= w+k-1 words share at least one selected
+    fingerprint; docs with fewer than w grams emit nothing."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from grate_ray.functions.dedup import winnow_fingerprints
+
+    k, w = 4, 4
+
+    def fp64(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+    def serial(text: str):
+        ws = text.split(" ")
+        grams = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+        hs = [fp64(g) for g in grams]
+        sel = set()
+        for s in range(len(hs) - w + 1):
+            win = hs[s : s + w]
+            sel.add(s + win.index(min(win)))
+        return {(p, hs[p]) for p in sel}
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    shared = " ".join(rng.choice(vocab, size=w + k - 1))  # guarantee run
+    texts = [
+        " ".join(rng.choice(vocab, size=30)) + " " + shared,
+        shared + " " + " ".join(rng.choice(vocab, size=25)),
+        " ".join(rng.choice(vocab, size=18)),
+        "too short",  # < w grams → nothing
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = winnow_fingerprints(
+        ray.data.from_arrow(t).repartition(2), k=k, w=w
+    ).to_pandas()
+    for i, text in enumerate(texts):
+        got = {
+            (int(r.pos), int(r.fp))
+            for r in out[out["doc_id"] == i].itertuples()
+        }
+        assert got == serial(text), i
+    # coverage guarantee: docs 0 and 1 share a fingerprint VALUE
+    f0 = set(out[out["doc_id"] == 0]["fp"])
+    f1 = set(out[out["doc_id"] == 1]["fp"])
+    assert f0 & f1
+    assert len(out[out["doc_id"] == 3]) == 0
