@@ -344,6 +344,20 @@ def q_dialog_pairs(sf_dir: str):
     return dialog_pairs(read_lake(lake), window=3)
 
 
+def q_cdc_consume_changes(sf_dir: str):
+    """CONSUMER-GROUP changefeed poll: a fresh group polls from cursor
+    -1 and receives every live row as an insert (the net diff from the
+    empty state to the head commit), with the winning event's envelope.
+    Poll never advances the cursor (ack is the consumer's commit), so
+    the query is idempotent across driver runs. Kill/re-poll/ack
+    semantics are pytest-covered."""
+    from grate_ray.pipelines.views import poll_changes
+
+    lake = _ingest_lake(sf_dir)
+    ds, _frm, _to = poll_changes(lake, lake + "_cursors", group="driver")
+    return ds
+
+
 def q_cdc_repartition(sf_dir: str):
     """Lake RE-BUCKETING (P=16 → 7): full envelope state (tombstones
     included) re-hashes in one keyed exchange; every new partition
@@ -1916,6 +1930,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_repartition": q_cdc_repartition,
     "table_diff": q_table_diff,
     "dialog_pairs": q_dialog_pairs,
+    "cdc_consume_changes": q_cdc_consume_changes,
     "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -3041,6 +3056,15 @@ HAVING count(*) >= 0.007 * tot.n""",
         ),
         "cdc_export_roundtrip": lww,
         "cdc_repartition": lww,
+        "cdc_consume_changes": f"""
+SELECT 'I' AS change_op, conv_id, turn_idx, role, text, tool, ts, lsn
+FROM (
+  SELECT b.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx
+           ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ({BINLOG_SQL}) b
+) r
+WHERE rn = 1 AND op <> 'D'""",
         "dialog_pairs": f"""
 WITH s AS ({lww}),
 l AS (

@@ -287,3 +287,68 @@ def content_lookup(lake_dir: str, texts: list[str]) -> ray.data.Dataset:
         return t.filter(pc.is_in(t["text"], value_set=targets))
 
     return rows.map_batches(exact, batch_format="pyarrow")
+
+
+def _cursor_path(cursor_dir: str, group: str) -> str:
+    import os
+
+    return os.path.join(cursor_dir, f"cursor-{group}.json")
+
+
+def read_cursor(cursor_dir: str, group: str = "default") -> int:
+    """This consumer group's acknowledged LSN (-1 = from the beginning)."""
+    import json
+    import os
+
+    p = _cursor_path(cursor_dir, group)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return json.load(f)["acked_lsn"]
+
+
+def poll_changes(
+    lake_dir: str, cursor_dir: str, group: str = "default"
+) -> tuple[ray.data.Dataset | None, int, int]:
+    """CONSUMER-GROUP changefeed poll: the net changes between this
+    group's acknowledged cursor and the lake's current head commit.
+    Returns (changes, from_lsn, to_lsn); changes is None when the group
+    is already caught up. The cursor does NOT move here — call
+    ``ack_changes(cursor_dir, to_lsn, group)`` after the batch is durably
+    processed. Poll-then-ack gives the standard delivery ladder:
+    at-least-once if the consumer crashes between processing and ack
+    (the re-poll re-delivers the same net diff — deterministic, so
+    idempotent consumers get exactly-once end to end)."""
+    from ..state.manifest import committed_lsn, list_partitions
+
+    acked = read_cursor(cursor_dir, group)
+    heads = [
+        committed_lsn(lake_dir, p) for p in list_partitions(lake_dir)
+    ]
+    heads = [h for h in heads if h is not None]
+    if not heads:
+        return None, acked, acked
+    head = max(heads)
+    if head <= acked:
+        return None, acked, acked
+    # acked = -1 (fresh group) resolves to an empty from-state, so the
+    # first poll delivers every live row as an insert
+    return lake_changes(lake_dir, acked, head), acked, head
+
+
+def ack_changes(cursor_dir: str, to_lsn: int, group: str = "default") -> None:
+    """Advance the group cursor (atomic temp+rename; monotonic — an ack
+    below the current cursor is ignored, so replayed/laggard workers
+    can't move the group backwards)."""
+    import json
+    import os
+    import tempfile
+
+    os.makedirs(cursor_dir, exist_ok=True)
+    cur = read_cursor(cursor_dir, group)
+    if to_lsn <= cur:
+        return
+    fd, tmp = tempfile.mkstemp(dir=cursor_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"acked_lsn": to_lsn}, f)
+    os.replace(tmp, _cursor_path(cursor_dir, group))

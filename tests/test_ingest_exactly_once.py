@@ -624,3 +624,69 @@ def test_repartition_lake_and_resume(tmp_path_factory):
     # idempotent: re-running the repartition is a no-op
     res2 = repartition_lake(lake, lake2.rstrip("/"), new_partitions=5)
     assert sorted(res2["part"].to_pylist()) == sorted(res["part"].to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_changefeed_consumer_groups(tmp_path_factory):
+    """Poll-then-ack consumer groups: deterministic re-delivery before
+    ack (at-least-once), no re-delivery after ack, independent groups,
+    monotonic cursors, and applying the polled batches to an external
+    copy reproduces the live lake exactly."""
+    from grate_ray.pipelines.views import ack_changes, poll_changes, read_cursor
+
+    d = str(tmp_path_factory.mktemp("cbinlog"))
+    lake = str(tmp_path_factory.mktemp("clake2"))
+    cur = str(tmp_path_factory.mktemp("cursors"))
+    generate_binlog(
+        d, GenSpec(num_events=6_000, num_convs=50, seed=23, chunk_rows=1_000)
+    )
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2,
+           max_microbatches=2)
+
+    external: dict = {}  # the downstream copy a consumer maintains
+
+    def apply(df):
+        for r in df.itertuples():
+            k = (r.conv_id, int(r.turn_idx))
+            if r.change_op == "D":
+                external.pop(k, None)
+            else:
+                external[k] = (r.role, r.text, r.tool, r.ts)
+
+    ds1, frm1, to1 = poll_changes(lake, cur, group="g1")
+    assert frm1 == -1 and ds1 is not None
+    b1 = ds1.to_pandas()
+    assert (b1["change_op"] == "I").all()  # fresh group: everything is I
+    # crash before ack: the re-poll re-delivers the identical batch
+    ds1b, frm1b, to1b = poll_changes(lake, cur, group="g1")
+    assert (frm1b, to1b) == (frm1, to1)
+    b1b = ds1b.to_pandas().sort_values(["conv_id", "turn_idx"])
+    assert b1.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).equals(
+        b1b.reset_index(drop=True)
+    )
+    apply(b1)
+    ack_changes(cur, to1, group="g1")
+    # caught up → nothing
+    ds_none, _, _ = poll_changes(lake, cur, group="g1")
+    assert ds_none is None
+    # tail arrives
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2)
+    ds2, frm2, to2 = poll_changes(lake, cur, group="g1")
+    assert frm2 == to1 and to2 > to1
+    b2 = ds2.to_pandas()
+    assert set(b2["change_op"]) <= {"I", "U", "D"}
+    apply(b2)
+    ack_changes(cur, to2, group="g1")
+    # the external copy equals the live lake
+    live = read_lake(lake).to_pandas()
+    got = {
+        (r.conv_id, int(r.turn_idx)): (r.role, r.text, r.tool, r.ts)
+        for r in live.itertuples()
+    }
+    assert external == got
+    # a second group is independent and gets the full state as inserts
+    dsg2, f2, t2 = poll_changes(lake, cur, group="g2")
+    assert f2 == -1 and (dsg2.to_pandas()["change_op"] == "I").all()
+    # monotonic: a stale ack cannot move the cursor back
+    ack_changes(cur, to1, group="g1")
+    assert read_cursor(cur, "g1") == to2
