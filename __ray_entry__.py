@@ -1864,6 +1864,29 @@ def q_multimodal_adpcm(sf_dir: str):
     )
 
 
+def q_multimodal_ulaw(sf_dir: str):
+    """REAL G.711 µ-law companding end to end: the shared WAV fixture
+    samples are µ-law encoded (8:16 log-PCM, segment ladder + 4-bit
+    mantissa, complemented byte) and decoded by the actor-pool
+    UlawFeatureExtractor. Per-sample stateless integer arithmetic — the
+    SQL oracle reproduces encode+decode with shift/mask expressions."""
+    from grate_ray.functions.multimodal import (
+        UlawFeatureExtractor,
+        synthesize_ulaw_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_ulaw_column, batch_format="pyarrow")
+        .map_batches(
+            UlawFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_video(sf_dir: str):
     """REAL video path end to end: per doc a real RIFF/AVI (MJPEG)
     container of 6 grayscale JPEG frames; the actor-pool stage walks the
@@ -2002,6 +2025,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_jpeg_prog_color": q_multimodal_jpeg_prog_color,
     "multimodal_jpeg420": q_multimodal_jpeg420,
     "multimodal_adpcm": q_multimodal_adpcm,
+    "multimodal_ulaw": q_multimodal_ulaw,
     "multimodal_video": q_multimodal_video,
     "multimodal_wav": q_multimodal_wav,
     "multimodal_frames": q_multimodal_frames,
@@ -3345,6 +3369,37 @@ r AS (
 SELECT doc_id, rank, term, score FROM r WHERE rank <= 5""",
         "embed_kmeans": _kmeans_sql(ncentroids=8, seed=21),
         "multimodal_adpcm": _adpcm_sql(n=64),
+        "multimodal_ulaw": """
+WITH i AS (SELECT unnest(range(0, 64)) AS i),
+s AS (
+  SELECT doc_id, ((doc_id * 13 + i.i * 7) % 65536) - 32768 AS x
+  FROM documents CROSS JOIN i
+), e AS (
+  SELECT doc_id,
+         CASE WHEN x < 0 THEN 1 ELSE 0 END AS sign,
+         least(abs(x), 32635) + 132 AS mag
+  FROM s
+), seg AS (
+  SELECT doc_id, sign, mag,
+         CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+              WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+              WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+              WHEN mag >= 256 THEN 1 ELSE 0 END AS exp
+  FROM e
+), d AS (
+  SELECT doc_id, sign,
+         ((((mag >> (exp + 3)) & 15) * 8 + 132) << exp) - 132 AS mag2
+  FROM seg
+), dec AS (
+  SELECT doc_id, CASE WHEN sign = 1 THEN -mag2 ELSE mag2 END AS y
+  FROM d
+)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(64 AS BIGINT) AS compressed_bytes,
+       round(avg(abs(y)), 6) AS mean_abs,
+       CAST(max(abs(y)) AS BIGINT) AS peak
+FROM dec GROUP BY doc_id""",
         "dedup_substring": _SUBSTRING_SQL.format(corpus=_CORPUS_SQL),
         "stratified_sample": _STRATIFIED_SQL,
         "window_watermark": """

@@ -2223,3 +2223,73 @@ class GifFeatureExtractor:
         out = out.append_column("mean_g", pa.array(mg, pa.float64()))
         out = out.append_column("mean_b", pa.array(mb, pa.float64()))
         return out
+
+
+# --- real G.711 µ-law companding codec ----------------------------------------
+#
+# Per-sample logarithmic PCM (8:16 compression, telephony standard):
+# encode clamps |x| to 32635, biases by 132, finds the segment exponent
+# (the 8-range ladder), keeps a 4-bit mantissa and complements the byte;
+# decode is the exact published inverse ((mant·8 + 132) << exp − 132).
+# Stateless per sample → fully vectorized, and the SQL oracle reproduces
+# the integer arithmetic with shift/mask expressions.
+
+_ULAW_THRESH = np.array([256, 512, 1024, 2048, 4096, 8192, 16384], np.int64)
+
+
+def encode_ulaw(samples: np.ndarray) -> bytes:
+    x = samples.astype(np.int64)
+    sign = (x < 0).astype(np.int64)
+    mag = np.minimum(np.abs(x), 32635) + 132
+    exp = np.digitize(mag, _ULAW_THRESH)
+    mant = (mag >> (exp + 3)) & 0x0F
+    code = ~((sign << 7) | (exp << 4) | mant) & 0xFF
+    return code.astype(np.uint8).tobytes()
+
+
+def decode_ulaw(blob: bytes) -> np.ndarray:
+    c = (~np.frombuffer(blob, np.uint8).astype(np.int64)) & 0xFF
+    sign = c >> 7
+    exp = (c >> 4) & 7
+    mant = c & 0x0F
+    mag = (((mant << 3) + 132) << exp) - 132
+    return np.where(sign == 1, -mag, mag).astype(np.int16)
+
+
+def synthesize_ulaw_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic µ-law payloads over the shared WAV fixture samples
+    (sample i of doc d = ((d*13 + i*7) % 65536) − 32768)."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    i = np.arange(WAV_N, dtype=np.int64)
+    blobs = []
+    for d in ids:
+        s = ((d * 13 + i * 7) % 65536 - 32768).astype(np.int16)
+        blobs.append(encode_ulaw(s))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+class UlawFeatureExtractor:
+    """Actor-pool stage: REAL µ-law decode → per-clip (n_samples,
+    compressed_bytes, mean_abs, peak) of the reconstructed signal."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ns, nbytes, means, peaks = [], [], [], []
+        for blob in t[self.payload_col].to_pylist():
+            samples = decode_ulaw(blob).astype(np.int64)
+            ns.append(len(samples))
+            nbytes.append(len(blob))
+            means.append(
+                round(float(np.abs(samples).mean()), 6) if len(samples) else 0.0
+            )
+            peaks.append(int(np.abs(samples).max()) if len(samples) else 0)
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("n_samples", pa.array(ns, pa.int64()))
+        out = out.append_column(
+            "compressed_bytes", pa.array(nbytes, pa.int64())
+        )
+        out = out.append_column("mean_abs", pa.array(means, pa.float64()))
+        out = out.append_column("peak", pa.array(peaks, pa.int64()))
+        return out

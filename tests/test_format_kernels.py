@@ -626,3 +626,32 @@ def test_gif_roundtrip_all_paths():
     good = encode_gif(idx4, pal4)
     with pytest.raises(ValueError):
         decode_gif(good[: len(good) // 2])
+
+
+def test_ulaw_codec_properties():
+    """µ-law: quantization error bounded by the segment step (≤512 at
+    full scale), exact on segment-representable values, monotone, and
+    sign-symmetric; every possible byte decodes without error."""
+    import numpy as np
+
+    from grate_ray.functions.multimodal import decode_ulaw, encode_ulaw
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(-32768, 32768, 50_000).astype(np.int16)
+    y = decode_ulaw(encode_ulaw(x)).astype(np.int64)
+    err = np.abs(y - np.clip(x.astype(np.int64), -32635, 32635))
+    assert err.max() <= 512
+    # sign symmetry
+    v = np.arange(0, 32636, 17, dtype=np.int64)
+    yp = decode_ulaw(encode_ulaw(v.astype(np.int32).astype(np.int16)))
+    # (cast via clip to avoid int16 overflow for the +32635 edge)
+    vv = np.clip(v, 0, 32635).astype(np.int16)
+    yp = decode_ulaw(encode_ulaw(vv)).astype(np.int64)
+    yn = decode_ulaw(encode_ulaw((-vv).astype(np.int16))).astype(np.int64)
+    assert (yp == -yn).all()
+    # monotone non-decreasing on magnitudes
+    assert (np.diff(yp) >= 0).all()
+    # all 256 codes decode
+    allb = bytes(range(256))
+    out = decode_ulaw(allb)
+    assert len(out) == 256
