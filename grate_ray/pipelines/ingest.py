@@ -704,6 +704,45 @@ def prune_partitions(
     return kept
 
 
+def plan_read(
+    lake_dir: str,
+    filters: list[tuple] | None = None,
+    conv_ids: list[str] | None = None,
+    asof_lsn: int | None = None,
+) -> dict:
+    """EXPLAIN for a lake read: which partitions a ``read_lake`` with
+    these predicates would reconstruct vs skip, and why — observability
+    for the two data-skipping layers (key-hash point pruning and
+    zone-map stats pruning). Pure planning: no chain file is opened."""
+    mapping = read_column_mapping(lake_dir)
+    to_phys = {v: k for k, v in mapping.get("renames", {}).items()}
+    all_parts = [
+        p
+        for p in list_partitions(lake_dir)
+        if committed_lsn(lake_dir, p, asof_lsn=asof_lsn) is not None
+    ]
+    parts = list(all_parts)
+    key_pruned = 0
+    if conv_ids is not None:
+        target = partitions_for_keys(lake_dir, conv_ids)
+        if target is not None:
+            kept = [p for p in parts if p in set(target)]
+            key_pruned = len(parts) - len(kept)
+            parts = kept
+    zone_pruned = 0
+    if filters:
+        phys = [(to_phys.get(c, c), op, v) for c, op, v in filters]
+        kept = prune_partitions(lake_dir, parts, phys, asof_lsn=asof_lsn)
+        zone_pruned = len(parts) - len(kept)
+        parts = kept
+    return {
+        "committed_partitions": len(all_parts),
+        "pruned_by_key_hash": key_pruned,
+        "pruned_by_zone_map": zone_pruned,
+        "scanned_partitions": sorted(parts),
+    }
+
+
 def _apply_filters(t: pa.Table, filters: list[tuple]) -> pa.Table:
     """Exact conjunctive filter (vectorized; Kleene AND drops nulls)."""
     mask = None

@@ -564,6 +564,37 @@ def commit_empty(lake_dir: str, part: int, lsn_lo: int, lsn_hi: int) -> dict:
     return _commit(lake_dir, part, lsn_lo, lsn_hi, "empty", None, None, prev_rows)
 
 
+def backfill_stats(lake_dir: str) -> int:
+    """Retrofit zone-map column stats onto a lake written before the
+    stats feature: every snapshot/delta manifest lacking ``stats`` gets
+    them computed from its (still present) data file and rewritten
+    atomically — after which ``read_lake(filters=...)`` prunes on the old
+    lake exactly as on a new one. Metadata-only upgrade; data files are
+    untouched; manifests whose data file was GC'd are skipped (their
+    commits are no longer readable anyway). Returns #manifests updated."""
+    updated = 0
+    for part in list_partitions(lake_dir):
+        d = manifest_dir(lake_dir, part)
+        for f in sorted(os.listdir(d)):
+            if not (f.startswith("commit-") and f.endswith(".json")):
+                continue
+            mpath = os.path.join(d, f)
+            with open(mpath) as fh:
+                m = json.load(fh)
+            if m.get("kind") == "empty" or m.get("stats") is not None:
+                continue
+            sf = m.get("state_file")
+            if not sf:
+                continue
+            path = os.path.join(lake_dir, sf)
+            if not os.path.exists(path):
+                continue  # GC'd chain file: commit unreadable regardless
+            m["stats"] = _column_stats(pq.read_table(path))
+            _write_manifest_atomic(m, mpath, d)
+            updated += 1
+    return updated
+
+
 def lineage(lake_dir: str, part: int) -> list[dict]:
     """The commit chain for a partition, oldest → newest."""
     d = manifest_dir(lake_dir, part)

@@ -176,3 +176,57 @@ def test_pre_stats_lake_degrades_to_no_pruning(zlake, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_plan_read_reports_pruning(zlake):
+    from grate_ray.pipelines.ingest import plan_read
+
+    base = plan_read(zlake)
+    assert base["pruned_by_key_hash"] == 0 == base["pruned_by_zone_map"]
+    assert len(base["scanned_partitions"]) == base["committed_partitions"]
+    zp = plan_read(zlake, filters=[("turn_idx", ">=", 10_000_000)])
+    assert zp["pruned_by_zone_map"] == zp["committed_partitions"]
+    assert zp["scanned_partitions"] == []
+    kp = plan_read(zlake, conv_ids=["conv1"])
+    assert kp["pruned_by_key_hash"] >= P - 1
+    assert len(kp["scanned_partitions"]) <= 1
+
+
+def test_backfill_stats_upgrades_old_lake(zlake, tmp_path):
+    """Strip stats (pre-feature lake) → no pruning; backfill → pruning
+    engages again and filtered reads stay exact."""
+    import shutil
+
+    from grate_ray.state.manifest import backfill_stats
+
+    old = str(tmp_path / "upg")
+    shutil.copytree(zlake, old)
+    for p in list_partitions(old):
+        mdir = os.path.join(old, "_manifests", f"part={p}")
+        for f in os.listdir(mdir):
+            mp = os.path.join(mdir, f)
+            with open(mp) as fh:
+                m = json.load(fh)
+            m.pop("stats", None)
+            with open(mp, "w") as fh:
+                json.dump(m, fh)
+    parts = list_partitions(old)
+    assert prune_partitions(old, parts, [("turn_idx", ">=", 10**7)]) == parts
+    n = backfill_stats(old)
+    assert n > 0
+    assert prune_partitions(old, parts, [("turn_idx", ">=", 10**7)]) == []
+    # second run is a no-op
+    assert backfill_stats(old) == 0
+    got = (
+        read_lake(old, filters=[("role", "==", "user")])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    full = read_lake(old).to_pandas()
+    want = (
+        full[full["role"] == "user"]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
