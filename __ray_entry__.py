@@ -344,6 +344,45 @@ def q_dialog_pairs(sf_dir: str):
     return dialog_pairs(read_lake(lake), window=3)
 
 
+def q_pipeline_lake_sft(sf_dir: str):
+    """END-TO-END lake→SFT composition: exactly-once ingest → live lake
+    view → dialog-pair extraction (3-turn contexts) → token-budget
+    filter (response ≥2 tokens, context+response ≤8 — splits on context
+    length at this corpus's uniform 2-token responses) with per-pair
+    token counts — the full CDC-to-training-data path as ONE lazy DAG
+    with ONE SQL oracle."""
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.llmprep import dialog_pairs
+
+    lake = _ingest_lake(sf_dir)
+    pairs = dialog_pairs(read_lake(lake), window=3)
+
+    def budget(t: pa.Table) -> pa.Table:
+        def ntok(col):
+            col = pc.fill_null(col, "")
+            n = pc.utf8_length(col)
+            no_sp = pc.utf8_length(
+                pc.replace_substring(col, pattern=" ", replacement="")
+            )
+            toks = pc.add(pc.subtract(n, no_sp), 1)
+            return pc.cast(
+                pc.if_else(pc.equal(n, 0), pa.scalar(0, toks.type), toks),
+                pa.int64(),
+            )
+
+        nc, nr = ntok(t["context"]), ntok(t["response"])
+        t = t.append_column("n_ctx", nc).append_column("n_resp", nr)
+        keep = pc.and_(
+            pc.greater_equal(nr, 2), pc.less_equal(pc.add(nc, nr), 8)
+        )
+        t = t.filter(keep)
+        return t.select(
+            ["conv_id", "turn_idx", "n_ctx", "n_resp", "context", "response"]
+        )
+
+    return pairs.map_batches(budget, batch_format="pyarrow")
+
+
 def q_cdc_consume_changes(sf_dir: str):
     """CONSUMER-GROUP changefeed poll: a fresh group polls from cursor
     -1 and receives every live row as an insert (the net diff from the
@@ -1954,6 +1993,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "table_diff": q_table_diff,
     "dialog_pairs": q_dialog_pairs,
     "cdc_consume_changes": q_cdc_consume_changes,
+    "pipeline_lake_sft": q_pipeline_lake_sft,
     "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -3103,6 +3143,33 @@ SELECT conv_id, turn_idx,
        text AS response
 FROM l
 QUALIFY role = 'assistant'""",
+        "pipeline_lake_sft": f"""
+WITH s AS ({lww}),
+l AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(role, '') || ': ' || coalesce(text, '') AS line
+  FROM s
+),
+dp AS (
+  SELECT conv_id, turn_idx,
+         coalesce(string_agg(line, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context,
+         text AS response
+  FROM l
+  QUALIFY role = 'assistant'
+),
+t AS (
+  SELECT conv_id, turn_idx, context, response,
+         CAST(CASE WHEN context = '' THEN 0
+              ELSE len(string_split(context, ' ')) END AS BIGINT) AS n_ctx,
+         CAST(CASE WHEN coalesce(response, '') = '' THEN 0
+              ELSE len(string_split(coalesce(response, ''), ' '))
+              END AS BIGINT) AS n_resp
+  FROM dp
+)
+SELECT conv_id, turn_idx, n_ctx, n_resp, context, response
+FROM t WHERE n_resp >= 2 AND n_ctx + n_resp <= 8""",
         "table_diff": """
 WITH o AS (SELECT doc_id, text FROM documents),
 n AS (
