@@ -270,3 +270,76 @@ def repartition_lake(
         if p not in done:
             commit_empty(out_dir, p, 0, hw)
     return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def lake_stats(lake_dir: str) -> dict:
+    """Operational one-pager for a lake — footer/manifest-only (no data
+    file is read): per-partition chain lengths and state rows, commit
+    counts by kind, on-disk bytes, schema-epoch spread (how many distinct
+    newest-commit schemas exist — >1 means compaction would unify), and
+    the global committed high-water mark."""
+    from ..state.manifest import lineage
+
+    parts = list_partitions(lake_dir)
+    kinds: dict[str, int] = {}
+    chains: list[int] = []
+    rows = 0
+    newest_schemas = set()
+    hw = None
+    data_bytes = 0
+    n_files = 0
+    for p in parts:
+        chain = lineage(lake_dir, p)
+        for m in chain:
+            kinds[m.get("kind", "snapshot")] = (
+                kinds.get(m.get("kind", "snapshot"), 0) + 1
+            )
+        h = committed_lsn(lake_dir, p)
+        if h is not None:
+            hw = h if hw is None else max(hw, h)
+            rows += read_manifest_rows(lake_dir, p, h)
+        chains.append(len(chain_files(lake_dir, p)))
+        for m in reversed(chain):
+            if m.get("schema"):
+                newest_schemas.add(m["schema"])
+                break
+        pdir = os.path.join(lake_dir, f"part={p}")
+        if os.path.isdir(pdir):
+            for f in os.listdir(pdir):
+                fp = os.path.join(pdir, f)
+                if f.endswith(".parquet") and os.path.isfile(fp):
+                    data_bytes += os.path.getsize(fp)
+                    n_files += 1
+    return {
+        "partitions": len(parts),
+        "committed_hw_lsn": hw,
+        "state_rows": rows,
+        "commits_by_kind": kinds,
+        "max_chain_len": max(chains) if chains else 0,
+        "data_files": n_files,
+        "data_bytes": data_bytes,
+        "schema_epochs": len(newest_schemas),
+    }
+
+
+def read_manifest_rows(lake_dir: str, part: int, lsn_hi: int) -> int:
+    from ..state.manifest import read_manifest
+
+    return int(read_manifest(lake_dir, part, lsn_hi).get("state_rows", 0))
+
+
+def vacuum_lake(lake_dir: str, keep: int = 1) -> dict:
+    """Housekeeping sweep: GC superseded chain files across every
+    partition (manifests — the lineage log — are never deleted) and
+    remove orphaned ``*.tmp`` staging files left by killed writers.
+    Returns {"gced": n, "tmp_removed": n}."""
+    gced = 0
+    for p in list_partitions(lake_dir):
+        gced += len(gc_superseded_states(lake_dir, p, keep=keep))
+    tmp_removed = 0
+    for root, _dirs, files in os.walk(lake_dir):
+        for f in files:
+            if f.endswith(".tmp"):
+                os.unlink(os.path.join(root, f))
+                tmp_removed += 1
+    return {"gced": gced, "tmp_removed": tmp_removed}

@@ -690,3 +690,33 @@ def test_changefeed_consumer_groups(tmp_path_factory):
     # monotonic: a stale ack cannot move the cursor back
     ack_changes(cur, to1, group="g1")
     assert read_cursor(cur, "g1") == to2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lake_stats_and_vacuum(tmp_path_factory):
+    from grate_ray.pipelines.compact import lake_stats, vacuum_lake
+
+    d = str(tmp_path_factory.mktemp("vbinlog"))
+    lake = str(tmp_path_factory.mktemp("vlake"))
+    generate_binlog(
+        d, GenSpec(num_events=6_000, num_convs=50, seed=31, chunk_rows=1_000)
+    )
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2,
+           auto_compact=False)
+    s = lake_stats(lake)
+    assert s["partitions"] == P
+    live = len(_oracle(d))
+    assert s["state_rows"] >= live  # state keeps tombstones
+    assert s["state_rows"] <= 6_000  # but never more than distinct keys
+    assert s["commits_by_kind"].get("snapshot", 0) + s[
+        "commits_by_kind"
+    ].get("delta", 0) > 0
+    assert s["max_chain_len"] >= 1 and s["data_files"] > 0
+    assert s["schema_epochs"] == 1
+    assert s["committed_hw_lsn"] == 5_999
+    # plant an orphan tmp + run vacuum
+    open(os.path.join(lake, "part=0", "junk.tmp"), "w").write("x")
+    v = vacuum_lake(lake, keep=1)
+    assert v["tmp_removed"] == 1
+    # live view unchanged after GC
+    _assert_lake_matches(lake, d)
