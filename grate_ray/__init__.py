@@ -42,6 +42,30 @@ def __getattr__(name):
             "incremental_turn_counts",
         ),
         "turn_counts_view": ("grate_ray.pipelines.views", "turn_counts_view"),
+        # round-3 lakehouse surface
+        "plan_read": ("grate_ray.pipelines.ingest", "plan_read"),
+        "export_lake_incremental": (
+            "grate_ray.pipelines.ingest",
+            "export_lake_incremental",
+        ),
+        "merge_source_streams": (
+            "grate_ray.pipelines.cdc",
+            "merge_source_streams",
+        ),
+        "repartition_lake": ("grate_ray.pipelines.compact", "repartition_lake"),
+        "lake_stats": ("grate_ray.pipelines.compact", "lake_stats"),
+        "vacuum_lake": ("grate_ray.pipelines.compact", "vacuum_lake"),
+        "evolve_lake_schema": (
+            "grate_ray.state.manifest",
+            "evolve_lake_schema",
+        ),
+        "backfill_stats": ("grate_ray.state.manifest", "backfill_stats"),
+        "poll_changes": ("grate_ray.pipelines.views", "poll_changes"),
+        "ack_changes": ("grate_ray.pipelines.views", "ack_changes"),
+        "content_lookup": ("grate_ray.pipelines.views", "content_lookup"),
+        "table_diff": ("grate_ray.pipelines.relational", "table_diff"),
+        "global_rank": ("grate_ray.pipelines.relational", "global_rank"),
+        "dialog_pairs": ("grate_ray.pipelines.llmprep", "dialog_pairs"),
     }
     if name in _api:
         import importlib
