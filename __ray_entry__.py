@@ -344,6 +344,35 @@ def q_dialog_pairs(sf_dir: str):
     return dialog_pairs(read_lake(lake), window=3)
 
 
+def q_graph_pagerank(sf_dir: str):
+    """Distributed PageRank, 3 fixed rounds over a deterministic event
+    graph (src = event_id%400, dst = (event_id*7+3)%400, dedup): each
+    round is one hash join (ranks onto out-edges) + one keyed float sum;
+    ranks snap to 6dp between rounds so the SQL mirror (different
+    summation order) walks the identical trajectory. Dangling mass drops
+    on both sides."""
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.graph import pagerank
+
+    configure_shuffle(16)  # before the read: datasets snapshot the context
+
+    def edges(t: pa.Table) -> pa.Table:
+        ev = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(ev % 400),
+                "dst": pa.array((ev * 7 + 3) % 400),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"]
+    ).map_batches(edges, batch_format="pyarrow")
+    return pagerank(ds, iters=3, damping=0.85)
+
+
 def q_pipeline_lake_sft(sf_dir: str):
     """END-TO-END lake→SFT composition: exactly-once ingest → live lake
     view → dialog-pair extraction (3-turn contexts) → token-budget
@@ -1994,6 +2023,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dialog_pairs": q_dialog_pairs,
     "cdc_consume_changes": q_cdc_consume_changes,
     "pipeline_lake_sft": q_pipeline_lake_sft,
+    "graph_pagerank": q_graph_pagerank,
     "heavy_hitters": q_heavy_hitters,
     "cdc_timetravel": q_cdc_timetravel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -2699,6 +2729,45 @@ WITH e AS (
 )
 SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85, mod: int = 400) -> str:
+    """Exact SQL mirror of graph.pagerank over the deterministic event
+    graph: fixed rounds chained as CTEs, ranks rounded to 6dp between
+    rounds, teleport written as (1.0 - d)/n so both sides compute the
+    identical double."""
+    ctes = [
+        f"""e0 AS (
+  SELECT DISTINCT event_id % {mod} AS src,
+                  (event_id * 7 + 3) % {mod} AS dst
+  FROM events
+)""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e0 "
+        "UNION SELECT DISTINCT dst FROM e0)",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, round(1.0 / n.n, 6) AS r FROM nodes, n)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""r{k + 1} AS (
+  SELECT nd.node,
+         round((1.0 - {d}) / n.n + {d} * coalesce(s.c, 0), 6) AS r
+  FROM nodes nd CROSS JOIN n
+  LEFT JOIN (
+    SELECT e0.dst AS node, sum(r{k}.r / deg.outdeg) AS c
+    FROM e0
+    JOIN r{k} ON r{k}.node = e0.src
+    JOIN deg ON deg.src = e0.src
+    GROUP BY e0.dst
+  ) s ON s.node = nd.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank FROM r{iters}"
+    )
 
 
 def _bpe_sql(num_merges: int = 3) -> str:
@@ -3489,6 +3558,7 @@ FROM f GROUP BY wus""",
         "ann_ivf": _ann_ivf_sql(k=5, ncentroids=16, nprobe=4),
         "ann_pq": _ann_pq_sql(k=5, m=8, ksub=16, seed=33),
         "bpe_merges": _bpe_sql(num_merges=3),
+        "graph_pagerank": _pagerank_sql(iters=3, d=0.85, mod=400),
         "doc_winnow": """
 WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
            FROM documents),

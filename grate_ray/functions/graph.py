@@ -1,0 +1,204 @@
+"""Distributed graph analytics over edge relations.
+
+Companion of the near-dup ``connected_components`` resolver
+(functions/dedup.py): PageRank is the canonical *iterative* distributed
+algorithm — each iteration is one hash join (ranks onto edges) plus one
+keyed float sum, with driver state limited to the node count N.
+
+Determinism contract (shared with ``kmeans_assign``): a FIXED iteration
+count and a 6dp snap of every rank between iterations, so numpy and a
+SQL mirror (whose summation orders differ by ULPs) walk the identical
+trajectory. The simple variant drops dangling-node mass (documented;
+the SQL oracle drops it identically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _sum_by_node(
+    ds: ray.data.Dataset, npart: int, val_col: str = "c"
+) -> ray.data.Dataset:
+    """Exact float sum per int64 node: ONE keyed repartition + a
+    vectorized sort/reduceat per block (the grouped_reduce pattern with
+    float values)."""
+
+    def block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field("node", pa.int64()), pa.field(val_col, pa.float64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(node, kind="stable")
+        sn = node[order]
+        change = np.empty(len(sn), dtype=bool)
+        change[0] = True
+        change[1:] = sn[1:] != sn[:-1]
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(v[order], starts)
+        return pa.table(
+            {"node": pa.array(sn[starts]), val_col: pa.array(sums)}
+        )
+
+    return ds.repartition(npart, keys=["node"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    iters: int = 3,
+    damping: float = 0.85,
+    npart: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> ray.data.Dataset:
+    """PageRank over an (src, dst) edge relation, ``iters`` fixed rounds:
+
+        r_0(v)     = round(1/N, 6)
+        r_{k+1}(v) = round((1-d)/N + d · Σ_{(u,v)∈E} r_k(u)/outdeg(u), 6)
+
+    Emits (node, rank). Edges dedup and out-degrees come from one keyed
+    hop by src; each iteration is one hash join (rank onto its out-edges)
+    + one keyed float sum per dst (zero-in-degree nodes joined back at
+    (1-d)/N). Rank relations are materialized between rounds — they are
+    node-sized, orders of magnitude smaller than the edge relation."""
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    npart = npart or join_partitions(32)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t[src_col], pa.int64()),
+                "dst": pc.cast(t[dst_col], pa.int64()),
+            }
+        )
+
+    def dedup_outdeg(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                pa.field("src", pa.int64()),
+                pa.field("dst", pa.int64()),
+                pa.field("outdeg", pa.int64()),
+            ]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().drop_duplicates(["src", "dst"])
+        deg = df.groupby("src")["dst"].transform("size")
+        return pa.table(
+            {
+                "src": pa.array(df["src"].to_numpy(), pa.int64()),
+                "dst": pa.array(df["dst"].to_numpy(), pa.int64()),
+                "outdeg": pa.array(deg.to_numpy(), pa.int64()),
+            }
+        )
+
+    e = (
+        edges.map_batches(norm, batch_format="pyarrow")
+        .repartition(npart, keys=["src"])
+        .map_batches(dedup_outdeg, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+
+    def node_sides(t: pa.Table) -> pa.Table:
+        def arr(col):
+            return (
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+
+        return pa.table(
+            {"node": pa.concat_arrays([arr(t["src"]), arr(t["dst"])])}
+        )
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([pa.field("node", pa.int64())]).empty_table()
+        u = np.unique(t["node"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    nodes = (
+        e.map_batches(node_sides, batch_format="pyarrow")
+        .repartition(npart, keys=["node"])
+        .map_batches(distinct_block, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [pa.field("node", pa.int64()), pa.field("rank", pa.float64())]
+            ).empty_table()
+        )
+    r0 = round(1.0 / n, 6)
+    teleport = (1.0 - damping) / n
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "rank": pa.array(np.full(t.num_rows, r0), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+
+        def as_src(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t["node"], "r": t["rank"]})
+
+        msgs = e.join(
+            ranks.map_batches(as_src, batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=npart,
+            on=("src",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"],
+                    "c": pc.divide(
+                        t["r"], pc.cast(t["outdeg"], pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        zeros = nodes.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "c": pa.array(np.zeros(t.num_rows), pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ranks = (
+            _sum_by_node(msgs.union(zeros), npart)
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "rank": pa.array(
+                            np.round(
+                                teleport
+                                + damping
+                                * t["c"].to_numpy(zero_copy_only=False),
+                                6,
+                            )
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return ranks

@@ -531,3 +531,50 @@ def test_winnow_fingerprints_reference_and_guarantee(ray_session):
     f1 = set(out[out["doc_id"] == 1]["fp"])
     assert f0 & f1
     assert len(out[out["doc_id"] == 3]) == 0
+
+
+def test_pagerank_matches_serial(ray_session):
+    """3-round PageRank equals the serial reference with identical 6dp
+    snapping; dangling mass drops; rank mass stays ≤ 1."""
+    import numpy as np
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.graph import pagerank
+
+    configure_shuffle(8)  # before from_arrow: datasets snapshot the context
+    rng = np.random.default_rng(5)
+    m = 60
+    src = rng.integers(0, 25, m)
+    dst = rng.integers(0, 25, m)
+    edges = sorted(set(zip(src.tolist(), dst.tolist())))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: round(1.0 / n, 6) for v in nodes}
+    for _ in range(3):
+        acc = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            acc[v] += r[u] / outdeg[u]
+        r = {
+            v: round((1.0 - 0.85) / n + 0.85 * acc[v], 6) for v in nodes
+        }
+
+    t = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        }
+    )
+    out = (
+        pagerank(ray.data.from_arrow(t).repartition(3), iters=3)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+    assert set(out) == set(nodes)
+    for v in nodes:
+        assert out[v] == r[v], v
+    assert sum(out.values()) <= 1.0 + 1e-6
