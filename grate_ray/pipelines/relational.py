@@ -687,7 +687,7 @@ def table_diff(
                     key_col: t[key_col],
                     val_col: t[val_col],
                     "side": pa.array(
-                        np.full(t.num_rows, side, np.int8())
+                        np.full(t.num_rows, side, dtype=np.int8)
                     ),
                 }
             )
