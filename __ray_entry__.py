@@ -1380,6 +1380,19 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train_merges(_docs(sf_dir), num_merges=3)
 
 
+def q_bpe_encode(sf_dir: str):
+    """TOKENIZE with the trained tokenizer: the 3 learned merges (tiny,
+    closure-broadcast) apply to every doc as K vectorized replaces over
+    batch-factorized distinct words — no shuffle after training — and
+    per-doc BPE token counts come out. Oracle re-trains AND re-encodes
+    entirely in SQL (the training CTEs feed the encode tail)."""
+    from grate_ray.functions.bpe import bpe_encode_counts, bpe_train_merges
+
+    m = bpe_train_merges(_docs(sf_dir), num_merges=3)
+    merges = list(zip(m["lhs"].to_pylist(), m["rhs"].to_pylist()))
+    return bpe_encode_counts(_docs(sf_dir), merges)
+
+
 def q_doc_winnow(sf_dir: str):
     """Winnowing fingerprints (MOSS): per-doc sliding-window argmin over
     word-4-gram md5 hashes, window w=4, leftmost ties — a guaranteed-
@@ -2074,6 +2087,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf_topk": q_tfidf_topk,
     "bpe_merges": q_bpe_merges,
     "doc_winnow": q_doc_winnow,
+    "bpe_encode": q_bpe_encode,
     "dedup_substring": q_dedup_substring,
     "stratified_sample": q_stratified_sample,
     "window_watermark": q_window_watermark,
@@ -2770,11 +2784,13 @@ def _pagerank_sql(iters: int = 3, d: float = 0.85, mod: int = 400) -> str:
     )
 
 
-def _bpe_sql(num_merges: int = 3) -> str:
+def _bpe_sql(num_merges: int = 3, tail: str = "merges") -> str:
     """Exact SQL mirror of bpe.bpe_train_merges: the double-space token
     encoding makes each merge a plain replace(); rounds chain as CTEs.
     Pair extraction zips two parallel unnests of the shifted token
-    list."""
+    list. ``tail="encode"`` instead mirrors bpe_encode_counts: apply the
+    K learned merges to every distinct corpus word and sum per-doc token
+    counts."""
 
     def pairs(v: str, p: str) -> str:
         return f"""
@@ -2820,6 +2836,48 @@ def _bpe_sql(num_merges: int = 3) -> str:
         finals.append(
             f"SELECT CAST({s} AS BIGINT) AS step, a AS lhs, b AS rhs, n "
             f"FROM b{s}"
+        )
+    if tail == "encode":
+        ctes.append(
+            """enc AS (
+  SELECT doc_id, wd FROM (
+    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS wd
+    FROM documents)
+  WHERE wd <> ''
+)"""
+        )
+        ctes.append(
+            """sw0 AS (
+  SELECT DISTINCT wd AS word,
+         '  ' || array_to_string(string_split_regex(wd, ''), '  ')
+             || '  ' AS seq
+  FROM enc
+)"""
+        )
+        prev = "sw0"
+        for s in range(num_merges):
+            ctes.append(
+                f"""sw{s + 1} AS (
+  SELECT word,
+         replace(seq, ' ' || b{s}.a || '  ' || b{s}.b || ' ',
+                 ' ' || b{s}.a || b{s}.b || ' ') AS seq
+  FROM {prev} CROSS JOIN b{s}
+)"""
+            )
+            prev = f"sw{s + 1}"
+        ctes.append(
+            f"""tokc AS (
+  SELECT word,
+         CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS nt
+  FROM {prev}
+)"""
+        )
+        return (
+            "WITH "
+            + ",\n".join(ctes)
+            + "\nSELECT enc.doc_id, CAST(sum(tokc.nt) AS BIGINT) AS "
+            "n_bpe_tokens\nFROM enc JOIN tokc ON tokc.word = enc.wd\n"
+            "GROUP BY enc.doc_id"
         )
     return (
         "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
@@ -3559,6 +3617,7 @@ FROM f GROUP BY wus""",
         "ann_pq": _ann_pq_sql(k=5, m=8, ksub=16, seed=33),
         "bpe_merges": _bpe_sql(num_merges=3),
         "graph_pagerank": _pagerank_sql(iters=3, d=0.85, mod=400),
+        "bpe_encode": _bpe_sql(num_merges=3, tail="encode"),
         "doc_winnow": """
 WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
            FROM documents),

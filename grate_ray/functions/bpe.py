@@ -201,3 +201,81 @@ def bpe_train_merges(
             "n": pa.array([m[3] for m in merges], pa.int64()),
         }
     )
+
+
+def bpe_encode_counts(
+    docs: ray.data.Dataset,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """APPLY a learned merge list — the tokenize step after
+    ``bpe_train_merges``: per document, the BPE token count of its words
+    under the K merges (the number a packing/budgeting stage consumes).
+
+    Scale shape: the merge list is tiny and broadcast by closure; each
+    batch factorizes its words so every DISTINCT word encodes once (K
+    vectorized replaces over double-space seqs, same semantics as
+    training), token counts scatter back through the factorize codes and
+    sum per row — NO shuffle anywhere. Docs with no words emit nothing
+    (mirroring the SQL join formulation)."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bpe_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+        counts = (
+            pc.list_value_length(words).to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = words.flatten()
+        if len(flat) == 0:
+            return empty
+        codes, uniques = pd.factorize(flat.to_pandas())
+        keep = uniques.to_numpy(dtype=object) != ""
+        seqs = pa.array(
+            [_to_seq(w) if w else "" for w in uniques], pa.string()
+        )
+        for a, b in merges:
+            seqs = pc.replace_substring(
+                seqs, pattern=f" {a}  {b} ", replacement=f" {a}{b} "
+            )
+        trimmed = pc.utf8_trim(seqs, " ")
+        ln = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False)
+        no_sep = pc.utf8_length(
+            pc.replace_substring(trimmed, pattern="  ", replacement="")
+        ).to_numpy(zero_copy_only=False)
+        per_word = np.where(ln > 0, (ln - no_sep) // 2 + 1, 0).astype(np.int64)
+        per_word = np.where(keep, per_word, 0)
+        row_tok = per_word[codes]
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        # rows with zero words contribute nothing to reduceat runs
+        sums = np.zeros(t.num_rows, dtype=np.int64)
+        nz = counts > 0
+        if nz.any():
+            sums[nz] = np.add.reduceat(row_tok, starts[nz])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        has_word = np.zeros(t.num_rows, dtype=bool)
+        # a doc "has words" iff any of its split parts is non-empty
+        nonempty = (flat.to_pandas().to_numpy(dtype=object) != "")
+        if nz.any():
+            has_word[nz] = (
+                np.add.reduceat(nonempty.astype(np.int64), starts[nz]) > 0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has_word]),
+                "n_bpe_tokens": pa.array(sums[has_word]),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")

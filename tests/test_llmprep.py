@@ -493,3 +493,50 @@ def test_dialog_pairs_windows(ray_session):
         ("c1", 5): ("user: q1\nassistant: a1\nuser: q2", "a2"),
         ("c2", 0): ("", "solo"),
     }
+
+
+def test_bpe_encode_counts_matches_serial(ray_session):
+    """Applying learned merges per doc equals serial greedy BPE token
+    counts; docs with no words emit nothing."""
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.bpe import bpe_encode_counts
+
+    configure_shuffle(8)
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    texts = ["low lower lowest", "we er rr", "", "   ", "low low"]
+
+    def encode_word(w):
+        toks = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return len(toks)
+
+    exp = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        if ws:
+            exp[i] = sum(encode_word(w) for w in ws)
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = (
+        bpe_encode_counts(ray.data.from_arrow(t).repartition(2), merges)
+        .to_pandas()
+        .set_index("doc_id")["n_bpe_tokens"]
+        .to_dict()
+    )
+    assert out == exp
