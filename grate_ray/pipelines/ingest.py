@@ -1035,3 +1035,47 @@ def lake_changes(
 
     ds = ray.data.from_items([{"part": p} for p in parts]).repartition(len(parts))
     return ds.map_batches(diff, batch_format="pyarrow")
+
+
+def ingest_follow(
+    binlog_path: str,
+    lake_dir: str,
+    num_partitions: int = 32,
+    poll_secs: float = 2.0,
+    max_idle_polls: int = 3,
+    **ingest_kwargs,
+) -> pa.Table:
+    """FOLLOW-MODE ingest (the tail -f deployment shape): poll the binlog
+    directory and run an exactly-once ``ingest`` pass whenever new chunk
+    files appear past the lake's committed high-water mark; stop after
+    ``max_idle_polls`` consecutive empty polls. Every pass is the normal
+    resumable ingest, so kill/restart anywhere keeps state and metrics
+    exact; an already-caught-up pass is a cheap no-op (file-level LSN
+    pruning skips everything). Returns the concatenated metrics of all
+    passes."""
+    import time
+
+    from .cdc import list_binlog_files
+
+    out: list[pa.Table] = []
+    idle = 0
+    seen_hw = -1
+    while idle < max_idle_polls:
+        files = list_binlog_files(binlog_path)
+        ranges = _chunk_lsn_ranges(files) if files else []
+        max_lsn = max((r[2] for r in ranges), default=-1)
+        if max_lsn > seen_hw:
+            m = ingest(
+                binlog_path, lake_dir, num_partitions=num_partitions,
+                **ingest_kwargs,
+            )
+            if m.num_rows:
+                out.append(m)
+            seen_hw = max_lsn
+            idle = 0
+        else:
+            idle += 1
+            time.sleep(poll_secs)
+    if not out:
+        return METRICS_SCHEMA.empty_table()
+    return pa.concat_tables(out, promote_options="default")

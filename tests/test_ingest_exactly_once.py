@@ -720,3 +720,54 @@ def test_lake_stats_and_vacuum(tmp_path_factory):
     assert v["tmp_removed"] == 1
     # live view unchanged after GC
     _assert_lake_matches(lake, d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_follow_growing_binlog(tmp_path_factory):
+    """Follow mode: new chunk files appearing between polls are picked
+    up; the final lake equals the oracle over everything written; each
+    event is counted exactly once across passes."""
+    import shutil
+    import threading
+    import time
+
+    from grate_ray.pipelines.ingest import ingest_follow
+
+    stage = str(tmp_path_factory.mktemp("fstage"))
+    d = str(tmp_path_factory.mktemp("fbinlog"))
+    lake = str(tmp_path_factory.mktemp("flake"))
+    generate_binlog(
+        stage, GenSpec(num_events=8_000, num_convs=60, seed=37,
+                       chunk_rows=1_000)
+    )
+    chunks = sorted(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    # start with half the log present
+    for f in chunks[:4]:
+        shutil.copy(os.path.join(stage, f), os.path.join(d, f))
+
+    def feeder():
+        for f in chunks[4:]:
+            time.sleep(1.0)
+            shutil.copy(os.path.join(stage, f), os.path.join(d, f))
+
+    th = threading.Thread(target=feeder)
+    th.start()
+    metrics = ingest_follow(
+        d, lake, num_partitions=P, poll_secs=0.5, max_idle_polls=4,
+        files_per_microbatch=2,
+    )
+    th.join()
+    # the follower may have stopped before the last file landed — one
+    # catch-up pass is part of the contract (idempotent)
+    metrics2 = ingest_follow(
+        d, lake, num_partitions=P, poll_secs=0.1, max_idle_polls=1,
+        files_per_microbatch=2,
+    )
+    _assert_lake_matches(lake, d)
+    both = pa.concat_tables(
+        [m for m in (metrics, metrics2) if m.num_rows],
+        promote_options="default",
+    ).to_pandas()
+    assert both[~both["skipped"]]["n_events"].sum() == 8_000
