@@ -32,6 +32,7 @@ def __getattr__(name):
     time-travel), changefeed, incremental views, compaction."""
     _api = {
         "ingest": ("grate_ray.pipelines.ingest", "ingest"),
+        "ingest_follow": ("grate_ray.pipelines.ingest", "ingest_follow"),
         "read_lake": ("grate_ray.pipelines.ingest", "read_lake"),
         "lake_changes": ("grate_ray.pipelines.ingest", "lake_changes"),
         "replay": ("grate_ray.pipelines.cdc", "replay"),

@@ -283,9 +283,19 @@ def ingest(
     compact_max_chain: int | None = None,
     compact_keep: int = 1,
     renames: dict[str, str] | None = None,
+    auto_salt: bool = False,
+    auto_salt_threshold: float = 0.05,
 ) -> pa.Table:
     """Tail the binlog into the lake; returns the metrics table (one row per
     partition commit across all micro-batches run).
+
+    ``auto_salt``: when no ``hot_keys`` are supplied, run the
+    deterministic whole-log hash-sample detector (``find_hot_keys``) over
+    the PENDING chunk files before the first micro-batch and salt any
+    conversation holding ≥ ``auto_salt_threshold`` of sampled events —
+    the skew story self-arms instead of relying on the caller to know
+    their hot conversations. Cost: one sampled read pass of the pending
+    backlog (1/64 of rows leave the scan).
 
     ``renames``: legacy physical column name → canonical name, applied in
     the reconciler before the cast/extend — COLUMN-RENAME schema evolution
@@ -346,6 +356,17 @@ def ingest(
     global_hw = min(known) if len(known) == num_partitions else None
 
     pending = [r for r in ranges if global_hw is None or r[2] > global_hw]
+
+    if auto_salt and hot_keys is None and pending:
+        from ..stages.partition import find_hot_keys
+
+        # one sampled pass over the pending backlog (deterministic
+        # lsn-hash sample — uniform across the stream, tail-hot keys seen)
+        pending_files = [r[0] for r in pending]
+        hot_keys = find_hot_keys(
+            ray.data.read_parquet(pending_files, columns=["conv_id", "lsn"]),
+            threshold_frac=auto_salt_threshold,
+        ) or None
 
     # micro-batch windows come from the PERSISTED plan, so a resume with a
     # different files_per_microbatch replays the exact same (lsn_lo, lsn_hi)

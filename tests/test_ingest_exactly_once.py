@@ -771,3 +771,35 @@ def test_ingest_follow_growing_binlog(tmp_path_factory):
         promote_options="default",
     ).to_pandas()
     assert both[~both["skipped"]]["n_events"].sum() == 8_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_auto_salt(tmp_path_factory, monkeypatch):
+    """auto_salt arms the salted two-phase merge by itself on a skewed
+    log (detector finds the hot conversations); state and exactly-once
+    metrics stay exact."""
+    import grate_ray.pipelines.ingest as ing
+
+    d = str(tmp_path_factory.mktemp("abinlog"))
+    lake = str(tmp_path_factory.mktemp("alake"))
+    generate_binlog(
+        d, GenSpec(num_events=14_000, num_convs=100, seed=41, zipf_a=1.05,
+                   chunk_rows=3_500)
+    )
+    detected = {}
+    from grate_ray.stages.partition import find_hot_keys as real_fhk
+
+    def spy(ds, **kw):
+        hot = real_fhk(ds, **kw)
+        detected["hot"] = hot
+        return hot
+
+    monkeypatch.setattr(
+        "grate_ray.stages.partition.find_hot_keys", spy
+    )
+    metrics = ing.ingest(
+        d, lake, num_partitions=P, files_per_microbatch=2, auto_salt=True
+    )
+    assert detected["hot"]  # the zipf log has hot conversations
+    _assert_lake_matches(lake, d)
+    assert metrics.to_pandas()["n_events"].sum() == 14_000
