@@ -1760,6 +1760,29 @@ def q_multimodal_gif(sf_dir: str):
     )
 
 
+def q_multimodal_tiff(sf_dir: str):
+    """REAL TIFF decode end to end: baseline uncompressed chunky-RGB
+    TIFFs (true IFD entry walk, SHORT/LONG types, inline vs offset
+    values; every 2nd image multi-strip) decoded by the actor-pool
+    TiffFeatureExtractor. Oracle reproduces channel means from the
+    generation arithmetic."""
+    from grate_ray.functions.multimodal import (
+        TiffFeatureExtractor,
+        synthesize_tiff_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_tiff_column, batch_format="pyarrow")
+        .map_batches(
+            TiffFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_png(sf_dir: str):
     """REAL PNG decode end to end: deterministic 8-bit RGB PNGs are
     synthesized per doc (true file format: signature, CRC-checked chunks,
@@ -2103,6 +2126,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_bmp": q_multimodal_bmp,
     "multimodal_png": q_multimodal_png,
     "multimodal_gif": q_multimodal_gif,
+    "multimodal_tiff": q_multimodal_tiff,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_jpeg_prog": q_multimodal_jpeg_prog,
@@ -3674,6 +3698,15 @@ SELECT doc_id,
        round(avg((i * 2 + 1) % 256), 6) AS mean_r,
        round(avg((i * 5 + 3) % 256), 6) AS mean_g,
        round(avg((i * 11 + 7) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id""",
+        "multimodal_tiff": """
+WITH p AS (SELECT unnest(range(0, 70)) AS p),
+px AS (SELECT doc_id, p.p AS i FROM documents CROSS JOIN p)
+SELECT doc_id,
+       CAST(10 AS BIGINT) AS width, CAST(7 AS BIGINT) AS height,
+       round(avg((doc_id * 3 + i * 5) % 256), 6) AS mean_r,
+       round(avg((doc_id * 3 + i * 5 + 11) % 256), 6) AS mean_g,
+       round(avg((doc_id * 3 + i * 5 + 22) % 256), 6) AS mean_b
 FROM px GROUP BY doc_id""",
         "multimodal_bmp": """
 SELECT doc_id,

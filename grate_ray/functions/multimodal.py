@@ -2293,3 +2293,189 @@ class UlawFeatureExtractor:
         out = out.append_column("mean_abs", pa.array(means, pa.float64()))
         out = out.append_column("peak", pa.array(peaks, pa.int64()))
         return out
+
+
+# --- real baseline TIFF codec (uncompressed RGB; no external libs) ------------
+#
+# TIFF 6.0 baseline: byte-order header (II/MM + 42), IFD entry walk
+# (tag/type/count/value-or-offset, SHORT and LONG types, inline values
+# when they fit in 4 bytes), uncompressed chunky RGB in one or more
+# strips. The reader honors either byte order and multi-strip layouts;
+# the writer emits little-endian single-strip files.
+
+TIFF_W, TIFF_H = 10, 7
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def encode_tiff(pixels_rgb: np.ndarray, rows_per_strip: int | None = None) -> bytes:
+    h, w, _ = pixels_rgb.shape
+    rps = rows_per_strip or h
+    strips = [
+        pixels_rgb[y : y + rps].tobytes() for y in range(0, h, rps)
+    ]
+    n = len(strips)
+
+    # layout: header(8) | IFD | bps array(6) | strip offsets/counts arrays |
+    # strip data
+    tags = []  # (tag, type, count, value_or_offset_placeholder)
+    ifd_entries = 10
+    ifd_size = 2 + ifd_entries * 12 + 4
+    pos_after_ifd = 8 + ifd_size
+    bps_off = pos_after_ifd
+    arrays = bytearray()
+    arrays += struct.pack("<HHH", 8, 8, 8)  # BitsPerSample[3]
+    ext = len(arrays)
+    if n > 1:
+        arrays += b"\x00" * (4 * n)  # strip-offsets array, patched below
+        arrays += struct.pack(f"<{n}L", *[len(s) for s in strips])
+    data_off = bps_off + len(arrays)
+    offs = []
+    acc = data_off
+    for s in strips:
+        offs.append(acc)
+        acc += len(s)
+    if n > 1:
+        arrays[ext : ext + 4 * n] = struct.pack(f"<{n}L", *offs)
+
+    def entry(tag, typ, count, val):
+        return struct.pack("<HHL", tag, typ, count) + val
+
+    def short_val(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_val(v):
+        return struct.pack("<L", v)
+
+    e = b""
+    e += entry(256, 3, 1, short_val(w))  # ImageWidth
+    e += entry(257, 3, 1, short_val(h))  # ImageLength
+    e += entry(258, 3, 3, long_val(bps_off))  # BitsPerSample → array
+    e += entry(259, 3, 1, short_val(1))  # Compression = none
+    e += entry(262, 3, 1, short_val(2))  # Photometric = RGB
+    if n == 1:
+        e += entry(273, 4, 1, long_val(offs[0]))  # StripOffsets
+    else:
+        e += entry(273, 4, n, long_val(bps_off + ext))
+    e += entry(277, 3, 1, short_val(3))  # SamplesPerPixel
+    e += entry(278, 3, 1, short_val(rps))  # RowsPerStrip
+    if n == 1:
+        e += entry(279, 4, 1, long_val(len(strips[0])))  # StripByteCounts
+    else:
+        e += entry(279, 4, n, long_val(bps_off + ext + 4 * n))
+    e += entry(284, 3, 1, short_val(1))  # PlanarConfig = chunky
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<L", 8)
+    out += struct.pack("<H", ifd_entries) + e + struct.pack("<L", 0)
+    out += arrays
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline uncompressed chunky RGB TIFF → (w, h, (h,w,3) uint8).
+    Handles II and MM byte orders, SHORT/LONG tag types, inline values,
+    and multi-strip layouts; anything else dead-letters (ValueError)."""
+    try:
+        return _decode_tiff(blob)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"tiff: truncated payload ({e})") from e
+
+
+def _decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
+    if blob[:2] == b"II":
+        bo = "<"
+    elif blob[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("tiff: bad byte-order mark")
+    if struct.unpack_from(bo + "H", blob, 2)[0] != 42:
+        raise ValueError("tiff: bad magic")
+    (ifd_off,) = struct.unpack_from(bo + "L", blob, 4)
+    (n_ent,) = struct.unpack_from(bo + "H", blob, ifd_off)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_ent):
+        base = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(bo + "HHL", blob, base)
+        tags[tag] = (typ, cnt, blob[base + 8 : base + 12])
+
+    def values(tag):
+        typ, cnt, raw = tags[tag]
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            raise ValueError(f"tiff: unsupported type {typ} for tag {tag}")
+        fmt = {1: "B", 3: "H", 4: "L"}[typ]
+        total = size * cnt
+        if total <= 4:
+            buf = raw
+        else:
+            (off,) = struct.unpack(bo + "L", raw)
+            buf = blob[off : off + total]
+        return list(struct.unpack(bo + str(cnt) + fmt, buf[:total]))
+
+    w = values(256)[0]
+    h = values(257)[0]
+    comp = values(259)[0] if 259 in tags else 1
+    if comp != 1:
+        raise ValueError(f"tiff: unsupported compression {comp}")
+    photo = values(262)[0] if 262 in tags else 2
+    spp = values(277)[0] if 277 in tags else 1
+    if photo != 2 or spp != 3:
+        raise ValueError("tiff: only chunky RGB supported")
+    if 284 in tags and values(284)[0] != 1:
+        raise ValueError("tiff: only chunky planar config supported")
+    if 258 in tags and values(258) != [8, 8, 8]:
+        raise ValueError("tiff: only 8-bit samples supported")
+    offs = values(273)
+    cnts = values(279)
+    data = b"".join(blob[o : o + c] for o, c in zip(offs, cnts))
+    if len(data) != w * h * 3:
+        raise ValueError(f"tiff: got {len(data)} bytes, want {w * h * 3}")
+    return w, h, np.frombuffer(data, np.uint8).reshape(h, w, 3)
+
+
+def synthesize_tiff_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic real TIFF payloads: channel c of flat pixel i is
+    ``(doc_id*3 + i*5 + c*11) % 256``; every 2nd image is multi-strip
+    (rows_per_strip=3) so decode exercises strip reassembly."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_px = TIFF_W * TIFF_H
+    i = np.arange(n_px, dtype=np.int64)
+    blobs = []
+    for d in ids:
+        chans = [
+            ((d * 3 + i * 5 + c * 11) % 256).astype(np.uint8)
+            for c in range(3)
+        ]
+        rgb = np.stack(chans, axis=1).reshape(TIFF_H, TIFF_W, 3)
+        blobs.append(
+            encode_tiff(rgb, rows_per_strip=3 if d % 2 == 0 else None)
+        )
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+class TiffFeatureExtractor:
+    """Actor-pool stage: REAL TIFF decode (IFD walk, strips) →
+    per-image (width, height, channel means)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, mr, mg, mb = [], [], [], [], []
+        for blob in t[self.payload_col].to_pylist():
+            w, h, px = decode_tiff(blob)
+            means = px.reshape(-1, 3).mean(axis=0)
+            ws.append(w)
+            hs.append(h)
+            mr.append(round(float(means[0]), 6))
+            mg.append(round(float(means[1]), 6))
+            mb.append(round(float(means[2]), 6))
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column("mean_r", pa.array(mr, pa.float64()))
+        out = out.append_column("mean_g", pa.array(mg, pa.float64()))
+        out = out.append_column("mean_b", pa.array(mb, pa.float64()))
+        return out

@@ -655,3 +655,31 @@ def test_ulaw_codec_properties():
     allb = bytes(range(256))
     out = decode_ulaw(allb)
     assert len(out) == 256
+
+
+def test_tiff_roundtrip_and_errors():
+    """TIFF: single- and multi-strip round-trips, inline vs offset tag
+    values, corrupt/unsupported payloads dead-letter as ValueError."""
+    import numpy as np
+    import pytest
+
+    from grate_ray.functions.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (7, 10), (16, 5), (33, 31)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for rps in (None, 1, 4):
+            blob = encode_tiff(px, rows_per_strip=rps)
+            w2, h2, back = decode_tiff(blob)
+            assert (w2, h2) == (w, h)
+            assert np.array_equal(back, px)
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + bytes(30))
+    good = encode_tiff(rng.integers(0, 256, (4, 4, 3)).astype(np.uint8))
+    with pytest.raises(ValueError):
+        decode_tiff(good[:20])
+    # wrong magic number after a valid byte-order mark
+    bad = bytearray(good)
+    bad[2] = 43
+    with pytest.raises(ValueError, match="magic"):
+        decode_tiff(bytes(bad))
