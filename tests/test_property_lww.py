@@ -78,3 +78,62 @@ def test_lww_associative_under_split(events, cut):
     state = merge_into_state(state, lww_reduce(b)) if b.num_rows else state
     split = finalize(state)
     assert whole.to_pydict() == split.to_pydict()
+
+
+# --- zone-map soundness (no-Ray tier) ----------------------------------------
+
+zone_events = st.lists(
+    st.tuples(
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 3),   # conv
+        st.integers(0, 9),   # turn (the filtered column)
+        st.integers(0, 5),   # ts
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+predicate = st.tuples(
+    st.sampled_from(["==", "!=", "<", "<=", ">", ">="]),
+    st.integers(-1, 11),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(zone_events, predicate)
+def test_zone_pruning_never_hides_matches(events, pred):
+    """If the zone built from a chain's file stats says a predicate can't
+    match, the reconstructed live state must contain NO matching row —
+    for arbitrary event streams split into arbitrary chain files."""
+    from grate_ray.state.manifest import _column_stats, zone_may_match
+
+    op, val = pred
+    t = mk_table(events)
+    # arbitrary two-file chain split (like snapshot + delta)
+    cut = len(events) // 2
+    files = [t.slice(0, cut), t.slice(cut)]
+    files = [f for f in files if f.num_rows]
+    zone = {}
+    for f in files:
+        s = _column_stats(f)
+        cs = s.get("turn_idx", {})
+        if cs.get("all_null") or cs.get("unknown"):
+            continue
+        if "turn_idx" not in zone:
+            zone["turn_idx"] = {"min": cs["min"], "max": cs["max"]}
+        else:
+            zone["turn_idx"]["min"] = min(zone["turn_idx"]["min"], cs["min"])
+            zone["turn_idx"]["max"] = max(zone["turn_idx"]["max"], cs["max"])
+    live = finalize(lww_reduce(t))
+    import operator as opmod
+
+    fns = {
+        "==": opmod.eq, "!=": opmod.ne, "<": opmod.lt,
+        "<=": opmod.le, ">": opmod.gt, ">=": opmod.ge,
+    }
+    matches = [
+        v for v in live["turn_idx"].to_pylist()
+        if v is not None and fns[op](v, val)
+    ]
+    if not zone_may_match(zone, "turn_idx", op, val):
+        assert matches == [], (zone, op, val, matches)
