@@ -239,10 +239,22 @@ def read_deadletter(lake_dir: str) -> pa.Table | None:
 
 
 def _chunk_lsn_ranges(files: list[str]) -> list[tuple[str, int, int]]:
-    """(file, lsn_min, lsn_max) per chunk file, from parquet stats."""
+    """(file, lsn_min, lsn_max) per chunk file, from parquet stats.
+
+    TORN-TAIL tolerance: a tailing writer's newest chunk may still be
+    mid-write (no parquet footer yet). Unreadable files are DEFERRED —
+    dropped from this pass, picked up once complete — but only while
+    every readable file stays below them lexically (chunk names embed the
+    starting LSN, so a torn file that is not the lexical tail means real
+    corruption mid-log and raises instead of silently skipping data)."""
+    torn: list[str] = []
     out = []
     for f in files:
-        md = pq.read_metadata(f)
+        try:
+            md = pq.read_metadata(f)
+        except Exception:
+            torn.append(f)
+            continue
         schema_names = md.schema.to_arrow_schema().names
         col = schema_names.index("lsn")
         lo, hi = None, None
@@ -256,6 +268,14 @@ def _chunk_lsn_ranges(files: list[str]) -> list[tuple[str, int, int]]:
             lo = pc.min(t["lsn"]).as_py()
             hi = pc.max(t["lsn"]).as_py()
         out.append((f, int(lo), int(hi)))
+    if torn:
+        max_readable = max((f for f, _, _ in out), default="")
+        bad = [f for f in torn if f <= max_readable]
+        if bad:
+            raise ValueError(
+                f"unreadable binlog chunk(s) below the tail: {bad[:3]} — "
+                "mid-log corruption (a torn TAIL file would be deferred)"
+            )
     out.sort(key=lambda x: x[1])
     # Disjoint LSN ranges per chunk file are load-bearing: resume metrics
     # count events exactly once only if a file's range never straddles a

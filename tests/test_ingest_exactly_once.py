@@ -803,3 +803,44 @@ def test_ingest_auto_salt(tmp_path_factory, monkeypatch):
     assert detected["hot"]  # the zipf log has hot conversations
     _assert_lake_matches(lake, d)
     assert metrics.to_pandas()["n_events"].sum() == 14_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_torn_tail_chunk_deferred(tmp_path_factory):
+    """A half-written tail chunk (no parquet footer) defers instead of
+    crashing the ingest; once the writer finishes it, a follow-up pass
+    picks it up. A torn chunk BELOW the tail raises (real corruption)."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("tbinlog"))
+    lake = str(tmp_path_factory.mktemp("tlake"))
+    generate_binlog(
+        d, GenSpec(num_events=4_000, num_convs=30, seed=43, chunk_rows=1_000)
+    )
+    chunks = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    # simulate a torn tail: a lexically-last file holding garbage
+    torn = os.path.join(d, "chunk-zzz-partial.parquet")
+    with open(torn, "wb") as f:
+        f.write(b"PAR1 only half written")
+    m1 = ingest(d, lake, num_partitions=P, files_per_microbatch=2)
+    assert m1.to_pandas()["n_events"].sum() == 4_000  # torn tail ignored
+    # writer finishes the tail: replace garbage with a real chunk
+    os.unlink(torn)
+    last = pq.read_table(os.path.join(d, chunks[-1]))
+    shifted = last.set_column(
+        last.column_names.index("lsn"),
+        "lsn",
+        pa.array(
+            [v + 4_000 for v in last["lsn"].to_pylist()], pa.int64()
+        ),
+    )
+    pq.write_table(shifted, os.path.join(d, "chunk-zzz-partial.parquet"))
+    m2 = ingest(d, lake, num_partitions=P, files_per_microbatch=2)
+    assert m2.to_pandas()["n_events"].sum() == shifted.num_rows
+    # torn file BELOW the tail → hard error
+    mid = os.path.join(d, chunks[0])
+    shutil.copy(mid, mid + ".bak")
+    with open(mid, "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(ValueError, match="below the tail"):
+        ingest(d, lake, num_partitions=P, files_per_microbatch=2)
