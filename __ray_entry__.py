@@ -1991,6 +1991,29 @@ def q_multimodal_ulaw(sf_dir: str):
     )
 
 
+def q_multimodal_alaw(sf_dir: str):
+    """REAL G.711 A-law companding end to end (the European half,
+    completing the G.711 pair with multimodal_ulaw): segment ladder with
+    A-law's segment-0 rule and 0x55 toggle, decoded by the actor-pool
+    AlawFeatureExtractor; the SQL oracle replays the sign/exp/mant
+    arithmetic (the XOR cancels through encode+decode)."""
+    from grate_ray.functions.multimodal import (
+        AlawFeatureExtractor,
+        synthesize_alaw_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_alaw_column, batch_format="pyarrow")
+        .map_batches(
+            AlawFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_multimodal_video(sf_dir: str):
     """REAL video path end to end: per doc a real RIFF/AVI (MJPEG)
     container of 6 grayscale JPEG frames; the actor-pool stage walks the
@@ -2134,6 +2157,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_jpeg420": q_multimodal_jpeg420,
     "multimodal_adpcm": q_multimodal_adpcm,
     "multimodal_ulaw": q_multimodal_ulaw,
+    "multimodal_alaw": q_multimodal_alaw,
     "multimodal_video": q_multimodal_video,
     "multimodal_wav": q_multimodal_wav,
     "multimodal_frames": q_multimodal_frames,
@@ -3708,6 +3732,39 @@ SELECT doc_id,
        round(avg((doc_id * 3 + i * 5 + 11) % 256), 6) AS mean_g,
        round(avg((doc_id * 3 + i * 5 + 22) % 256), 6) AS mean_b
 FROM px GROUP BY doc_id""",
+        "multimodal_alaw": """
+WITH i AS (SELECT unnest(range(0, 64)) AS i),
+s AS (
+  SELECT doc_id, ((doc_id * 13 + i.i * 7) % 65536) - 32768 AS x
+  FROM documents CROSS JOIN i
+), e AS (
+  SELECT doc_id, x >= 0 AS pos, least(abs(x), 32767) AS mag FROM s
+), seg AS (
+  SELECT doc_id, pos, mag,
+         CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+              WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+              WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+              WHEN mag >= 256 THEN 1 ELSE 0 END AS exp
+  FROM e
+), m AS (
+  SELECT doc_id, pos, exp,
+         CASE WHEN exp = 0 THEN mag >> 4
+              ELSE (mag >> (exp + 3)) & 15 END AS mant
+  FROM seg
+), d AS (
+  SELECT doc_id, pos,
+         CASE WHEN exp = 0 THEN (mant << 4) + 8
+              ELSE ((mant << 4) + 264) << (exp - 1) END AS mag2
+  FROM m
+), dec AS (
+  SELECT doc_id, CASE WHEN pos THEN mag2 ELSE -mag2 END AS y FROM d
+)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(64 AS BIGINT) AS compressed_bytes,
+       round(avg(abs(y)), 6) AS mean_abs,
+       CAST(max(abs(y)) AS BIGINT) AS peak
+FROM dec GROUP BY doc_id""",
         "multimodal_bmp": """
 SELECT doc_id,
        CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,

@@ -2479,3 +2479,71 @@ class TiffFeatureExtractor:
         out = out.append_column("mean_g", pa.array(mg, pa.float64()))
         out = out.append_column("mean_b", pa.array(mb, pa.float64()))
         return out
+
+
+# --- G.711 A-law (the European companding half) --------------------------------
+#
+# Same stateless per-sample structure as µ-law with A-law's segment
+# table: magnitudes < 256 keep mant = mag >> 4 with exp 0; otherwise
+# exp = segment of mag, mant = 4 bits below the leading one; the code
+# byte XORs with 0x55 (spec). Decode is the published inverse.
+
+def encode_alaw(samples: np.ndarray) -> bytes:
+    x = samples.astype(np.int64)
+    sign = (x >= 0).astype(np.int64)  # A-law: 1 = positive
+    mag = np.minimum(np.abs(x), 32767)
+    exp = np.digitize(mag, _ULAW_THRESH)  # same power-of-two ladder
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    code = ((sign << 7) | (exp << 4) | mant) ^ 0x55
+    return code.astype(np.uint8).tobytes()
+
+
+def decode_alaw(blob: bytes) -> np.ndarray:
+    c = np.frombuffer(blob, np.uint8).astype(np.int64) ^ 0x55
+    sign = c >> 7
+    exp = (c >> 4) & 7
+    mant = c & 0x0F
+    mag = np.where(
+        exp == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 264) << (exp - 1),
+    )
+    return np.where(sign == 1, mag, -mag).astype(np.int16)
+
+
+def synthesize_alaw_column(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic A-law payloads over the shared WAV fixture samples."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    i = np.arange(WAV_N, dtype=np.int64)
+    blobs = []
+    for d in ids:
+        s = ((d * 13 + i * 7) % 65536 - 32768).astype(np.int16)
+        blobs.append(encode_alaw(s))
+    return t.append_column("payload", pa.array(blobs, pa.binary()))
+
+
+class AlawFeatureExtractor:
+    """Actor-pool stage: REAL A-law decode → per-clip (n_samples,
+    compressed_bytes, mean_abs, peak)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ns, nbytes, means, peaks = [], [], [], []
+        for blob in t[self.payload_col].to_pylist():
+            samples = decode_alaw(blob).astype(np.int64)
+            ns.append(len(samples))
+            nbytes.append(len(blob))
+            means.append(
+                round(float(np.abs(samples).mean()), 6) if len(samples) else 0.0
+            )
+            peaks.append(int(np.abs(samples).max()) if len(samples) else 0)
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("n_samples", pa.array(ns, pa.int64()))
+        out = out.append_column(
+            "compressed_bytes", pa.array(nbytes, pa.int64())
+        )
+        out = out.append_column("mean_abs", pa.array(means, pa.float64()))
+        out = out.append_column("peak", pa.array(peaks, pa.int64()))
+        return out

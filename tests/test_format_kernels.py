@@ -683,3 +683,28 @@ def test_tiff_roundtrip_and_errors():
     bad[2] = 43
     with pytest.raises(ValueError, match="magic"):
         decode_tiff(bytes(bad))
+
+
+def test_alaw_codec_properties():
+    """A-law: bounded quantization error, sign symmetry, monotone
+    magnitudes, all 256 codes decode, segment-0 midpoints exact."""
+    import numpy as np
+
+    from grate_ray.functions.multimodal import decode_alaw, encode_alaw
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(-32768, 32768, 50_000).astype(np.int16)
+    y = decode_alaw(encode_alaw(x)).astype(np.int64)
+    err = np.abs(y - np.clip(x.astype(np.int64), -32767, 32767))
+    assert err.max() <= 512
+    v = np.arange(0, 32767, 13, dtype=np.int64).astype(np.int16)
+    yp = decode_alaw(encode_alaw(v)).astype(np.int64)
+    yn = decode_alaw(encode_alaw((-v).astype(np.int16))).astype(np.int64)
+    assert (yp[1:] == -yn[1:]).all()  # v=0 encodes positive both ways
+    assert (np.diff(yp) >= 0).all()
+    assert len(decode_alaw(bytes(range(256)))) == 256
+    # segment 0 decodes to the 16-step midpoints
+    small = np.arange(0, 256, 16, dtype=np.int16)
+    assert decode_alaw(encode_alaw(small)).tolist() == [
+        int(s) + 8 for s in small
+    ]
