@@ -800,6 +800,7 @@ def read_lake(
     asof_lsn: int | None = None,
     conv_ids: list[str] | None = None,
     filters: list[tuple] | None = None,
+    asof_tag: str | None = None,
 ) -> ray.data.Dataset:
     """The live view of the lake: latest committed state per partition
     (nearest snapshot + LWW-merged deltas), tombstones dropped, key-sorted
@@ -849,6 +850,13 @@ def read_lake(
     name. Zone-map pruning translates logical → physical to match the
     stats written at commit time.
     """
+    if asof_tag is not None:
+        from ..state.manifest import resolve_tag
+
+        if asof_lsn is not None:
+            raise ValueError("pass asof_lsn or asof_tag, not both")
+        asof_lsn = resolve_tag(lake_dir, asof_tag)
+
     mapping = read_column_mapping(lake_dir)
     col_renames: dict[str, str] = mapping.get("renames", {})
     col_drops = set(mapping.get("drops", []))

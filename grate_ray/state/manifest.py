@@ -564,6 +564,64 @@ def commit_empty(lake_dir: str, part: int, lsn_lo: int, lsn_hi: int) -> dict:
     return _commit(lake_dir, part, lsn_lo, lsn_hi, "empty", None, None, prev_rows)
 
 
+def tags_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_tags.json")
+
+
+def read_tags(lake_dir: str) -> dict[str, int]:
+    p = tags_path(lake_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def tag_lake(lake_dir: str, name: str, lsn: int | None = None) -> int:
+    """Pin a NAMED TAG to a commit point (table-format style: a stable
+    name for reproducible reads — 'the lake as training run X saw it').
+    Defaults to the current global high-water mark. Tags are immutable:
+    re-tagging an existing name to a different LSN raises (delete first
+    with ``untag_lake``). Returns the pinned LSN. Retention caveat: a
+    tag pins the *commit point*, not the chain files — raise the GC
+    ``keep`` to retain the bytes the tag resolves through."""
+    if lsn is None:
+        hws = [
+            committed_lsn(lake_dir, p) for p in list_partitions(lake_dir)
+        ]
+        hws = [h for h in hws if h is not None]
+        if not hws:
+            raise ValueError(f"no commits to tag under {lake_dir}")
+        lsn = max(hws)
+    tags = read_tags(lake_dir)
+    if name in tags and tags[name] != lsn:
+        raise ValueError(
+            f"tag {name!r} already pins lsn {tags[name]} (tags are "
+            f"immutable; untag_lake first)"
+        )
+    tags[name] = int(lsn)
+    fd, tmp = tempfile.mkstemp(dir=lake_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(tags, f)
+    os.replace(tmp, tags_path(lake_dir))
+    return int(lsn)
+
+
+def untag_lake(lake_dir: str, name: str) -> None:
+    tags = read_tags(lake_dir)
+    tags.pop(name, None)
+    fd, tmp = tempfile.mkstemp(dir=lake_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(tags, f)
+    os.replace(tmp, tags_path(lake_dir))
+
+
+def resolve_tag(lake_dir: str, name: str) -> int:
+    tags = read_tags(lake_dir)
+    if name not in tags:
+        raise ValueError(f"unknown tag {name!r} (have {sorted(tags)})")
+    return tags[name]
+
+
 def backfill_stats(lake_dir: str) -> int:
     """Retrofit zone-map column stats onto a lake written before the
     stats feature: every snapshot/delta manifest lacking ``stats`` gets

@@ -844,3 +844,39 @@ def test_torn_tail_chunk_deferred(tmp_path_factory):
         f.write(b"garbage")
     with pytest.raises(ValueError, match="below the tail"):
         ingest(d, lake, num_partitions=P, files_per_microbatch=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lake_tags(tmp_path_factory):
+    """Named tags pin commit points: read_lake(asof_tag=...) equals the
+    asof_lsn read at tag time even after more data lands; tags are
+    immutable; unknown tags raise."""
+    from grate_ray.state.manifest import resolve_tag, tag_lake, untag_lake
+
+    d = str(tmp_path_factory.mktemp("gbinlog"))
+    lake = str(tmp_path_factory.mktemp("glake"))
+    generate_binlog(
+        d, GenSpec(num_events=6_000, num_convs=50, seed=47, chunk_rows=1_000)
+    )
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2,
+           max_microbatches=2, auto_compact=False)
+    lsn1 = tag_lake(lake, "v1")
+    snap1 = read_lake(lake).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    # more data lands
+    ingest(d, lake, num_partitions=P, files_per_microbatch=2,
+           auto_compact=False)
+    tagged = read_lake(lake, asof_tag="v1").to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert tagged.equals(snap1)
+    head = read_lake(lake).to_pandas()
+    assert len(head) >= len(snap1)
+    assert resolve_tag(lake, "v1") == lsn1
+    with pytest.raises(ValueError, match="immutable"):
+        tag_lake(lake, "v1", lsn=lsn1 + 1)
+    tag_lake(lake, "v1", lsn=lsn1)  # same lsn: idempotent no-op
+    with pytest.raises(ValueError, match="unknown tag"):
+        read_lake(lake, asof_tag="nope").take_all()
+    untag_lake(lake, "v1")
+    with pytest.raises(ValueError, match="unknown tag"):
+        read_lake(lake, asof_tag="v1").take_all()
