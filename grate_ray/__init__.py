@@ -61,6 +61,9 @@ def __getattr__(name):
             "evolve_lake_schema",
         ),
         "backfill_stats": ("grate_ray.state.manifest", "backfill_stats"),
+        "tag_lake": ("grate_ray.state.manifest", "tag_lake"),
+        "untag_lake": ("grate_ray.state.manifest", "untag_lake"),
+        "resolve_tag": ("grate_ray.state.manifest", "resolve_tag"),
         "poll_changes": ("grate_ray.pipelines.views", "poll_changes"),
         "ack_changes": ("grate_ray.pipelines.views", "ack_changes"),
         "content_lookup": ("grate_ray.pipelines.views", "content_lookup"),
