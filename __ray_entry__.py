@@ -1466,6 +1466,34 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_assign(ds, ncentroids=8, iters=2, seed=21)
 
 
+def q_dedup_chunks(sf_dir: str):
+    """Content-defined chunking dedup (Gear rolling hash, FastCDC family)
+    over the planted near-dup corpus: boundaries are pure local-content
+    functions, so the truncated copies share most chunks with their
+    originals and report high n_dup. The oracle replays the full rolling
+    hash (gear-table literals, 32-byte window, mod-mask boundary rule),
+    the chunk split, and the min-doc ownership join in SQL."""
+    from grate_ray.functions.dedup import chunk_dedup
+
+    return chunk_dedup(_with_truncated_copies(_docs(sf_dir)))
+
+
+def q_dedup_semantic(sf_dir: str):
+    """SemDeDup over the planted near-dup embedding corpus: k-means
+    clusters (deterministic 2-iteration Lloyd), then keep-first cosine
+    pruning WITHIN each cluster only — one cluster-keyed shuffle instead
+    of all-pairs. The planted copies (cos ≈ 0.992) must be dropped
+    wherever they co-cluster with their original; the oracle mirrors the
+    full kmeans + within-cluster join, so cross-cluster survivors are
+    value-checked too."""
+    from grate_ray.functions.ann import semantic_dedup
+
+    return semantic_dedup(
+        _embeddings_with_perturbed(sf_dir), ncentroids=8, iters=2, seed=21,
+        threshold=0.95,
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chop sequence packing into 512-token training
     sequences: distributed exclusive token prefix sum (bounded driver
@@ -2138,6 +2166,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "stratified_sample": q_stratified_sample,
     "window_watermark": q_window_watermark,
     "embed_kmeans": q_embed_kmeans,
+    "dedup_semantic": q_dedup_semantic,
+    "dedup_chunks": q_dedup_chunks,
     "pack_sequences": q_pack_sequences,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
@@ -2550,11 +2580,16 @@ SELECT doc_id,
 FROM rec WHERE i = {n}"""
 
 
-def _kmeans_sql(ncentroids: int = 8, seed: int = 21, dim: int = 64) -> str:
+_EMB_SRC_SQL = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
+
+
+def _kmeans_sql(
+    ncentroids: int = 8, seed: int = 21, dim: int = 64, src: str = _EMB_SRC_SQL
+) -> str:
     """Exact SQL mirror of ann.kmeans_assign with iters=2: seeded
     centroid literals → assign (6dp dots, lower-index tiebreak) →
     per-(cell, dim) avg snapped to 6dp (empty cells keep the rounded
-    seed centroid) → reassign."""
+    seed centroid) → reassign. ``src`` must project (vec_id, emb)."""
     from grate_ray.functions.ann import ivf_centroids
 
     cent = ivf_centroids(dim, ncentroids, seed)
@@ -2564,7 +2599,7 @@ def _kmeans_sql(ncentroids: int = 8, seed: int = 21, dim: int = 64) -> str:
     )
     return f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  {src}
 ), c0(i, c) AS (
   VALUES {rows}
 ), d1 AS (
@@ -2597,6 +2632,96 @@ SELECT vec_id, CAST(i AS BIGINT) AS cluster FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, i) AS rn
   FROM d2
 ) WHERE rn = 1"""
+
+
+_EMB_PERTURBED_SRC_SQL = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         CAST(embedding[1:63] || [CAST(0 AS FLOAT)] AS DOUBLE[])
+  FROM embeddings"""
+
+
+def _semantic_dedup_sql(
+    ncentroids: int = 8, seed: int = 21, dim: int = 64, threshold: float = 0.95
+) -> str:
+    """dedup_semantic oracle: the full kmeans mirror over the perturbed
+    union corpus feeds a within-cluster keep-first cosine prune — a
+    vector is dropped iff a lower-vec_id vector in the SAME cluster has
+    round(cos, 6) ≥ threshold (same 6dp convention as dedup_embedding)."""
+    km = _kmeans_sql(ncentroids=ncentroids, seed=seed, dim=dim,
+                     src=_EMB_PERTURBED_SRC_SQL)
+    return f"""
+WITH km AS (SELECT * FROM ({km})),
+e AS ({_EMB_PERTURBED_SRC_SQL}),
+dup AS (
+  SELECT DISTINCT b.vec_id AS v
+  FROM km a JOIN km b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {threshold}
+)
+SELECT km.vec_id, km.cluster,
+       CAST(CASE WHEN dup.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM km LEFT JOIN dup ON dup.v = km.vec_id"""
+
+
+def _chunk_dedup_sql(corpus: str) -> str:
+    """dedup_chunks oracle: full replay of the Gear rolling hash
+    (md5-derived gear table, 32-byte window, uint64 wrap as HUGEINT
+    mod-2^64 arithmetic), the mod-mask boundary rule, the boundary→chunk
+    split (window count of boundaries strictly before each position),
+    chunk md5s, and min-doc ownership."""
+    from grate_ray.functions.dedup import (
+        CDC_MASK, CDC_SHIFT, CDC_TARGET, CDC_WINDOW,
+    )
+
+    pws = ", ".join(f"({k}, {1 << k})" for k in range(CDC_WINDOW))
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM ({corpus})),
+pos AS (
+  SELECT doc_id, CAST(unnest(range(1, len(text) + 1)) AS INTEGER) AS i FROM d
+),
+g AS (
+  SELECT CAST(v AS INTEGER) AS v,
+         md5_number_lower('gear-' || CAST(v AS VARCHAR)) AS gv
+  FROM range(0, 256) t(v)
+),
+pw(k, p) AS (VALUES {pws}),
+h AS (
+  SELECT p.doc_id, p.i,
+         CAST(sum((CAST(g.gv AS HUGEINT) * pw.p) % {_W64}) % {_W64}
+              AS UBIGINT) AS h
+  FROM pos p
+  JOIN pw ON p.i - pw.k >= 1
+  JOIN d ON d.doc_id = p.doc_id
+  JOIN g ON g.v = ord(substr(d.text, p.i - pw.k, 1))
+  GROUP BY p.doc_id, p.i
+),
+b AS (
+  SELECT doc_id, i,
+         ((h // {1 << CDC_SHIFT}) % {CDC_MASK + 1}) = {CDC_TARGET} AS is_b
+  FROM h
+),
+cid AS (
+  SELECT doc_id, i,
+         coalesce(sum(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM b
+),
+ch AS (SELECT doc_id, c, min(i) AS s, max(i) AS e FROM cid GROUP BY doc_id, c),
+ck AS (
+  SELECT ch.doc_id,
+         md5_number_lower(substr(d.text, CAST(ch.s AS INTEGER),
+                                 CAST(ch.e - ch.s + 1 AS INTEGER))) AS h
+  FROM ch JOIN d ON d.doc_id = ch.doc_id
+),
+own AS (SELECT h, min(doc_id) AS own FROM ck GROUP BY h)
+SELECT ck.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN own.own < ck.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup
+FROM ck JOIN own ON own.h = ck.h
+GROUP BY ck.doc_id"""
 
 
 def _bm25_sql(queries: dict, k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
@@ -3610,6 +3735,8 @@ r AS (
 )
 SELECT doc_id, rank, term, score FROM r WHERE rank <= 5""",
         "embed_kmeans": _kmeans_sql(ncentroids=8, seed=21),
+        "dedup_semantic": _semantic_dedup_sql(ncentroids=8, seed=21, threshold=0.95),
+        "dedup_chunks": _chunk_dedup_sql(_CORPUS_SQL),
         "multimodal_adpcm": _adpcm_sql(n=64),
         "multimodal_ulaw": """
 WITH i AS (SELECT unnest(range(0, 64)) AS i),

@@ -651,37 +651,32 @@ def lsh_topk(
 # --- distributed k-means (Lloyd) over the embedding corpus -------------------
 
 
-def kmeans_assign(
+def _kmeans_argmax(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Cluster assignment: argmax of the 6dp-rounded dot (lower-index
+    tiebreak == numpy first-max) — the convention every k-means consumer
+    (assign, SemDeDup, and their SQL mirrors) shares."""
+    dots = np.round(mat @ c.T, 6)
+    return dots.argmax(axis=1)
+
+
+def kmeans_centroids(
     ds: ray.data.Dataset,
     ncentroids: int = 8,
     iters: int = 2,
     seed: int = 21,
     dim: int = 64,
-    id_col: str = "vec_id",
     emb_col: str = "embedding",
-) -> ray.data.Dataset:
-    """Semantic clustering of the embedding corpus (the SemDeDup /
-    cluster-balancing primitive): Lloyd's k-means with seeded spherical
-    init (``ivf_centroids``) and a FIXED iteration count, so the whole
-    run is deterministic and SQL-mirrorable.
-
-    Distributed shape — the textbook scalable k-means: each iteration is
-    ONE streaming pass emitting per-batch partial sums (cell, Σvec, n);
-    driver state is k×d floats (bounded, independent of corpus size);
-    new centroids broadcast by closure into the next pass. Assignment is
-    argmax of the raw dot product rounded to 6dp with lower-index
-    tiebreak, and centroid means are snapped to 6dp between iterations —
-    both conventions exist so the SQL mirror (DuckDB summation order ≠
-    numpy SIMD order) lands on identical argmax decisions.
-
-    Emits (vec_id, cluster) for every vector.
-    """
+) -> np.ndarray:
+    """Train the Lloyd centroids: seeded spherical init (``ivf_centroids``)
+    then ``iters-1`` update passes. Each pass is ONE streaming pass
+    emitting per-batch partial sums (cell, Σvec, n); driver state is k×d
+    floats (bounded, independent of corpus size); new centroids broadcast
+    by closure into the next pass. Centroid means are snapped to 6dp
+    between iterations so the SQL mirror (DuckDB summation order ≠ numpy
+    SIMD order) lands on identical argmax decisions."""
     cent = ivf_centroids(dim, ncentroids, seed)
 
-    def assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
-        dots = np.round(mat @ c.T, 6)
-        # argmax with lower-index tiebreak == numpy argmax (first max)
-        return dots.argmax(axis=1)
+    assign = _kmeans_argmax
 
     for _ in range(iters - 1):
         c_now = cent
@@ -730,7 +725,28 @@ def kmeans_assign(
         new[nz] = sums[nz] / counts[nz, None]
         cent = np.round(new, 6)
 
-    c_fin = cent
+    return cent
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    ncentroids: int = 8,
+    iters: int = 2,
+    seed: int = 21,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Semantic clustering of the embedding corpus (the SemDeDup /
+    cluster-balancing primitive): deterministic fixed-iteration Lloyd
+    k-means (see ``kmeans_centroids``) then one assignment pass.
+
+    Emits (vec_id, cluster) for every vector.
+    """
+    c_fin = kmeans_centroids(
+        ds, ncentroids=ncentroids, iters=iters, seed=seed, dim=dim, emb_col=emb_col
+    )
+    assign = _kmeans_argmax
 
     def final_assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -746,3 +762,95 @@ def kmeans_assign(
         )
 
     return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    ncentroids: int = 8,
+    iters: int = 2,
+    seed: int = 21,
+    dim: int = 64,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means clusters
+    the corpus semantically, then cosine near-dup pruning runs ONLY
+    within each cluster — the O(n²) all-pairs check becomes k independent
+    O((n/k)²) blocks behind ONE keyed shuffle on the cluster id. Keep
+    rule (keep-first, matching the rest of the dedup family): a vector
+    survives iff no lower-``vec_id`` vector in ITS cluster has
+    round(cosine, 6) ≥ ``threshold``.
+
+    Scale shape: centroid training is ``kmeans_centroids`` (streaming
+    partial sums, k×d driver state); assignment carries the embedding so
+    the corpus moves exactly once (the cluster-keyed repartition); the
+    per-cluster pairwise matmul assumes one cluster fits a block — at
+    100 TB you raise ``ncentroids`` so max-cluster ≲ block budget, which
+    is precisely the SemDeDup paper's regime (they use k≈11k for LAION).
+    Emits (vec_id, cluster, keep∈{0,1}) for every vector.
+    """
+    from ..context import configure_shuffle, join_partitions
+
+    c_fin = kmeans_centroids(
+        ds, ncentroids=ncentroids, iters=iters, seed=seed, dim=dim, emb_col=emb_col
+    )
+    configure_shuffle(32)
+
+    def assign_with_emb(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    emb_col: pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        mat = _stack(t[emb_col])
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "cluster": pa.array(_kmeans_argmax(mat, c_fin).astype(np.int64)),
+                emb_col: t[emb_col],
+            }
+        )
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.int64()),
+                }
+            )
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_stack(t[emb_col]))
+        order = np.lexsort((ids, cl))
+        cl_s, ids_s, mat_s = cl[order], ids[order], mat[order]
+        keep = np.ones(len(ids_s), dtype=np.int64)
+        change = np.empty(len(cl_s), dtype=bool)
+        change[0] = True
+        change[1:] = cl_s[1:] != cl_s[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(cl_s))
+        for s, e in zip(starts, ends):  # ≤ ncentroids segments per block
+            sub = mat_s[s:e]
+            sims = np.round(sub @ sub.T, 6)
+            # rows sorted by vec_id asc: i is a dup iff any j<i has sim≥thr
+            dup = np.triu(sims >= threshold, k=1).any(axis=0)
+            keep[s:e] = (~dup).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids_s),
+                "cluster": pa.array(cl_s.astype(np.int64)),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return (
+        ds.map_batches(assign_with_emb, batch_format="pyarrow")
+        .repartition(join_partitions(32), keys=["cluster"])
+        .map_batches(prune, batch_format="pyarrow", batch_size=None)
+    )

@@ -1212,3 +1212,187 @@ def winnow_fingerprints(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+# --- content-defined chunking (Gear / FastCDC family) ------------------------
+
+
+def gear_table() -> np.ndarray:
+    """Seeded 256-entry Gear byte table: md5-derived uint64 per byte value
+    ('gear-<v>'), so the SQL oracle regenerates the identical literals via
+    md5_number_lower('gear-' || v)."""
+    return _md5_lower64(np.array([f"gear-{v}" for v in range(256)], dtype=object))
+
+
+CDC_WINDOW = 32  # rolling-hash window (bytes)
+CDC_SHIFT = 26  # boundary test reads bits 26..31 (mixed by all window ages)
+CDC_MASK = 63  # 6 mask bits → expected chunk ≈ 64 bytes
+CDC_TARGET = 17
+
+
+def chunk_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Content-defined chunking dedup (the storage-dedup classic: Gear
+    rolling hash with a mod-mask boundary rule, the FastCDC family):
+    chunk boundaries depend only on local content, so an insertion early
+    in a document shifts byte offsets but NOT downstream chunk
+    boundaries — near-identical documents share most chunks, which exact
+    whole-document hashing can never see.
+
+    Rolling hash (exactly SQL-mirrorable, unlike CRC/Rabin tables):
+    ``h_i = Σ_{k=0..W-1} gear[b_{i-k}] · 2^k  (mod 2^64)`` — the Gear
+    recurrence ``h = (h<<1) + gear[b]`` truncated to a W-byte window so
+    the hash at any position is a pure function of the last W bytes
+    (stateless per position ⇒ no recursive CTE needed in the oracle).
+    Boundary at i iff bits 26..31 of h_i equal CDC_TARGET (high-ish bits:
+    every window age contributes). A boundary ENDS its chunk; the tail
+    remainder is the final chunk.
+
+    Distributed shape: the per-batch kernel computes every document's
+    hashes in ONE vectorized pass (batch bytes concatenated with W-byte
+    zero-contribution pads so windows never cross documents), md5s each
+    chunk, and pre-aggregates (doc, chunk_hash, cnt). Then: chunk-hash
+    owners (global min doc) via ONE keyed repartition + reduceat min;
+    owners re-attached by distributed join (never a driver dict — chunk
+    cardinality is O(corpus bytes / 64) at 100 TB); per-doc totals via a
+    second keyed reduce. Emits (doc_id, n_chunks, n_dup) where n_dup
+    counts chunk occurrences whose content already appears in a
+    lower-doc_id document.
+    """
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    npart = join_partitions(32)
+    G = gear_table()
+
+    def chunks_kernel(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("h", pa.int64()),
+                pa.field("cnt", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        arrs = [
+            np.frombuffer((x or "").encode("utf-8"), dtype=np.uint8) for x in texts
+        ]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        pad = np.zeros(CDC_WINDOW, dtype=np.uint64)
+        parts = []
+        for a in arrs:
+            parts.append(G[a])
+            parts.append(pad)
+        if not parts:
+            return schema.empty_table()
+        a_all = np.concatenate(parts)
+        h = np.zeros(len(a_all), dtype=np.uint64)
+        n = len(a_all)
+        for k in range(CDC_WINDOW):
+            h[k:] += a_all[: n - k] << np.uint64(k)  # uint64 wrap == mod 2^64
+        bound = ((h >> np.uint64(CDC_SHIFT)) & np.uint64(CDC_MASK)) == np.uint64(
+            CDC_TARGET
+        )
+        offs = np.concatenate([[0], np.cumsum(lens + CDC_WINDOW)])[:-1]
+        out_doc, out_h = [], []
+        for d in range(len(arrs)):
+            L = lens[d]
+            if L == 0:
+                continue
+            bd = bound[offs[d] : offs[d] + L]
+            idx = np.flatnonzero(bd)
+            starts = np.concatenate([[0], idx + 1])
+            ends = np.append(idx + 1, L)
+            raw = arrs[d].tobytes()
+            for s, e in zip(starts, ends):
+                if e <= s:  # boundary at the last byte: no tail chunk
+                    continue
+                dg = hashlib.md5(raw[s:e]).digest()
+                out_doc.append(ids[d])
+                out_h.append(int.from_bytes(dg[8:16], "little"))
+        if not out_doc:
+            return schema.empty_table()
+        hv = np.array(out_h, dtype=np.uint64).view(np.int64)  # bit-preserving
+        dv = np.array(out_doc, dtype=np.int64)
+        # batch-level pre-agg: (doc, h) multiplicity
+        key = np.stack([dv, hv], axis=1)
+        uniq, inv, cnt = np.unique(
+            key, axis=0, return_inverse=True, return_counts=True
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq[:, 0]),
+                "h": pa.array(uniq[:, 1]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            },
+            schema=schema,
+        )
+
+    rel = ds.map_batches(chunks_kernel, batch_format="pyarrow")
+    owners = grouped_reduce(
+        rel.map_batches(
+            lambda t: t.select(["h", "doc_id"]), batch_format="pyarrow"
+        ),
+        ["h"], npart, val_col="doc_id", out_col="own", reduce="min",
+    )
+    j = rel.join(owners, join_type="inner", num_partitions=npart, on=("h",))
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "dup": pa.array([], pa.int64()),
+                }
+            )
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        own = t["own"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "cnt": pa.array(cnt),
+                "dup": pa.array(np.where(own < doc, cnt, 0)),
+            }
+        )
+
+    parts = j.map_batches(per_doc_partial, batch_format="pyarrow")
+
+    def final_reduce(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("n_chunks", pa.int64()),
+                pa.field("n_dup", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = t["dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(doc, kind="stable")
+        ds_, cs, us = doc[order], cnt[order], dup[order]
+        change = np.empty(len(ds_), dtype=bool)
+        change[0] = True
+        change[1:] = ds_[1:] != ds_[:-1]
+        starts = np.flatnonzero(change)
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_[starts]),
+                "n_chunks": pa.array(np.add.reduceat(cs, starts)),
+                "n_dup": pa.array(np.add.reduceat(us, starts)),
+            },
+            schema=schema,
+        )
+
+    return parts.repartition(npart, keys=["doc_id"]).map_batches(
+        final_reduce, batch_format="pyarrow", batch_size=None
+    )

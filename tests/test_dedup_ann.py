@@ -416,6 +416,68 @@ def test_kmeans_assign_matches_serial(ray_session):
     assert len(np.unique(exp)) > 1  # clustering is non-trivial
 
 
+def test_semantic_dedup_matches_serial(ray_session):
+    """SemDeDup (cluster then within-cluster keep-first cosine prune)
+    equals a serial reference with the same seeded kmeans and 6dp cosine
+    convention, regardless of partitioning; planted near-identical copies
+    must be dropped."""
+    from grate_ray.functions.ann import ivf_centroids, semantic_dedup
+
+    rng = np.random.default_rng(31)
+    dim, n, k, thr = 16, 300, 5, 0.95
+    mat = rng.standard_normal((n, dim))
+    # plant near-identical copies: rows n..n+49 copy rows 0..49 with a
+    # tiny last-element nudge (cosine ≈ 1)
+    copies = mat[:50].copy()
+    copies[:, -1] += 0.01
+    mat = np.vstack([mat, copies])
+    ids = np.arange(len(mat), dtype=np.int64)
+
+    # serial reference (iters=2: one update pass then assign)
+    cent = ivf_centroids(dim, k, seed=21)
+    for _ in range(1):
+        cells = np.round(mat @ cent.T, 6).argmax(axis=1)
+        new = cent.copy()
+        for c in range(k):
+            m = cells == c
+            if m.any():
+                new[c] = mat[m].mean(axis=0)
+        cent = np.round(new, 6)
+    cells = np.round(mat @ cent.T, 6).argmax(axis=1)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    exp_keep = np.ones(len(ids), dtype=np.int64)
+    for c in range(k):
+        idx = np.flatnonzero(cells == c)  # ids ascending
+        sub = norm[idx]
+        sims = np.round(sub @ sub.T, 6)
+        dup = np.triu(sims >= thr, k=1).any(axis=0)
+        exp_keep[idx] = (~dup).astype(np.int64)
+
+    from grate_ray.context import configure_shuffle
+
+    configure_shuffle(8)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in mat]),
+        }
+    )
+    out = (
+        semantic_dedup(
+            ray.data.from_arrow(t).repartition(7), ncentroids=k, iters=2,
+            seed=21, dim=dim, threshold=thr,
+        )
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert (out["cluster"].to_numpy() == cells).all()
+    assert (out["keep"].to_numpy() == exp_keep).all()
+    # every planted copy co-clusters with its original → dropped
+    assert out.loc[n:, "keep"].sum() == 0
+    assert out.loc[: n - 1, "keep"].sum() > 0
+
+
 def test_pq_topk_matches_serial(ray_session):
     """PQ ADC top-k equals a serial reference with the same encode
     (argmin |c|²−2·x·c, 6dp-snapped dots, lower-code ties) and LUT-sum
@@ -578,3 +640,74 @@ def test_pagerank_matches_serial(ray_session):
     for v in nodes:
         assert out[v] == r[v], v
     assert sum(out.values()) <= 1.0 + 1e-6
+
+
+def test_chunk_dedup_serial_and_shift_resistance(ray_session):
+    """chunk_dedup equals a serial reference (same gear table, window,
+    mask rule) regardless of partitioning; and content-defined boundaries
+    survive a PREFIX insertion — the property offset-based chunking lacks:
+    a doc with bytes prepended still shares most chunk content with the
+    original, so its chunks count as dups."""
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.dedup import (
+        CDC_MASK, CDC_SHIFT, CDC_TARGET, CDC_WINDOW, chunk_dedup, gear_table,
+    )
+    import hashlib
+
+    rng = np.random.default_rng(41)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(40, 120))) for _ in range(30)
+    ]
+    # planted shifted copies: a prefix insertion re-offsets every byte
+    for i in range(0, 30, 3):
+        texts.append("PREFIX INSERTED HERE " + texts[i])
+    n = len(texts)
+    ids = np.arange(n, dtype=np.int64)
+
+    G = gear_table()
+
+    def serial_chunks(text: str) -> list[int]:
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        a = G[b]
+        h = np.zeros(len(b), dtype=np.uint64)
+        for k in range(CDC_WINDOW):
+            h[k:] += a[: len(b) - k] << np.uint64(k)
+        bd = ((h >> np.uint64(CDC_SHIFT)) & np.uint64(CDC_MASK)) == np.uint64(
+            CDC_TARGET
+        )
+        idx = np.flatnonzero(bd)
+        starts = np.concatenate([[0], idx + 1])
+        ends = np.append(idx + 1, len(b))
+        out = []
+        raw = text.encode()
+        for s, e in zip(starts, ends):
+            if e > s:
+                d = hashlib.md5(raw[s:e]).digest()
+                out.append(int.from_bytes(d[8:16], "little"))
+        return out
+
+    all_chunks = {i: serial_chunks(t) for i, t in zip(ids, texts)}
+    own = {}
+    for i in sorted(all_chunks):
+        for hsh in all_chunks[i]:
+            own.setdefault(hsh, i)
+    exp = {
+        int(i): (len(ch), sum(1 for hsh in ch if own[hsh] < i))
+        for i, ch in all_chunks.items()
+    }
+
+    configure_shuffle(8)
+    t = pa.table({"doc_id": pa.array(ids), "text": texts})
+    out = (
+        chunk_dedup(ray.data.from_arrow(t).repartition(5))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    got = {int(i): (int(r.n_chunks), int(r.n_dup)) for i, r in out.iterrows()}
+    assert got == exp
+    # shift resistance: every prefixed copy still shares chunks
+    copies = out.loc[30:]
+    assert (copies["n_dup"] > 0).all()
+    assert copies["n_dup"].sum() >= copies["n_chunks"].sum() * 0.5
