@@ -441,6 +441,61 @@ def q_cdc_repartition(sf_dir: str):
     return read_lake(out)
 
 
+def q_cdc_merge_into(sf_dir: str):
+    """Delta-style MERGE INTO: a condition-driven keyed source (updates
+    where turn%3==0, inserts at turn+100000 where turn%5==2, matched
+    deletes where turn%7==0) is classified against the live lake state,
+    compiled to change events with fresh LSNs, and committed through the
+    ordinary exactly-once ingest. The oracle composes the same merge
+    algebra over the LWW final state in SQL — final table equality checks
+    classification, LSN assignment, and the commit path end to end."""
+    import shutil
+
+    import pyarrow.compute as _pc
+
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.merge_into import merge_into
+
+    base = _ingest_lake(sf_dir)
+    lake = base.rstrip("/") + "_merge"
+    shutil.rmtree(lake, ignore_errors=True)
+    shutil.copytree(base, lake)
+
+    def to_src(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        upd = t.filter(pa.array((turn % 3 == 0) & (turn % 7 != 0)))
+        upd = upd.set_column(
+            upd.schema.get_field_index("text"),
+            "text",
+            _pc.binary_join_element_wise(
+                _pc.utf8_upper(_pc.fill_null(upd["text"], "")), "!", ""
+            ),
+        ).append_column("_del", pa.array([False] * upd.num_rows))
+        ins = t.filter(pa.array(turn % 5 == 2))
+        ins = (
+            ins.set_column(
+                ins.schema.get_field_index("turn_idx"),
+                "turn_idx",
+                _pc.cast(_pc.add(ins["turn_idx"], 100_000), pa.int32()),
+            )
+            .set_column(
+                ins.schema.get_field_index("role"),
+                "role",
+                pa.array(["merged"] * ins.num_rows, pa.string()),
+            )
+            .append_column("_del", pa.array([False] * ins.num_rows))
+        )
+        dele = t.filter(pa.array(turn % 7 == 0))
+        dele = dele.append_column("_del", pa.array([True] * dele.num_rows))
+        return pa.concat_tables([upd, ins, dele])
+
+    src = read_lake(lake).map_batches(to_src, batch_format="pyarrow")
+    merge_into(lake, src, delete_col="_del")
+    return read_lake(lake)
+
+
 _LOOKUP_KEYS = [("conv7", 0), ("conv42", 1), ("conv113", 2)]
 
 
@@ -2099,6 +2154,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_schema_rename": q_cdc_schema_rename,
     "cdc_multi_source": q_cdc_multi_source,
     "cdc_ingest_lake": q_cdc_ingest_lake,
+    "cdc_merge_into": q_cdc_merge_into,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
@@ -3399,6 +3455,22 @@ SELECT event_id,
        END AS rk_value
 FROM events""",
         "cdc_ingest_lake": lww,
+        # MERGE algebra over the LWW final state: updates replace their
+        # keys, matched deletes drop theirs, inserts add disjoint keys
+        "cdc_merge_into": f"""
+WITH S AS ({{lww}}),
+upd AS (SELECT conv_id, turn_idx, role,
+               upper(coalesce(text, '')) || '!' AS text, tool, ts
+        FROM S WHERE turn_idx % 3 = 0 AND turn_idx % 7 <> 0),
+ins AS (SELECT conv_id, CAST(turn_idx + 100000 AS INTEGER) AS turn_idx,
+               'merged' AS role, text, tool, ts
+        FROM S WHERE turn_idx % 5 = 2)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM S
+  WHERE turn_idx % 7 <> 0 AND turn_idx % 3 <> 0
+UNION ALL SELECT conv_id, turn_idx, role, text, tool, ts FROM upd
+UNION ALL SELECT conv_id, turn_idx, role, text, tool, ts FROM ins""".format(
+            lww=lww
+        ),
         "heavy_hitters": f"""
 WITH b AS ({BINLOG_SQL}), tot AS (SELECT count(*) AS n FROM b)
 SELECT conv_id, count(*) AS n_events

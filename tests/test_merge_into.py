@@ -1,0 +1,131 @@
+"""Delta-style MERGE INTO semantics, idempotence, and changefeed visibility."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _build_lake(tmp_path, n_events=20_000, n_convs=200, parts=8):
+    from grate_ray.genlog import GenSpec, generate_binlog
+    from grate_ray.pipelines.ingest import ingest
+
+    bl, lk = str(tmp_path / "binlog"), str(tmp_path / "lake")
+    generate_binlog(
+        bl, GenSpec(num_events=n_events, num_convs=n_convs, chunk_rows=5_000)
+    )
+    ingest(bl, lk, num_partitions=parts, files_per_microbatch=None)
+    return lk
+
+
+def _source_from(before: pd.DataFrame) -> pa.Table:
+    """Updates (turn%3==0, not deleted keys), inserts (+100000 turns),
+    deletes (turn%7==0) — disjoint key sets so classification is
+    unambiguous."""
+    upd = before[(before.turn_idx % 3 == 0) & (before.turn_idx % 7 != 0)].copy()
+    upd["text"] = upd["text"].str.upper() + "!"
+    upd["_del"] = False
+    ins = before[before.turn_idx % 5 == 2].copy()
+    ins["turn_idx"] = ins["turn_idx"] + 100_000
+    ins["role"] = "merged"
+    ins["_del"] = False
+    dele = before[before.turn_idx % 7 == 0].copy()
+    dele["_del"] = True
+    src = pd.concat([upd, ins, dele], ignore_index=True)
+    return pa.Table.from_pandas(src, preserve_index=False)
+
+
+def _expected(before: pd.DataFrame) -> pd.DataFrame:
+    upd_mask = (before.turn_idx % 3 == 0) & (before.turn_idx % 7 != 0)
+    exp = before.copy()
+    exp.loc[upd_mask, "text"] = exp.loc[upd_mask, "text"].str.upper() + "!"
+    exp = exp[exp.turn_idx % 7 != 0]
+    ins = before[before.turn_idx % 5 == 2].copy()
+    ins["turn_idx"] = ins["turn_idx"] + 100_000
+    ins["role"] = "merged"
+    return pd.concat([exp, ins], ignore_index=True)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    )
+
+
+def test_merge_into_semantics_and_idempotence(ray_session, tmp_path):
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.merge_into import merge_into
+
+    lk = _build_lake(tmp_path)
+    before = read_lake(lk).to_pandas()
+    assert len(before) > 1000
+    src = _source_from(before)
+
+    m = merge_into(lk, ray.data.from_arrow(src), delete_col="_del")
+    assert m.num_rows > 0  # commits happened
+    after = read_lake(lk).to_pandas()
+    pd.testing.assert_frame_equal(_canon(after), _canon(_expected(before)))
+
+    # idempotence: merging the identical source again is a state no-op
+    # (updates re-apply the same payload; inserts become updates with the
+    # same payload; deleted keys are unmatched + flagged → skipped)
+    merge_into(lk, ray.data.from_arrow(src), delete_col="_del")
+    again = read_lake(lk).to_pandas()
+    pd.testing.assert_frame_equal(_canon(again), _canon(after))
+
+
+def test_merge_visible_in_changefeed(ray_session, tmp_path):
+    """A merge commits through the ordinary ingest path, so lake_changes
+    between the pre- and post-merge high-water marks reports exactly the
+    net I/U/D the merge performed."""
+    from grate_ray.pipelines.ingest import lake_changes, read_lake
+    from grate_ray.pipelines.merge_into import merge_into
+    from grate_ray.state.manifest import committed_lsn, list_partitions
+
+    lk = _build_lake(tmp_path, n_events=8_000, n_convs=60)
+    before = read_lake(lk).to_pandas()
+    hw0 = max(committed_lsn(lk, p) for p in list_partitions(lk))
+    src = _source_from(before)
+    merge_into(lk, ray.data.from_arrow(src), delete_col="_del")
+    hw1 = max(committed_lsn(lk, p) for p in list_partitions(lk))
+
+    ch = lake_changes(lk, from_lsn=hw0, to_lsn=hw1).to_pandas()
+    n_upd = ((before.turn_idx % 3 == 0) & (before.turn_idx % 7 != 0)).sum()
+    n_ins = (before.turn_idx % 5 == 2).sum()
+    n_del = (before.turn_idx % 7 == 0).sum()
+    got = ch["change_op"].value_counts().to_dict()
+    # updates that don't change the payload (text already ends with "!"?
+    # impossible here) all count; changefeed reports NET row changes
+    assert got.get("I", 0) == n_ins
+    assert got.get("D", 0) == n_del
+    assert got.get("U", 0) == n_upd
+
+
+def test_merge_duplicate_source_keys_resolve_by_ts(ray_session, tmp_path):
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.merge_into import merge_into
+
+    lk = _build_lake(tmp_path, n_events=4_000, n_convs=30)
+    before = read_lake(lk).to_pandas()
+    key = before.iloc[0]
+    rows = []
+    for i, txt in enumerate(["older", "newer"]):
+        rows.append(
+            {
+                "conv_id": key.conv_id,
+                "turn_idx": int(key.turn_idx),
+                "role": "r",
+                "text": txt,
+                "tool": None,
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=i),
+                "_del": False,
+            }
+        )
+    src = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    merge_into(lk, ray.data.from_arrow(src), delete_col="_del")
+    after = read_lake(lk).to_pandas()
+    got = after[
+        (after.conv_id == key.conv_id) & (after.turn_idx == key.turn_idx)
+    ]["text"].tolist()
+    assert got == ["newer"]
