@@ -441,6 +441,17 @@ def q_cdc_repartition(sf_dir: str):
     return read_lake(out)
 
 
+def q_cdc_scd2(sf_dir: str):
+    """SCD Type-2 version history from the change stream: every I/U event
+    opens a row version valid [lsn, next-event lsn) in LWW (ts, lsn)
+    order; D closes without opening. One conv-keyed hop, neighbor-shift
+    kernel vectorized across keys. Oracle = lead()/row_number() window
+    mirror over the derived binlog."""
+    from grate_ray.pipelines.cdc import scd2_history
+
+    return scd2_history(_binlog(sf_dir), num_partitions=16)
+
+
 def q_cdc_merge_into(sf_dir: str):
     """Delta-style MERGE INTO: a condition-driven keyed source (updates
     where turn%3==0, inserts at turn+100000 where turn%5==2, matched
@@ -2155,6 +2166,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_multi_source": q_cdc_multi_source,
     "cdc_ingest_lake": q_cdc_ingest_lake,
     "cdc_merge_into": q_cdc_merge_into,
+    "cdc_scd2": q_cdc_scd2,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
@@ -3455,6 +3467,19 @@ SELECT event_id,
        END AS rk_value
 FROM events""",
         "cdc_ingest_lake": lww,
+        "cdc_scd2": f"""
+WITH b AS ({BINLOG_SQL}),
+v AS (
+  SELECT *,
+         lead(lsn) OVER (PARTITION BY conv_id, turn_idx
+                         ORDER BY ts, lsn) AS valid_to_lsn,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, lsn DESC) AS rn
+  FROM b
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, lsn, valid_to_lsn,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM v WHERE op <> 'D'""",
         # MERGE algebra over the LWW final state: updates replace their
         # keys, matched deletes drop theirs, inserts add disjoint keys
         "cdc_merge_into": f"""

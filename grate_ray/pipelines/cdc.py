@@ -260,3 +260,75 @@ def replay(
         renames=renames,
     )
     return ds.groupby("part").map_groups(final_group, batch_format="pyarrow")
+
+
+def scd2_history(
+    events: ray.data.Dataset, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Slowly-Changing-Dimension TYPE-2 version history from the change
+    stream — the other classic CDC materialization (the lake keeps ONLY
+    the LWW winner; SCD2 keeps EVERY version with its validity interval):
+    each I/U event opens a row version valid from its lsn until the key's
+    next event in LWW order (ts, lsn); a D event closes the previous
+    version without opening one. Emits one row per version with
+    ``valid_to_lsn`` (null = still open) and ``is_current`` (1 for the
+    open version of a live key, 0 otherwise — a deleted key has no
+    current version).
+
+    Shape: ONE keyed repartition on conv_id, then a block-local lexsort +
+    shifted-neighbor comparison vectorized ACROSS keys — no per-key
+    Python, no window shuffle; the history never concentrates beyond the
+    key-hash spread."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    def versions(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("conv_id", pa.string()),
+                pa.field("turn_idx", pa.int32()),
+                pa.field("role", pa.string()),
+                pa.field("text", pa.string()),
+                pa.field("tool", pa.string()),
+                pa.field("ts", pa.timestamp("us")),
+                pa.field("lsn", pa.int64()),
+                pa.field("valid_to_lsn", pa.int64()),
+                pa.field("is_current", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        cc, _ = pd.factorize(t["conv_id"].to_pandas())
+        tt = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsn = t["lsn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        tsi = tsv.view(np.int64)
+        order = np.lexsort((lsn, tsi, tt, cc))
+        cs, ts_, ls = cc[order], tt[order], lsn[order]
+        nxt_same = np.zeros(len(cs), dtype=bool)
+        nxt_same[:-1] = (cs[1:] == cs[:-1]) & (ts_[1:] == ts_[:-1])
+        valid_to = np.empty(len(ls), dtype=np.int64)
+        valid_to[:-1] = ls[1:]
+        valid_to[-1] = 0
+        sorted_t = t.take(pa.array(order))
+        op = sorted_t["op"].to_numpy(zero_copy_only=False)
+        emit = op != "D"
+        out = sorted_t.filter(pa.array(emit)).drop_columns(["op"])
+        # null out open intervals (no next event for the key)
+        vt = pc.if_else(
+            pa.array(nxt_same[emit]),
+            pa.array(valid_to[emit], pa.int64()),
+            pa.nulls(int(emit.sum()), pa.int64()),
+        )
+        cur = pa.array((~nxt_same[emit]).astype(np.int64))
+        out = out.append_column("valid_to_lsn", vt).append_column("is_current", cur)
+        return out.select(schema.names).cast(schema)
+
+    return events.repartition(
+        join_partitions(num_partitions), keys=["conv_id"]
+    ).map_batches(versions, batch_format="pyarrow", batch_size=None)

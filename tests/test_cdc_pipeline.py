@@ -226,3 +226,62 @@ def test_merge_source_streams_total_order(tmp_path_factory):
     # ties on ts resolve by global lsn: source-1 local-lsn-3 has glsn 7 → wins
     final = finalize(lww_reduce(t))
     assert final["text"].to_pylist() == ["c1"]
+
+
+def test_scd2_history_serial_reference(ray_session):
+    """SCD2 versions equal a serial per-key replay: I/U open versions,
+    D closes without opening, reinsert after delete opens a new version,
+    equal-ts ties order by lsn."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.pipelines.cdc import scd2_history
+
+    ts0 = pd.Timestamp("2026-01-01")
+    rows = []
+    # key A: I, U, U  (3 versions, last current)
+    for i, op in enumerate(["I", "U", "U"]):
+        rows.append(("a", 0, op, 10 + i, ts0 + pd.Timedelta(seconds=i), f"a{i}"))
+    # key B: I, D, I (reinsert) — 2 versions, first closed by D
+    rows.append(("b", 1, "I", 20, ts0, "b0"))
+    rows.append(("b", 1, "D", 21, ts0 + pd.Timedelta(seconds=1), None))
+    rows.append(("b", 1, "I", 22, ts0 + pd.Timedelta(seconds=2), "b1"))
+    # key C: equal ts, lsn breaks the tie; ends deleted — no current row
+    rows.append(("c", 2, "I", 30, ts0, "c0"))
+    rows.append(("c", 2, "U", 31, ts0, "c1"))
+    rows.append(("c", 2, "D", 32, ts0, None))
+    conv, turn, op, lsn, ts, text = zip(*rows)
+    t = pa.table(
+        {
+            "op": pa.array(op),
+            "lsn": pa.array(lsn, pa.int64()),
+            "conv_id": pa.array(conv),
+            "turn_idx": pa.array(np.array(turn, dtype=np.int32)),
+            "role": pa.array(["r"] * len(rows)),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.nulls(len(rows), pa.string()),
+            "ts": pa.array(pd.to_datetime(list(ts)), pa.timestamp("us")),
+        }
+    )
+    configure_shuffle(8)
+    out = (
+        scd2_history(ray.data.from_arrow(t).repartition(3), num_partitions=8)
+        .to_pandas()
+        .sort_values("lsn")
+        .reset_index(drop=True)
+    )
+    exp = {
+        # lsn: (valid_to, is_current)
+        10: (11, 0), 11: (12, 0), 12: (None, 1),
+        20: (21, 0), 22: (None, 1),
+        30: (31, 0), 31: (32, 0),
+    }
+    assert len(out) == len(exp)
+    for _, r in out.iterrows():
+        vt, cur = exp[int(r.lsn)]
+        got_vt = None if pd.isna(r.valid_to_lsn) else int(r.valid_to_lsn)
+        assert got_vt == vt, (r.lsn, got_vt, vt)
+        assert int(r.is_current) == cur, (r.lsn, r.is_current, cur)
