@@ -441,6 +441,43 @@ def q_cdc_repartition(sf_dir: str):
     return read_lake(out)
 
 
+def _merge_src(t: pa.Table) -> pa.Table:
+    """The deterministic MERGE source used by cdc_merge_into and
+    cdc_branch_diff: updates (turn%3==0 and turn%7!=0, text upper+'!'),
+    inserts (turn%5==2 at turn+100000, role='merged'), matched deletes
+    (turn%7==0) — mirrored verbatim in both oracles."""
+    import numpy as _np
+
+    import pyarrow.compute as _pc
+
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(_np.int64)
+    upd = t.filter(pa.array((turn % 3 == 0) & (turn % 7 != 0)))
+    upd = upd.set_column(
+        upd.schema.get_field_index("text"),
+        "text",
+        _pc.binary_join_element_wise(
+            _pc.utf8_upper(_pc.fill_null(upd["text"], "")), "!", ""
+        ),
+    ).append_column("_del", pa.array([False] * upd.num_rows))
+    ins = t.filter(pa.array(turn % 5 == 2))
+    ins = (
+        ins.set_column(
+            ins.schema.get_field_index("turn_idx"),
+            "turn_idx",
+            _pc.cast(_pc.add(ins["turn_idx"], 100_000), pa.int32()),
+        )
+        .set_column(
+            ins.schema.get_field_index("role"),
+            "role",
+            pa.array(["merged"] * ins.num_rows, pa.string()),
+        )
+        .append_column("_del", pa.array([False] * ins.num_rows))
+    )
+    dele = t.filter(pa.array(turn % 7 == 0))
+    dele = dele.append_column("_del", pa.array([True] * dele.num_rows))
+    return pa.concat_tables([upd, ins, dele])
+
+
 def q_cdc_scd2(sf_dir: str):
     """SCD Type-2 version history from the change stream: every I/U event
     opens a row version valid [lsn, next-event lsn) in LWW (ts, lsn)
@@ -472,39 +509,33 @@ def q_cdc_merge_into(sf_dir: str):
     shutil.rmtree(lake, ignore_errors=True)
     shutil.copytree(base, lake)
 
-    def to_src(t: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(_np.int64)
-        upd = t.filter(pa.array((turn % 3 == 0) & (turn % 7 != 0)))
-        upd = upd.set_column(
-            upd.schema.get_field_index("text"),
-            "text",
-            _pc.binary_join_element_wise(
-                _pc.utf8_upper(_pc.fill_null(upd["text"], "")), "!", ""
-            ),
-        ).append_column("_del", pa.array([False] * upd.num_rows))
-        ins = t.filter(pa.array(turn % 5 == 2))
-        ins = (
-            ins.set_column(
-                ins.schema.get_field_index("turn_idx"),
-                "turn_idx",
-                _pc.cast(_pc.add(ins["turn_idx"], 100_000), pa.int32()),
-            )
-            .set_column(
-                ins.schema.get_field_index("role"),
-                "role",
-                pa.array(["merged"] * ins.num_rows, pa.string()),
-            )
-            .append_column("_del", pa.array([False] * ins.num_rows))
-        )
-        dele = t.filter(pa.array(turn % 7 == 0))
-        dele = dele.append_column("_del", pa.array([True] * dele.num_rows))
-        return pa.concat_tables([upd, ins, dele])
-
-    src = read_lake(lake).map_batches(to_src, batch_format="pyarrow")
+    src = read_lake(lake).map_batches(_merge_src, batch_format="pyarrow")
     merge_into(lake, src, delete_col="_del")
     return read_lake(lake)
+
+
+def q_cdc_branch_diff(sf_dir: str):
+    """Copy-on-write branch isolation end to end: fork the lake at head
+    (zero data copied — the branch resolves chain files through its
+    parent pointer), run the SAME merge as cdc_merge_into against the
+    BRANCH, and return diff_branches(parent, branch). The parent must be
+    bit-identical untouched, so the diff is exactly the merge's net
+    I/U/D — which the oracle derives from the LWW state alone."""
+    import shutil
+
+    from grate_ray.pipelines.branch import branch_lake, diff_branches
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.merge_into import merge_into
+
+    base = _ingest_lake(sf_dir)
+    br = base.rstrip("/") + "_branch"
+    shutil.rmtree(br, ignore_errors=True)
+    branch_lake(base, br)
+    src = read_lake(br).map_batches(_merge_src, batch_format="pyarrow")
+    merge_into(br, src, delete_col="_del")
+    return diff_branches(base, br).map_batches(
+        lambda t: t.drop_columns(["lsn"]), batch_format="pyarrow"
+    )
 
 
 _LOOKUP_KEYS = [("conv7", 0), ("conv42", 1), ("conv113", 2)]
@@ -2167,6 +2198,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_ingest_lake": q_cdc_ingest_lake,
     "cdc_merge_into": q_cdc_merge_into,
     "cdc_scd2": q_cdc_scd2,
+    "cdc_branch_diff": q_cdc_branch_diff,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
@@ -3480,6 +3512,20 @@ v AS (
 SELECT conv_id, turn_idx, role, text, tool, ts, lsn, valid_to_lsn,
        CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_current
 FROM v WHERE op <> 'D'""",
+        # branch diff = the merge's net changes relative to the branch:
+        # U carries the branch winner (updated payload), D the parent
+        # winner's envelope, I the inserted rows; parent stays untouched
+        "cdc_branch_diff": f"""
+WITH S AS ({{lww}})
+SELECT 'U' AS change_op, conv_id, turn_idx, role,
+       upper(coalesce(text, '')) || '!' AS text, tool, ts
+FROM S WHERE turn_idx % 3 = 0 AND turn_idx % 7 <> 0
+UNION ALL
+SELECT 'I', conv_id, CAST(turn_idx + 100000 AS INTEGER), 'merged', text, tool, ts
+FROM S WHERE turn_idx % 5 = 2
+UNION ALL
+SELECT 'D', conv_id, turn_idx, role, text, tool, ts
+FROM S WHERE turn_idx % 7 = 0""".format(lww=lww),
         # MERGE algebra over the LWW final state: updates replace their
         # keys, matched deletes drop theirs, inserts add disjoint keys
         "cdc_merge_into": f"""

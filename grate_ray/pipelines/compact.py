@@ -37,6 +37,7 @@ from ..state.manifest import (
     list_partitions,
     manifest_path,
     read_state,
+    resolve_chain_file,
     state_path,
 )
 
@@ -55,7 +56,7 @@ def _compact_partition(
     needs_rewrite = m.get("kind", "snapshot") != "snapshot" or len(files) > 1
     rewritten = 0
     if not needs_rewrite and files:
-        schema = pq.read_schema(os.path.join(lake_dir, files[0]))
+        schema = pq.read_schema(resolve_chain_file(lake_dir, files[0]))
         needs_rewrite = not schema.equals(target)
     if needs_rewrite:
         state = read_state(lake_dir, part, hw)
@@ -97,7 +98,7 @@ def needs_compaction(lake_dir: str, max_chain: int = 8) -> bool:
         if len(files) > max_chain:
             return True
         if files:
-            newest = os.path.join(lake_dir, files[-1])
+            newest = resolve_chain_file(lake_dir, files[-1])
             schemas.add(pq.read_schema(newest).to_string())
             if len(schemas) > 1:
                 return True
@@ -121,7 +122,7 @@ def compact_lake(
     schemas = []
     for p in parts:
         for f in chain_files(lake_dir, p):
-            schemas.append(pq.read_schema(os.path.join(lake_dir, f)))
+            schemas.append(pq.read_schema(resolve_chain_file(lake_dir, f)))
     if not schemas:
         return {"partitions_compacted": 0, "schemas_unified": 0, "snapshots_gced": 0}
     target = unify(schemas)

@@ -201,6 +201,35 @@ def write_lake_config(lake_dir: str, num_partitions: int) -> None:
     os.replace(tmp, p)
 
 
+def lake_parent(lake_dir: str) -> str | None:
+    """Parent lake of a copy-on-write branch (None for a root lake)."""
+    p = lake_config_path(lake_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("parent")
+
+
+def resolve_chain_file(lake_dir: str, f: str) -> str:
+    """Resolve a lake-relative chain file to an absolute path, falling
+    back through the branch parent chain: a copy-on-write branch copies
+    only manifests at branch time and SHARES the parent's immutable data
+    files until it diverges — files committed after the branch live in
+    the branch dir, inherited files stay in (an ancestor of) the parent.
+    Returns the local path (possibly nonexistent) when no ancestor has
+    the file, so callers keep their GC error reporting."""
+    local = os.path.join(lake_dir, f)
+    p, d, seen = local, lake_dir, set()
+    while not os.path.exists(p):
+        parent = lake_parent(d)
+        if parent is None or parent in seen:
+            return local
+        seen.add(parent)
+        p = os.path.join(parent, f)
+        d = parent
+    return p
+
+
 def lake_num_partitions(lake_dir: str) -> int | None:
     p = lake_config_path(lake_dir)
     if not os.path.exists(p):
@@ -433,7 +462,7 @@ def read_state(
         return None
     tables = []
     for f in files:
-        path = os.path.join(lake_dir, f)
+        path = resolve_chain_file(lake_dir, f)
         if not os.path.exists(path):
             # the manifest (lineage) is kept forever, but GC/compaction may
             # have removed superseded chain files — surface a clear error
@@ -644,7 +673,7 @@ def backfill_stats(lake_dir: str) -> int:
             sf = m.get("state_file")
             if not sf:
                 continue
-            path = os.path.join(lake_dir, sf)
+            path = resolve_chain_file(lake_dir, sf)
             if not os.path.exists(path):
                 continue  # GC'd chain file: commit unreadable regardless
             m["stats"] = _column_stats(pq.read_table(path))

@@ -1,0 +1,104 @@
+"""Copy-on-write branch semantics: zero-copy fork, isolation, diff."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _build_lake(tmp_path, n_events=12_000, n_convs=80, parts=8):
+    from grate_ray.genlog import GenSpec, generate_binlog
+    from grate_ray.pipelines.ingest import ingest
+
+    bl, lk = str(tmp_path / "binlog"), str(tmp_path / "lake")
+    generate_binlog(
+        bl, GenSpec(num_events=n_events, num_convs=n_convs, chunk_rows=3_000)
+    )
+    ingest(bl, lk, num_partitions=parts, files_per_microbatch=None)
+    return lk
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    )
+
+
+def test_branch_is_zero_copy_and_reads_equal(ray_session, tmp_path):
+    from grate_ray.pipelines.branch import branch_lake
+    from grate_ray.pipelines.ingest import read_lake
+
+    lk = _build_lake(tmp_path)
+    br = str(tmp_path / "branch")
+    info = branch_lake(lk, br)
+    assert info["manifests"] > 0
+    # zero-copy: the branch holds no data files, only manifests+config
+    assert glob.glob(os.path.join(br, "part=*", "*.parquet")) == []
+    pd.testing.assert_frame_equal(
+        _canon(read_lake(br).to_pandas()), _canon(read_lake(lk).to_pandas())
+    )
+
+
+def test_branch_divergence_is_isolated(ray_session, tmp_path):
+    from grate_ray.pipelines.branch import branch_lake, diff_branches
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.merge_into import merge_into
+
+    lk = _build_lake(tmp_path)
+    br = str(tmp_path / "branch")
+    branch_lake(lk, br)
+    base = read_lake(lk).to_pandas()
+
+    src = base[base.turn_idx % 4 == 1].copy()
+    src["text"] = "BR:" + src["text"]
+    src["_del"] = False
+    dele = base[base.turn_idx % 9 == 0].copy()
+    dele["_del"] = True
+    srct = pa.Table.from_pandas(pd.concat([src, dele]), preserve_index=False)
+    merge_into(br, ray.data.from_arrow(srct), delete_col="_del")
+
+    # branch sees the merge…
+    after = read_lake(br).to_pandas()
+    exp = base.copy()
+    m = exp.turn_idx % 4 == 1
+    exp.loc[m, "text"] = "BR:" + exp.loc[m, "text"]
+    exp = exp[exp.turn_idx % 9 != 0]
+    pd.testing.assert_frame_equal(_canon(after), _canon(exp))
+    # …the parent does not
+    pd.testing.assert_frame_equal(_canon(read_lake(lk).to_pandas()), _canon(base))
+
+    # diff reports exactly the divergence (relative to the branch)
+    d = diff_branches(lk, br).to_pandas()
+    counts = d["change_op"].value_counts().to_dict()
+    n_upd = ((base.turn_idx % 4 == 1) & (base.turn_idx % 9 != 0)).sum()
+    n_del = (base.turn_idx % 9 == 0).sum()
+    assert counts.get("U", 0) == n_upd
+    assert counts.get("D", 0) == n_del
+    assert counts.get("I", 0) == 0
+
+
+def test_branch_at_lsn_matches_time_travel(ray_session, tmp_path):
+    from grate_ray.pipelines.branch import branch_lake
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.state.manifest import committed_lsn, list_partitions
+
+    from grate_ray.genlog import GenSpec, generate_binlog
+    from grate_ray.pipelines.ingest import ingest
+
+    bl, lk = str(tmp_path / "binlog"), str(tmp_path / "lake")
+    generate_binlog(
+        bl, GenSpec(num_events=12_000, num_convs=80, chunk_rows=3_000)
+    )
+    # two micro-batch windows → at least two commit points per partition
+    ingest(bl, lk, num_partitions=8, files_per_microbatch=2, auto_compact=False)
+    hws = sorted(committed_lsn(lk, p) for p in list_partitions(lk))
+    mid = hws[0] - 1  # below the head: resolves to an earlier commit
+    br = str(tmp_path / "branch_mid")
+    branch_lake(lk, br, at_lsn=mid)
+    pd.testing.assert_frame_equal(
+        _canon(read_lake(br).to_pandas()),
+        _canon(read_lake(lk, asof_lsn=mid).to_pandas()),
+    )
