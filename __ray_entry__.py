@@ -489,6 +489,21 @@ def q_cdc_scd2(sf_dir: str):
     return scd2_history(_binlog(sf_dir), num_partitions=16)
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct texts over the change stream:
+    one mergeable sketch row per batch (kilobytes move, no key shuffle),
+    driver merge is m=4096 byte-wise max. md5-low64 hashing makes the
+    ENTIRE sketch — register indices, leading-zero ranks, harmonic
+    estimate, linear-counting correction — an exact SQL mirror, so this
+    approximate operator still gets a full value-checked oracle."""
+    import pandas as pd
+
+    from grate_ray.functions.sketch import approx_distinct
+
+    est = approx_distinct(_binlog(sf_dir), "text", p=12)
+    return pd.DataFrame({"approx_distinct": [round(est, 6)]})
+
+
 def q_cdc_merge_into(sf_dir: str):
     """Delta-style MERGE INTO: a condition-driven keyed source (updates
     where turn%3==0, inserts at turn+100000 where turn%5==2, matched
@@ -2199,6 +2214,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_merge_into": q_cdc_merge_into,
     "cdc_scd2": q_cdc_scd2,
     "cdc_branch_diff": q_cdc_branch_diff,
+    "approx_distinct_texts": q_approx_distinct,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
@@ -3499,6 +3515,40 @@ SELECT event_id,
        END AS rk_value
 FROM events""",
         "cdc_ingest_lake": lww,
+        # full HLL replay: md5 hash → top-12-bit register index, rank =
+        # first set bit of the shifted remainder (exact via bin() string
+        # scan — no float log2), byte-max registers, harmonic estimate
+        # with linear-counting small-range correction
+        "approx_distinct_texts": f"""
+WITH b AS ({BINLOG_SQL}),
+h AS (SELECT md5_number_lower(coalesce(text, '')) AS h FROM b),
+r AS (
+  SELECT CAST(h >> 52 AS BIGINT) AS idx,
+         CAST((CAST(h AS HUGEINT) * 4096) % {_W64} AS UBIGINT) AS rest
+  FROM h
+),
+rk AS (
+  SELECT idx,
+         CASE WHEN strpos(substr(lpad(bin(rest), 64, '0'), 1, 52), '1') = 0
+              THEN 53
+              ELSE strpos(substr(lpad(bin(rest), 64, '0'), 1, 52), '1')
+         END AS rank
+  FROM r
+),
+regs AS (SELECT idx, max(rank) AS reg FROM rk GROUP BY idx),
+s AS (
+  SELECT count(*) AS npresent, sum(pow(2.0, -reg)) AS sp FROM regs
+),
+est AS (
+  SELECT (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+           / (sp + (4096 - npresent)) AS raw,
+         4096 - npresent AS zeros
+  FROM s
+)
+SELECT CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+            THEN round(4096 * ln(4096.0 / zeros), 6)
+            ELSE round(raw, 6) END AS approx_distinct
+FROM est""",
         "cdc_scd2": f"""
 WITH b AS ({BINLOG_SQL}),
 v AS (

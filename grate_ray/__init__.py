@@ -70,6 +70,14 @@ def __getattr__(name):
         "table_diff": ("grate_ray.pipelines.relational", "table_diff"),
         "global_rank": ("grate_ray.pipelines.relational", "global_rank"),
         "dialog_pairs": ("grate_ray.pipelines.llmprep", "dialog_pairs"),
+        # round-3 additions: condition-driven merge, branches, history
+        "merge_into": ("grate_ray.pipelines.merge_into", "merge_into"),
+        "branch_lake": ("grate_ray.pipelines.branch", "branch_lake"),
+        "diff_branches": ("grate_ray.pipelines.branch", "diff_branches"),
+        "scd2_history": ("grate_ray.pipelines.cdc", "scd2_history"),
+        "semantic_dedup": ("grate_ray.functions.ann", "semantic_dedup"),
+        "chunk_dedup": ("grate_ray.functions.dedup", "chunk_dedup"),
+        "approx_distinct": ("grate_ray.functions.sketch", "approx_distinct"),
     }
     if name in _api:
         import importlib

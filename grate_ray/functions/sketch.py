@@ -21,12 +21,17 @@ import ray.data
 
 
 def _hash64(values: list[str]) -> np.ndarray:
-    """blake2b-8 per value — crc32 combinations are too correlated for
-    HLL register ranks (measured 18% bias on sequential keys)."""
+    """Low 8 md5 bytes little-endian per value — bit-identical to
+    DuckDB's md5_number_lower(), making the ENTIRE sketch (registers,
+    ranks, harmonic estimate, linear-counting correction) exactly
+    SQL-mirrorable like the rest of the hashing family. (crc32
+    combinations are too correlated for HLL register ranks — measured
+    18% bias on sequential keys; md5 is as unbiased as the blake2b it
+    replaced.)"""
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
-        d = hashlib.blake2b((v or "").encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(d, "little")
+        d = hashlib.md5((v or "").encode("utf-8")).digest()
+        out[i] = int.from_bytes(d[8:16], "little")
     return out
 
 
