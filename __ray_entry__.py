@@ -2341,6 +2341,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "anti_join_segment": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).orders_anti_join_segment(sf),
+    "semi_join_segment": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).orders_semi_join_segment(sf),
     "distinct_event_types": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).distinct_event_types(sf),
@@ -4364,6 +4367,10 @@ SELECT o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
         "anti_join_segment": """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
+        "semi_join_segment": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
     }

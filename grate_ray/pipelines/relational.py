@@ -153,6 +153,33 @@ def orders_anti_join_segment(sf_dir: str, segment: str = "BUILDING") -> ray.data
     ).map_batches(anti, batch_format="pyarrow")
 
 
+def orders_semi_join_segment(
+    sf_dir: str, segment: str = "BUILDING"
+) -> ray.data.Dataset:
+    """Semi-join via broadcast key set (the complement of
+    ``orders_anti_join_segment``): orders whose customer IS in the given
+    market segment — membership only, never duplicating rows the way an
+    inner join against a many-row dimension would. Key set ``ray.put``
+    once, vectorized ``pc.is_in`` per batch, no shuffle; at a key-set
+    size where broadcast stops fitting, the same semantics fall back to
+    the distributed hash join + distinct."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], segment))["c_custkey"]
+    key_ref = ray.put(keys.combine_chunks())
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        return t.filter(pc.is_in(t["o_custkey"], value_set=ks))
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(semi, batch_format="pyarrow")
+
+
 def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
     """Distinct values of a column: per-batch partial distinct inside
     map_batches, then a tiny groupby — never ships duplicate rows
