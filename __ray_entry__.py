@@ -489,6 +489,38 @@ def q_cdc_scd2(sf_dir: str):
     return scd2_history(_binlog(sf_dir), num_partitions=16)
 
 
+def q_hashed_embed_search(sf_dir: str):
+    """Model-free semantic-ish search end to end: documents → 64-dim
+    feature-hashing embeddings (md5-bit sign projection, integer-exact,
+    one stateless pass) → broadcast query matrix → cosine top-5 with
+    per-batch pruning. The oracle replays the full chain in SQL: word
+    counts → md5 bit signs → per-dim sums → list_cosine_similarity
+    ranking. The distributed plumbing is identical to what a real
+    model-embedder actor pool would feed."""
+    from grate_ray.functions.ann import brute_force_topk
+    from grate_ray.functions.embed import hashed_embed_batch, hashed_embeddings
+
+    docs = _docs(sf_dir)
+    emb = hashed_embeddings(docs)
+
+    def pick(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        return t.filter(pa.array(ids % 100 == 0))
+
+    qt = pa.concat_tables(
+        list(
+            _docs(sf_dir)
+            .map_batches(pick, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    qmat = hashed_embed_batch(qt["text"]).astype("float64")
+    qids = qt["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+    return brute_force_topk(emb, qids, qmat, k=5, id_col="doc_id")
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct texts over the change stream:
     one mergeable sketch row per batch (kilobytes move, no key shuffle),
@@ -2215,6 +2247,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_scd2": q_cdc_scd2,
     "cdc_branch_diff": q_cdc_branch_diff,
     "approx_distinct_texts": q_approx_distinct,
+    "hashed_embed_search": q_hashed_embed_search,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
@@ -3518,6 +3551,46 @@ SELECT event_id,
        END AS rk_value
 FROM events""",
         "cdc_ingest_lake": lww,
+        # feature-hashing embed + cosine top-5: word counts → md5 bit
+        # signs → integer per-dim sums → list cosine, (sim6 DESC, id) rank
+        "hashed_embed_search": """
+WITH d AS (
+  SELECT doc_id, str_split(coalesce(text, ''), ' ') AS ws FROM documents
+),
+w AS (
+  SELECT doc_id, wd, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS wd FROM d)
+  WHERE wd <> '' GROUP BY doc_id, wd
+),
+bits AS (
+  SELECT wd, md5_number_lower(wd) AS h FROM (SELECT DISTINCT wd FROM w)
+),
+comp AS (
+  SELECT w.doc_id, dim.d,
+         sum(w.c * (CASE WHEN (b.h >> CAST(dim.d AS INTEGER)) & 1 = 1
+                         THEN 1 ELSE -1 END)) AS v
+  FROM w
+  JOIN bits b ON b.wd = w.wd
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dim
+  GROUP BY w.doc_id, dim.d
+),
+emb AS (
+  SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY d) AS e FROM comp
+  GROUP BY doc_id
+),
+sc AS (
+  SELECT q.doc_id AS query_id, e.doc_id AS vec_id,
+         round(list_cosine_similarity(q.e, e.e), 6) AS sim
+  FROM emb q JOIN emb e ON e.doc_id <> q.doc_id
+  WHERE q.doc_id % 100 = 0
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+  FROM sc
+)
+SELECT query_id, vec_id, sim, rank FROM r WHERE rank <= 5""",
         # full HLL replay: md5 hash → top-12-bit register index, rank =
         # first set bit of the shifted remainder (exact via bin() string
         # scan — no float log2), byte-max registers, harmonic estimate

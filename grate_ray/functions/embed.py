@@ -1,0 +1,88 @@
+"""Model-free text embeddings via feature hashing (the hashing trick).
+
+Dimension ``d`` of word ``w`` contributes ``sign = 2·bit_d(md5(w)) − 1``;
+a document's embedding is the word-count-weighted sum of its words' sign
+vectors — a 64-dim random projection of the bag-of-words (the
+real-valued generalization of SimHash: SimHash keeps only the sign of
+this sum, this keeps the sum itself). No model weights, no vocab file,
+fully deterministic — and because md5-low64 ≡ DuckDB md5_number_lower
+and the sums are INTEGERS, the entire embedding is exactly
+SQL-mirrorable; only the final cosine is floating point (6dp-snapped,
+same convention as the ANN family).
+
+Not a transformer — but the honest in-container stand-in that exercises
+the identical distributed plumbing (batch embed → broadcast queries →
+matmul top-k), and a genuinely usable lexical-similarity signal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .dedup import _md5_lower64
+
+_U64 = np.uint64
+EMBED_DIM = 64
+
+
+def hashed_embed_batch(texts: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
+    """(n, 64) int64 embedding matrix for a batch of texts — one md5 per
+    UNIQUE word, per-doc sums via ``np.add.reduceat`` over the
+    (words × 64) sign matrix (the SimHash vote kernel, kept real-valued).
+    Empty docs embed to the zero vector."""
+    arr = pa.array(texts, pa.string()) if isinstance(texts, list) else texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    out = np.zeros((n, EMBED_DIM), dtype=np.int64)
+    words = pc.split_pattern(pc.fill_null(arr, ""), pattern=" ")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    if len(flat) == 0:
+        return out
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_of_word = np.repeat(np.arange(n), counts)[nonempty]
+    kept = flat.filter(pa.array(nonempty))
+    if len(kept) == 0:
+        return out
+    codes, uniques = pd.factorize(kept.to_pandas())
+    hu = _md5_lower64(uniques.to_numpy())
+    h = hu[codes]
+    bits = np.arange(EMBED_DIM, dtype=_U64)
+    signs = ((h[:, None] >> bits[None, :]) & _U64(1)).astype(np.int64) * 2 - 1
+    change = np.empty(len(doc_of_word), dtype=bool)
+    change[0] = True
+    change[1:] = doc_of_word[1:] != doc_of_word[:-1]
+    starts = np.flatnonzero(change)
+    sums = np.add.reduceat(signs, starts, axis=0)
+    out[doc_of_word[starts]] = sums
+    return out
+
+
+def hashed_embeddings(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Embed a document stream: one stateless vectorized pass, emitting
+    (id_col, embedding list<double>). Streams — nothing is materialized."""
+
+    def embed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        m = hashed_embed_batch(t[text_col]).astype(np.float64)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "embedding": pa.array(list(m)),
+            }
+        )
+
+    return ds.map_batches(embed, batch_format="pyarrow")

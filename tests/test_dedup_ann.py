@@ -711,3 +711,57 @@ def test_chunk_dedup_serial_and_shift_resistance(ray_session):
     copies = out.loc[30:]
     assert (copies["n_dup"] > 0).all()
     assert copies["n_dup"].sum() >= copies["n_chunks"].sum() * 0.5
+
+
+def test_hashed_embeddings_serial_and_neardup_signal(ray_session):
+    """Feature-hashing embeddings equal a per-doc serial reference (md5
+    bit signs × word counts), and near-identical docs embed nearly
+    parallel while unrelated docs do not."""
+    import hashlib
+
+    from grate_ray.functions.embed import EMBED_DIM, hashed_embed_batch, hashed_embeddings
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon",  # near-dup of 0
+        "one two three four five six seven",
+        "alpha alpha alpha",  # repeated word → count weighting
+        "",
+    ]
+
+    def serial(text):
+        v = np.zeros(EMBED_DIM, dtype=np.int64)
+        for w in text.split(" "):
+            if not w:
+                continue
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+            for d in range(EMBED_DIM):
+                v[d] += 1 if (h >> d) & 1 else -1
+        return v
+
+    got = hashed_embed_batch(texts)
+    exp = np.stack([serial(t) for t in texts])
+    assert (got == exp).all()
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return float(a @ b) / (na * nb)
+
+    assert cos(got[0], got[1]) > 0.85
+    assert cos(got[0], got[2]) < 0.6
+
+    # Dataset path matches the batch kernel regardless of partitioning
+    import pyarrow as _pa
+
+    t = _pa.table({"doc_id": _pa.array(range(len(texts)), _pa.int64()),
+                   "text": texts})
+    ds_out = (
+        hashed_embeddings(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i in range(len(texts)):
+        assert np.allclose(np.array(ds_out.loc[i, "embedding"]), exp[i])
