@@ -521,6 +521,19 @@ def q_hashed_embed_search(sf_dir: str):
     return brute_force_topk(emb, qids, qmat, k=5, id_col="doc_id")
 
 
+def q_rollup_counts(sf_dir: str):
+    """Warehouse ROLLUP over the live lake state: counts at (role, tool),
+    (role), and grand total in ONE pass — per-batch partials for every
+    level, sentinel-encoded so rolled-up cells never collide with the
+    tool column's genuine NULLs, one tiny groupby-sum. grouping_id
+    mirrors SQL GROUPING(role, tool)."""
+    from grate_ray.pipelines.cdc import apply_binlog
+    from grate_ray.pipelines.relational import rollup_counts
+
+    state = apply_binlog(_binlog(sf_dir), num_partitions=16)
+    return rollup_counts(state, cols=("role", "tool"))
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct texts over the change stream:
     one mergeable sketch row per batch (kilobytes move, no key shuffle),
@@ -2248,6 +2261,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_branch_diff": q_cdc_branch_diff,
     "approx_distinct_texts": q_approx_distinct,
     "hashed_embed_search": q_hashed_embed_search,
+    "rollup_counts": q_rollup_counts,
+    "grouped_median": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).grouped_quantile(sf, q=0.5),
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
@@ -3551,6 +3568,14 @@ SELECT event_id,
        END AS rk_value
 FROM events""",
         "cdc_ingest_lake": lww,
+        "grouped_median": """
+SELECT user_id, quantile_disc(value, 0.5) AS q_value
+FROM events WHERE value IS NOT NULL GROUP BY user_id""",
+        "rollup_counts": f"""
+SELECT role, tool,
+       CAST(GROUPING(role, tool) AS BIGINT) AS grouping_id,
+       count(*) AS n
+FROM ({{lww}}) s GROUP BY ROLLUP(role, tool)""".format(lww=lww),
         # feature-hashing embed + cosine top-5: word counts → md5 bit
         # signs → integer per-dim sums → list cosine, (sim6 DESC, id) rank
         "hashed_embed_search": """

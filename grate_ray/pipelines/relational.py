@@ -779,3 +779,132 @@ def table_diff(
     return both.repartition(join_partitions(32), keys=[key_col]).map_batches(
         diff, batch_format="pyarrow", batch_size=None
     )
+
+
+def rollup_counts(
+    ds: ray.data.Dataset, cols: tuple[str, str] = ("role", "tool")
+) -> ray.data.Dataset:
+    """Warehouse-style ROLLUP over two dimensions: counts at every
+    aggregation level — (a, b), (a), and grand total — in ONE pass, with
+    a ``grouping_id`` bitmask distinguishing a rolled-up dimension from a
+    genuinely NULL value (exactly SQL's GROUPING(a, b): 0 = both grouped,
+    1 = b rolled up, 3 = grand total).
+
+    Shape: every batch emits pre-aggregated partial counts for ALL levels
+    (rolled-up cells are a sentinel so Ray's hash aggregate never keys on
+    None), then one tiny groupby-sum — the shuffle ships at most
+    |a|·|b|·levels rows per block, never data."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    a_col, b_col = cols
+    ALL = "\x02<all>"
+    NULL = "\x01<null>"
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        schema = pa.schema(
+            [
+                pa.field(a_col, pa.string()),
+                pa.field(b_col, pa.string()),
+                pa.field("grouping_id", pa.int64()),
+                pa.field("part_n", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = pd.DataFrame(
+            {
+                a_col: t[a_col].to_pandas().fillna(NULL),
+                b_col: t[b_col].to_pandas().fillna(NULL),
+            }
+        )
+        lvl0 = df.groupby([a_col, b_col]).size().reset_index(name="part_n")
+        lvl0["grouping_id"] = 0
+        lvl1 = df.groupby([a_col]).size().reset_index(name="part_n")
+        lvl1[b_col] = ALL
+        lvl1["grouping_id"] = 1
+        top = pd.DataFrame(
+            {a_col: [ALL], b_col: [ALL], "part_n": [len(df)], "grouping_id": [3]}
+        )
+        out = pd.concat([lvl0, lvl1, top], ignore_index=True)
+        return pa.Table.from_pandas(
+            out[[a_col, b_col, "grouping_id", "part_n"]], preserve_index=False
+        ).cast(schema)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([a_col, b_col, "grouping_id"])
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        cols_out = {}
+        for c in (a_col, b_col):
+            arr = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+            arr = pc.if_else(
+                pc.or_(pc.equal(arr, ALL), pc.equal(arr, NULL)),
+                pa.nulls(t.num_rows, pa.string()),
+                arr,
+            )
+            cols_out[c] = arr
+        cols_out["grouping_id"] = t["grouping_id"]
+        cols_out["n"] = pc.cast(t["n"], pa.int64())
+        return pa.table(cols_out)
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def grouped_quantile(
+    sf_dir: str, q: float = 0.5, n_parts: int = 32
+) -> ray.data.Dataset:
+    """EXACT per-group quantile (``quantile_disc`` semantics: the element
+    at index ceil(q·n)−1 of the group's sorted values) of event value per
+    user: ONE keyed repartition co-locates each user, then a block kernel
+    computes every group's order statistic vectorized ACROSS groups —
+    one sort per block plus segment index arithmetic, no per-group
+    Python, no global sort. The group's values never leave their
+    partition; only (user, quantile) rows emerge."""
+    import math
+
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def block_quantile(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field("user_id", pa.int64()), pa.field("q_value", pa.float64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)  # SQL aggregates ignore NULLs
+        u, v = u[keep], v[keep]
+        if len(u) == 0:
+            return schema.empty_table()
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        change = np.empty(len(us), dtype=bool)
+        change[0] = True
+        change[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(us)))
+        kth = starts + np.ceil(q * lens).astype(np.int64) - 1
+        return pa.table(
+            {"user_id": pa.array(us[starts]), "q_value": pa.array(vs[kth])},
+            schema=schema,
+        )
+
+    return ds.repartition(join_partitions(n_parts), keys=["user_id"]).map_batches(
+        block_quantile, batch_format="pyarrow", batch_size=None
+    )
