@@ -636,13 +636,20 @@ def export_lake_incremental(
         # export the LOGICAL view, like read_lake
         keep = [c for c in t.column_names if c not in col_drops]
         t = apply_renames(t.select(keep), col_renames)
-        ext = "parquet" if fmt == "parquet" else "csv"
+        ext = {"parquet": "parquet", "jsonl": "jsonl"}.get(fmt, "csv")
         path = os.path.join(out_dir, f"part-{part}.{ext}")
         fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
         os.close(fd)
         try:
             if fmt == "parquet":
                 pq.write_table(t, tmp)
+            elif fmt == "jsonl":
+                # the LLM-training interchange format: one JSON object per
+                # row, ISO timestamps, nulls preserved
+                t.to_pandas().to_json(
+                    tmp, orient="records", lines=True,
+                    date_format="iso", date_unit="us",
+                )
             else:
                 import pyarrow.csv as pacsv
 

@@ -58,3 +58,37 @@ def test_export_lake(tmp_path_factory):
     got = pd.concat(pd.read_csv(os.path.join(out, f)) for f in files)
     assert len(got) == n
     assert set(got.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+
+
+def test_export_jsonl_roundtrip(ray_session, tmp_path_factory):
+    """JSONL export (the LLM-training interchange format): one object per
+    row, values round-trip through pandas read_json, incremental skip
+    still applies."""
+    from grate_ray.genlog import GenSpec, generate_binlog
+    from grate_ray.pipelines.ingest import (
+        export_lake_incremental, ingest, read_lake,
+    )
+
+    d = str(tmp_path_factory.mktemp("jbinlog"))
+    lake = str(tmp_path_factory.mktemp("jlake"))
+    out = str(tmp_path_factory.mktemp("jout"))
+    generate_binlog(d, GenSpec(num_events=3_000, num_convs=30, seed=5, chunk_rows=3_000))
+    ingest(d, lake, num_partitions=4, files_per_microbatch=1)
+    r = export_lake_incremental(lake, out, fmt="jsonl")
+    assert r["exported"]
+    files = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert files
+    got = pd.concat(
+        pd.read_json(os.path.join(out, f), lines=True,
+                     dtype={"conv_id": str}, convert_dates=["ts"])
+        for f in files
+    )
+    exp = read_lake(lake).to_pandas()
+    assert len(got) == len(exp)
+    g = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    e = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (g["text"].fillna("") == e["text"].fillna("")).all()
+    assert (g["ts"].dt.tz_localize(None) == e["ts"]).all()
+    # unchanged lake: second export writes nothing
+    r2 = export_lake_incremental(lake, out, fmt="jsonl")
+    assert r2["exported"] == []
