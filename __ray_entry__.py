@@ -521,6 +521,20 @@ def q_hashed_embed_search(sf_dir: str):
     return brute_force_topk(emb, qids, qmat, k=5, id_col="doc_id")
 
 
+def q_contrastive_triplets(sf_dir: str):
+    """(anchor, positive, negative) contrastive-training triplets:
+    positives from the verified MinHash near-dup pairs, negatives drawn
+    deterministically (no RNG) from an md5-hash-sampled candidate pool —
+    first pool doc after the anchor, wrapping, excluding both sides and
+    every known near-dup of the anchor. The oracle composes the full
+    minhash mirror with the same circular selection rule."""
+    from grate_ray.pipelines.llmprep import contrastive_triplets
+
+    return contrastive_triplets(
+        _with_truncated_copies(_docs(sf_dir)), threshold=0.6, pool_mod=17
+    )
+
+
 def q_rollup_counts(sf_dir: str):
     """Warehouse ROLLUP over the live lake state: counts at (role, tool),
     (role), and grand total in ONE pass — per-batch partials for every
@@ -2262,6 +2276,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "approx_distinct_texts": q_approx_distinct,
     "hashed_embed_search": q_hashed_embed_search,
     "rollup_counts": q_rollup_counts,
+    "contrastive_triplets": q_contrastive_triplets,
     "grouped_median": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).grouped_quantile(sf, q=0.5),
@@ -3568,6 +3583,26 @@ SELECT event_id,
        END AS rk_value
 FROM events""",
         "cdc_ingest_lake": lww,
+        "contrastive_triplets": f"""
+WITH pairs AS (SELECT a, b FROM ({_minhash_sql(threshold=0.6, bucket_cap=50)})),
+pool AS (
+  SELECT doc_id FROM ({_CORPUS_SQL})
+  WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 17 = 0
+),
+dup AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+cand AS (
+  SELECT p.a, p.b, pl.doc_id AS c,
+         CASE WHEN pl.doc_id > p.a THEN 0 ELSE 1 END AS wrap
+  FROM pairs p CROSS JOIN pool pl
+  WHERE pl.doc_id <> p.a AND pl.doc_id <> p.b
+    AND NOT EXISTS (SELECT 1 FROM dup d WHERE d.x = p.a AND d.y = pl.doc_id)
+),
+sel AS (
+  SELECT a, b, c,
+         row_number() OVER (PARTITION BY a, b ORDER BY wrap, c) AS rn
+  FROM cand
+)
+SELECT a AS anchor, b AS positive, c AS negative FROM sel WHERE rn = 1""",
         "grouped_median": """
 SELECT user_id, quantile_disc(value, 0.5) AS q_value
 FROM events WHERE value IS NOT NULL GROUP BY user_id""",

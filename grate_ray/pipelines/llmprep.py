@@ -368,3 +368,137 @@ def dialog_pairs(state, window: int = 3) -> ray.data.Dataset:
         return out
 
     return co.map_batches(build, batch_format="pandas", batch_size=None)
+
+
+def contrastive_triplets(
+    ds: ray.data.Dataset,
+    threshold: float = 0.6,
+    pool_mod: int = 17,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(anchor, positive, negative) triplets for contrastive embedding
+    training: positives are verified MinHash near-dup pairs; the negative
+    for each pair is drawn WITHOUT RNG from a deterministic md5-sampled
+    candidate pool — the first pool doc after the anchor (wrapping past
+    the end) that is neither side of the pair nor any known near-dup of
+    the anchor. Re-runs and the SQL oracle produce identical triplets.
+
+    Scale shape: the pair relation is symmetrized and makes ONE keyed hop
+    on the anchor, co-locating each anchor's full near-dup partner set
+    (the exclusion set) with its triplet rows; the negative pool is a
+    hash sample broadcast once via ``ray.put`` — the standard
+    capped-negative-pool regime (shrink the pool fraction as the corpus
+    grows to bound the broadcast; negatives only need to be plausible,
+    not exhaustive)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+    from ..functions.dedup import _md5_lower64, minhash_lsh_pairs
+
+    configure_shuffle(32)
+    npart = join_partitions(32)
+
+    pairs = minhash_lsh_pairs(ds, threshold=threshold, text_col=text_col,
+                              id_col=id_col)
+
+    # candidate pool: md5-hash sample of the corpus ids (tiny, broadcast)
+    def pick_pool(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _md5_lower64(ids.astype("U20"))
+        return pa.table({id_col: pa.array(ids[h % pool_mod == 0])})
+
+    pool_ids = np.sort(
+        np.concatenate(
+            [
+                b[id_col].to_numpy(zero_copy_only=False)
+                for b in ds.select_columns([id_col])
+                .map_batches(pick_pool, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+            or [np.array([], dtype=np.int64)]
+        ).astype(np.int64)
+    )
+    pool_ref = ray.put(pool_ids)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "anchor": pa.array([], pa.int64()),
+                    "partner": pa.array([], pa.int64()),
+                    "fwd": pa.array([], pa.int8()),
+                }
+            )
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "anchor": pa.array(np.concatenate([a, b])),
+                "partner": pa.array(np.concatenate([b, a])),
+                "fwd": pa.array(
+                    np.concatenate(
+                        [np.ones(len(a), np.int8), np.zeros(len(b), np.int8)]
+                    )
+                ),
+            }
+        )
+
+    def pick_negatives(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("anchor", pa.int64()),
+                pa.field("positive", pa.int64()),
+                pa.field("negative", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        pool = ray.get(pool_ref)
+        anc = t["anchor"].to_numpy(zero_copy_only=False)
+        par = t["partner"].to_numpy(zero_copy_only=False)
+        fwd = t["fwd"].to_numpy(zero_copy_only=False)
+        order = np.argsort(anc, kind="stable")
+        anc, par, fwd = anc[order], par[order], fwd[order]
+        change = np.empty(len(anc), dtype=bool)
+        change[0] = True
+        change[1:] = anc[1:] != anc[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(anc))
+        out_a, out_p, out_n = [], [], []
+        for s, e in zip(starts, ends):
+            a = int(anc[s])
+            excl = set(par[s:e].tolist())
+            excl.add(a)
+            if len(pool) == 0:
+                continue
+            start = int(np.searchsorted(pool, a, side="right"))
+            for i in range(s, e):
+                if fwd[i] != 1:
+                    continue
+                neg = None
+                for j in range(len(pool)):  # wraps; excl sets are tiny
+                    c = int(pool[(start + j) % len(pool)])
+                    if c not in excl and c != int(par[i]):
+                        neg = c
+                        break
+                if neg is None:
+                    continue
+                out_a.append(a)
+                out_p.append(int(par[i]))
+                out_n.append(neg)
+        return pa.table(
+            {
+                "anchor": pa.array(out_a, pa.int64()),
+                "positive": pa.array(out_p, pa.int64()),
+                "negative": pa.array(out_n, pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return (
+        pairs.map_batches(symmetrize, batch_format="pyarrow")
+        .repartition(npart, keys=["anchor"])
+        .map_batches(pick_negatives, batch_format="pyarrow", batch_size=None)
+    )
