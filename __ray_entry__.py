@@ -521,6 +521,25 @@ def q_hashed_embed_search(sf_dir: str):
     return brute_force_topk(emb, qids, qmat, k=5, id_col="doc_id")
 
 
+def q_cdc_expire(sf_dir: str):
+    """Retention/TTL delete via the MERGE path: every live row older than
+    the cutoff is tombstoned in one commit — changefeed-visible and
+    time-travel-able; the candidate read is zone-map-pruned
+    (read_lake(filters=[('ts','<',cutoff)])). Final state must equal the
+    LWW state filtered to ts >= cutoff."""
+    import shutil
+
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.merge_into import expire_rows
+
+    base = _ingest_lake(sf_dir)
+    lake = base.rstrip("/") + "_exp"
+    shutil.rmtree(lake, ignore_errors=True)
+    shutil.copytree(base, lake)
+    expire_rows(lake, "2024-01-15")
+    return read_lake(lake)
+
+
 def q_contrastive_triplets(sf_dir: str):
     """(anchor, positive, negative) contrastive-training triplets:
     positives from the verified MinHash near-dup pairs, negatives drawn
@@ -2277,6 +2296,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hashed_embed_search": q_hashed_embed_search,
     "rollup_counts": q_rollup_counts,
     "contrastive_triplets": q_contrastive_triplets,
+    "cdc_expire": q_cdc_expire,
     "grouped_median": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).grouped_quantile(sf, q=0.5),
@@ -3583,6 +3603,9 @@ SELECT event_id,
        END AS rk_value
 FROM events""",
         "cdc_ingest_lake": lww,
+        "cdc_expire": f"""
+SELECT conv_id, turn_idx, role, text, tool, ts FROM ({{lww}}) s
+WHERE ts >= TIMESTAMP '2024-01-15'""".format(lww=lww),
         "contrastive_triplets": f"""
 WITH pairs AS (SELECT a, b FROM ({_minhash_sql(threshold=0.6, bucket_cap=50)})),
 pool AS (

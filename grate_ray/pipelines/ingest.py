@@ -290,7 +290,7 @@ def _chunk_lsn_ranges(files: list[str]) -> list[tuple[str, int, int]]:
     return out
 
 
-def ingest(
+def _ingest_impl(
     binlog_path: str,
     lake_dir: str,
     num_partitions: int = 32,
@@ -537,6 +537,17 @@ def ingest(
     if not metrics_tables:
         return METRICS_SCHEMA.empty_table()
     return pa.concat_tables(metrics_tables)
+
+
+def ingest(binlog_path: str, lake_dir: str, *args, **kwargs) -> pa.Table:
+    """Single-writer entry for the tail: acquires the lake's writer lock
+    (``state/manifest.writer_lock`` — a second LIVE writer raises
+    ConcurrentWriterError; a crashed writer's stale lock is stolen), then
+    runs the ingest. See ``_ingest_impl`` for the full contract."""
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_dir):
+        return _ingest_impl(binlog_path, lake_dir, *args, **kwargs)
 
 
 def read_all_metrics(lake_dir: str) -> pa.Table:

@@ -206,6 +206,13 @@ def merge_into(
         return pa.table({"conv_id": pa.array(conv.astype(object), pa.string())})
 
     ev = events.materialize()  # branched: sample pass + tagged pass
+    if ev.count() == 0:
+        # nothing to merge: no chunks staged; ingest returns empty metrics
+        return ingest(
+            scratch_dir, lake_dir,
+            num_partitions=lake_num_partitions(lake_dir) or 32,
+            files_per_microbatch=None,
+        )
     sampled = np.sort(
         ev.select_columns(["conv_id"])
         .map_batches(block_sample, batch_format="pyarrow")
@@ -294,4 +301,41 @@ def merge_into(
         scratch_dir, lake_dir,
         num_partitions=lake_num_partitions(lake_dir) or 32,
         files_per_microbatch=None,
+    )
+
+
+def expire_rows(
+    lake_dir: str,
+    before_ts,
+    scratch_dir: str | None = None,
+) -> pa.Table:
+    """Retention / TTL delete: tombstone every live row with
+    ``ts < before_ts``, compiled onto the ordinary MERGE path (flagged
+    matched deletes) — so expiry is a commit like any other:
+    changefeed-visible, time-travel-able, exactly-once, idempotent
+    (re-running after the rows are gone finds no matches and commits
+    nothing new). The candidate read is ``read_lake(filters=...)``, so
+    zone-map pruning skips partitions whose commits prove no row is old
+    enough — expiry on a mostly-fresh lake touches only stale
+    partitions."""
+    import pandas as pd
+
+    from .ingest import read_lake
+
+    cutoff = pd.Timestamp(before_ts)
+
+    old = read_lake(
+        lake_dir,
+        columns=["conv_id", "turn_idx", "ts"],
+        filters=[("ts", "<", cutoff.to_pydatetime())],
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_del", pa.array(np.ones(t.num_rows, dtype=bool))
+        )
+
+    return merge_into(
+        lake_dir, old.map_batches(flag, batch_format="pyarrow"),
+        delete_col="_del", scratch_dir=scratch_dir,
     )

@@ -715,3 +715,67 @@ def gc_superseded_states(lake_dir: str, part: int, keep: int = 1) -> list[str]:
             os.unlink(p)
             removed.append(p)
     return removed
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second live writer tried to ingest into the same lake."""
+
+
+def writer_lock(lake_dir: str):
+    """Single-writer guard for the lake (the engine's commit protocol is
+    exactly-once under retries of ONE logical writer; two concurrent
+    writers planning micro-batches against the same high-water mark
+    would double-apply — so the contract is made explicit). O_EXCL lock
+    file carrying the holder's pid; a lock whose process is gone is
+    stale and stolen, so a crashed writer never wedges the lake.
+    Context manager: ``with writer_lock(lake): ...``."""
+    import contextlib
+    import time
+
+    path = os.path.join(lake_dir, "_writer.lock")
+
+    @contextlib.contextmanager
+    def _lock():
+        os.makedirs(lake_dir, exist_ok=True)
+        for _ in range(3):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+                break
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        info = json.load(f)
+                except Exception:
+                    info = {}
+                pid = info.get("pid")
+                alive = False
+                if isinstance(pid, int):
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True  # exists, different user
+                if alive and pid != os.getpid():
+                    raise ConcurrentWriterError(
+                        f"lake {lake_dir} is locked by live writer pid {pid}"
+                    )
+                # stale (holder gone) or our own leftover: steal
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+        else:
+            raise ConcurrentWriterError(f"could not acquire writer lock in {lake_dir}")
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+    return _lock()

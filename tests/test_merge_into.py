@@ -129,3 +129,53 @@ def test_merge_duplicate_source_keys_resolve_by_ts(ray_session, tmp_path):
         (after.conv_id == key.conv_id) & (after.turn_idx == key.turn_idx)
     ]["text"].tolist()
     assert got == ["newer"]
+
+
+def test_expire_rows_ttl(ray_session, tmp_path):
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.merge_into import expire_rows
+
+    lk = _build_lake(tmp_path, n_events=6_000, n_convs=50)
+    before = read_lake(lk).to_pandas()
+    cutoff = before["ts"].sort_values().iloc[len(before) // 2]
+    expire_rows(lk, cutoff)
+    after = read_lake(lk).to_pandas()
+    exp = before[before["ts"] >= cutoff]
+    pd.testing.assert_frame_equal(_canon(after), _canon(exp))
+    # idempotent: nothing old remains, second expiry changes nothing
+    expire_rows(lk, cutoff)
+    pd.testing.assert_frame_equal(_canon(read_lake(lk).to_pandas()), _canon(exp))
+
+
+def test_writer_lock_blocks_live_and_steals_stale(ray_session, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from grate_ray.state.manifest import ConcurrentWriterError, writer_lock
+
+    lk = _build_lake(tmp_path, n_events=3_000, n_convs=20)
+    lock_path = os.path.join(lk, "_writer.lock")
+
+    # a LIVE foreign writer (pid 1 always exists) blocks ingest
+    with open(lock_path, "w") as f:
+        json.dump({"pid": 1, "ts": 0}, f)
+    from grate_ray.genlog import GenSpec, generate_binlog
+    from grate_ray.pipelines.ingest import ingest
+
+    bl2 = str(tmp_path / "binlog2")
+    generate_binlog(bl2, GenSpec(num_events=3_000, num_convs=20, chunk_rows=3_000))
+    with pytest.raises(ConcurrentWriterError):
+        ingest(bl2, lk, num_partitions=8, files_per_microbatch=None)
+
+    # a DEAD writer's lock is stale: stolen, ingest proceeds
+    with open(lock_path, "w") as f:
+        json.dump({"pid": 999999999, "ts": 0}, f)
+    ingest(bl2, lk, num_partitions=8, files_per_microbatch=None)
+    assert not os.path.exists(lock_path)
+
+    # context manager releases on exit
+    with writer_lock(lk):
+        assert os.path.exists(lock_path)
+    assert not os.path.exists(lock_path)
