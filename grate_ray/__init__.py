@@ -78,6 +78,14 @@ def __getattr__(name):
         "semantic_dedup": ("grate_ray.functions.ann", "semantic_dedup"),
         "chunk_dedup": ("grate_ray.functions.dedup", "chunk_dedup"),
         "approx_distinct": ("grate_ray.functions.sketch", "approx_distinct"),
+        "fast_forward_branch": ("grate_ray.pipelines.branch", "fast_forward_branch"),
+        "expire_rows": ("grate_ray.pipelines.merge_into", "expire_rows"),
+        "fsck_lake": ("grate_ray.pipelines.compact", "fsck_lake"),
+        "contrastive_triplets": (
+            "grate_ray.pipelines.llmprep",
+            "contrastive_triplets",
+        ),
+        "hashed_embeddings": ("grate_ray.functions.embed", "hashed_embeddings"),
     }
     if name in _api:
         import importlib

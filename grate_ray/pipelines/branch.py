@@ -39,6 +39,7 @@ from ..state.manifest import (
     committed_lsn,
     lake_config_path,
     lake_num_partitions,
+    lake_parent,
     list_partitions,
     manifest_dir,
     read_batch_plan,
@@ -252,3 +253,76 @@ def diff_branches(base_dir: str, branch_dir: str) -> ray.data.Dataset:
 
     ds = ray.data.from_items([{"part": p} for p in parts]).repartition(len(parts))
     return ds.map_batches(diff, batch_format="pyarrow")
+
+
+def fast_forward_branch(parent_dir: str, branch_dir: str) -> dict:
+    """PROMOTE a branch: adopt everything the branch committed into its
+    parent — the "test the risky backfill on a branch, then fast-forward
+    production" workflow. Legal only when the parent has not advanced
+    since the fork (every parent commit manifest still exists verbatim in
+    the branch lineage — the git fast-forward condition); otherwise
+    raises, because promoting over a diverged parent would silently drop
+    its commits.
+
+    Mechanics are O(what the branch did): branch-local manifests and
+    branch-local data files are copied into the parent (inherited files
+    already live there), and the micro-batch plan / column mapping are
+    replaced by the branch's (supersets of the parent's, append-only).
+    Returns {"manifests": n, "files": k}."""
+    par = lake_parent(branch_dir)
+    if par != os.path.abspath(parent_dir):
+        raise ValueError(
+            f"{branch_dir} is not a branch of {parent_dir} (parent={par})"
+        )
+
+    # fast-forward condition: parent lineage ⊆ branch lineage, verbatim
+    for p in list_partitions(parent_dir):
+        src = manifest_dir(parent_dir, p)
+        dst = manifest_dir(branch_dir, p)
+        for f in os.listdir(src):
+            if not (f.startswith("commit-") and f.endswith(".json")):
+                continue
+            bf = os.path.join(dst, f)
+            if not os.path.exists(bf):
+                raise ValueError(
+                    f"parent advanced since fork (partition {p} commit {f} "
+                    "unknown to the branch) — fast-forward refused"
+                )
+
+    n_man = n_files = 0
+    for p in list_partitions(branch_dir):
+        # branch-local data files first: a manifest must never become
+        # visible in the parent before the file it references
+        bpart = os.path.join(branch_dir, f"part={p}")
+        ppart = os.path.join(parent_dir, f"part={p}")
+        if os.path.isdir(bpart):
+            os.makedirs(ppart, exist_ok=True)
+            for f in sorted(os.listdir(bpart)):
+                if not f.endswith(".parquet"):
+                    continue
+                dst = os.path.join(ppart, f)
+                if not os.path.exists(dst):
+                    tmp = dst + ".ff.tmp"
+                    shutil.copy2(os.path.join(bpart, f), tmp)
+                    os.replace(tmp, dst)
+                    n_files += 1
+        bman = manifest_dir(branch_dir, p)
+        pman = manifest_dir(parent_dir, p)
+        os.makedirs(pman, exist_ok=True)
+        for f in sorted(os.listdir(bman)):
+            if not (f.startswith("commit-") and f.endswith(".json")):
+                continue
+            dst = os.path.join(pman, f)
+            if not os.path.exists(dst):
+                tmp = dst + ".ff.tmp"
+                shutil.copy2(os.path.join(bman, f), tmp)
+                os.replace(tmp, dst)
+                n_man += 1
+
+    if os.path.exists(batch_plan_path(branch_dir)):
+        shutil.copy2(batch_plan_path(branch_dir), batch_plan_path(parent_dir))
+    if os.path.exists(column_mapping_path(branch_dir)):
+        shutil.copy2(
+            column_mapping_path(branch_dir), column_mapping_path(parent_dir)
+        )
+    return {"manifests": n_man, "files": n_files}

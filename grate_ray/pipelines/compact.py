@@ -344,3 +344,100 @@ def vacuum_lake(lake_dir: str, keep: int = 1) -> dict:
                 os.unlink(os.path.join(root, f))
                 tmp_removed += 1
     return {"gced": gced, "tmp_removed": tmp_removed}
+
+
+def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
+    """Consistency check over the lake's commit metadata (the operational
+    "is this lake safe to serve/resume from" probe):
+
+    - config present; every manifest parses; the commit filename LSN
+      matches the manifest's ``lsn_hi`` and ``lsn_lo <= lsn_hi``;
+    - per-partition lineage links: each commit's ``parent_lsn_hi`` equals
+      the previous commit's ``lsn_hi`` (None for the first);
+    - the HEAD reconstruction chain's data files resolve (including
+      through branch parents) — a GC'd head chain is an error, a GC'd
+      historical chain is only reported under ``deep``;
+    - ``deep``: every head chain file opens, and a snapshot manifest's
+      ``state_rows`` equals the file's actual row count.
+
+    Pure metadata + footer reads (data pages only under ``deep``).
+    Returns {"ok", "partitions", "commits", "checked_files", "errors"}.
+    """
+    import json as _json
+
+    from ..state.manifest import (
+        _commit_lsns,
+        lake_num_partitions,
+        manifest_path,
+        read_manifest,
+        resolve_chain_file,
+    )
+
+    errors: list[str] = []
+    checked = 0
+    n_commits = 0
+    if lake_num_partitions(lake_dir) is None:
+        errors.append("missing _lake.json (not a lake)")
+    parts = list_partitions(lake_dir)
+    for p in parts:
+        lsns = _commit_lsns(lake_dir, p)
+        prev = None
+        for lsn in lsns:
+            n_commits += 1
+            try:
+                m = read_manifest(lake_dir, p, lsn)
+            except (OSError, _json.JSONDecodeError) as e:
+                errors.append(f"part {p} commit {lsn}: unreadable manifest ({e})")
+                prev = lsn
+                continue
+            if m.get("lsn_hi") != lsn:
+                errors.append(
+                    f"part {p} commit {lsn}: manifest lsn_hi={m.get('lsn_hi')} "
+                    "disagrees with its filename"
+                )
+            if m.get("lsn_lo") is not None and m["lsn_lo"] > lsn:
+                errors.append(f"part {p} commit {lsn}: lsn_lo > lsn_hi")
+            if m.get("parent_lsn_hi") != prev:
+                errors.append(
+                    f"part {p} commit {lsn}: parent_lsn_hi="
+                    f"{m.get('parent_lsn_hi')} but previous commit is {prev}"
+                )
+            prev = lsn
+        # head chain must reconstruct
+        try:
+            files = chain_files(lake_dir, p)
+        except Exception as e:
+            errors.append(f"part {p}: head chain walk failed ({e})")
+            files = []
+        for f in files:
+            path = resolve_chain_file(lake_dir, f)
+            if not os.path.exists(path):
+                errors.append(f"part {p}: head chain file missing: {f}")
+                continue
+            if deep:
+                try:
+                    md = pq.read_metadata(path)
+                    checked += 1
+                except Exception as e:
+                    errors.append(f"part {p}: unreadable chain file {f} ({e})")
+        if deep and files:
+            hw = committed_lsn(lake_dir, p)
+            try:
+                m = read_manifest(lake_dir, p, hw)
+                if m.get("kind") == "snapshot" and m.get("state_file"):
+                    path = resolve_chain_file(lake_dir, m["state_file"])
+                    rows = pq.read_metadata(path).num_rows
+                    if rows != m.get("state_rows"):
+                        errors.append(
+                            f"part {p} head snapshot rows {rows} != manifest "
+                            f"state_rows {m.get('state_rows')}"
+                        )
+            except Exception as e:
+                errors.append(f"part {p}: head snapshot check failed ({e})")
+    return {
+        "ok": not errors,
+        "partitions": len(parts),
+        "commits": n_commits,
+        "checked_files": checked,
+        "errors": errors,
+    }

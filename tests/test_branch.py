@@ -102,3 +102,85 @@ def test_branch_at_lsn_matches_time_travel(ray_session, tmp_path):
         _canon(read_lake(br).to_pandas()),
         _canon(read_lake(lk, asof_lsn=mid).to_pandas()),
     )
+
+
+def test_fast_forward_promotes_branch(ray_session, tmp_path):
+    from grate_ray.pipelines.branch import (
+        branch_lake, diff_branches, fast_forward_branch,
+    )
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.merge_into import merge_into
+
+    lk = _build_lake(tmp_path)
+    br = str(tmp_path / "branch")
+    branch_lake(lk, br)
+    base = read_lake(lk).to_pandas()
+    src = base[base.turn_idx % 4 == 1].copy()
+    src["text"] = "FF:" + src["text"]
+    src["_del"] = False
+    merge_into(br, ray.data.from_arrow(
+        pa.Table.from_pandas(src, preserve_index=False)), delete_col="_del")
+
+    r = fast_forward_branch(lk, br)
+    assert r["manifests"] > 0 and r["files"] > 0
+    # parent adopted the branch: identical states, empty diff
+    pd.testing.assert_frame_equal(
+        _canon(read_lake(lk).to_pandas()), _canon(read_lake(br).to_pandas())
+    )
+    assert len(diff_branches(lk, br).to_pandas()) == 0
+
+
+def test_fast_forward_refuses_diverged_parent(ray_session, tmp_path):
+    import pytest
+
+    from grate_ray.pipelines.branch import branch_lake, fast_forward_branch
+    from grate_ray.pipelines.ingest import read_lake
+    from grate_ray.pipelines.merge_into import merge_into
+
+    lk = _build_lake(tmp_path)
+    br = str(tmp_path / "branch")
+    branch_lake(lk, br)
+    base = read_lake(lk).to_pandas()
+    # parent advances AFTER the fork
+    psrc = base[base.turn_idx % 6 == 2].copy()
+    psrc["text"] = "P:" + psrc["text"]
+    psrc["_del"] = False
+    merge_into(lk, ray.data.from_arrow(
+        pa.Table.from_pandas(psrc, preserve_index=False)), delete_col="_del")
+    with pytest.raises(ValueError, match="fast-forward refused"):
+        fast_forward_branch(lk, br)
+
+
+def test_fsck_lake_detects_damage(ray_session, tmp_path):
+    import json
+    import os
+
+    from grate_ray.pipelines.compact import fsck_lake
+    from grate_ray.state.manifest import manifest_dir
+
+    lk = _build_lake(tmp_path, n_events=6_000, n_convs=40)
+    r = fsck_lake(lk, deep=True)
+    assert r["ok"], r["errors"]
+    assert r["commits"] > 0 and r["checked_files"] > 0
+
+    # delete a head chain file → flagged
+    part_files = [
+        os.path.join(lk, "part=0", f)
+        for f in sorted(os.listdir(os.path.join(lk, "part=0")))
+        if f.endswith(".parquet")
+    ]
+    os.unlink(part_files[-1])
+    r2 = fsck_lake(lk)
+    assert not r2["ok"]
+    assert any("chain file missing" in e for e in r2["errors"])
+
+    # corrupt a manifest → flagged (filename/lsn_hi disagreement)
+    md = manifest_dir(lk, 1)
+    mf = os.path.join(md, sorted(os.listdir(md))[-1])
+    with open(mf) as f:
+        m = json.load(f)
+    m["lsn_hi"] = m["lsn_hi"] + 1
+    with open(mf, "w") as f:
+        json.dump(m, f)
+    r3 = fsck_lake(lk)
+    assert any("disagrees with its filename" in e for e in r3["errors"])
