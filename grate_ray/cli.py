@@ -76,7 +76,30 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--lake", required=True)
     x.add_argument("--out", required=True)
     x.add_argument("--partitions", type=int, default=32)
-    x.add_argument("--format", choices=["csv", "parquet"], default="csv")
+    x.add_argument("--format", choices=["csv", "parquet", "jsonl"], default="csv")
+
+    b = sub.add_parser("branch")
+    b.add_argument("--lake", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--at-lsn", type=int, default=None)
+    b.add_argument("--at-tag", default=None)
+
+    bd = sub.add_parser("diff")
+    bd.add_argument("--lake", required=True)
+    bd.add_argument("--branch", required=True)
+    bd.add_argument("--limit", type=int, default=20)
+
+    ff = sub.add_parser("ff")
+    ff.add_argument("--lake", required=True)
+    ff.add_argument("--branch", required=True)
+
+    fk = sub.add_parser("fsck")
+    fk.add_argument("--lake", required=True)
+    fk.add_argument("--deep", action="store_true")
+
+    ex = sub.add_parser("expire")
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--before", required=True, help="ISO timestamp cutoff")
 
     a = p.parse_args(argv)
 
@@ -152,6 +175,33 @@ def main(argv: list[str] | None = None) -> int:
 
             out = compact_lake(a.lake, num_partitions=a.partitions, keep=a.keep)
             print(json.dumps(out))
+        elif a.cmd == "branch":
+            from .pipelines.branch import branch_lake
+
+            print(json.dumps(branch_lake(a.lake, a.out, at_lsn=a.at_lsn,
+                                         at_tag=a.at_tag)))
+        elif a.cmd == "diff":
+            from .pipelines.branch import diff_branches
+
+            df = diff_branches(a.lake, a.branch).limit(a.limit).to_pandas()
+            print(df.to_string())
+        elif a.cmd == "ff":
+            from .pipelines.branch import fast_forward_branch
+
+            print(json.dumps(fast_forward_branch(a.lake, a.branch)))
+        elif a.cmd == "fsck":
+            from .pipelines.compact import fsck_lake
+
+            out = fsck_lake(a.lake, deep=a.deep)
+            print(json.dumps(out))
+            return 0 if out["ok"] else 1
+        elif a.cmd == "expire":
+            from .pipelines.merge_into import expire_rows
+
+            m = expire_rows(a.lake, a.before)
+            df = m.to_pandas()
+            print(json.dumps({"commits": int((~df["skipped"]).sum())
+                              if len(df) else 0}))
     finally:
         ray.shutdown()
     return 0
