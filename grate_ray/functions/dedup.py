@@ -1322,9 +1322,7 @@ def chunk_dedup(
         dv = np.array(out_doc, dtype=np.int64)
         # batch-level pre-agg: (doc, h) multiplicity
         key = np.stack([dv, hv], axis=1)
-        uniq, inv, cnt = np.unique(
-            key, axis=0, return_inverse=True, return_counts=True
-        )
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
         return pa.table(
             {
                 "doc_id": pa.array(uniq[:, 0]),

@@ -36,7 +36,6 @@ import ray.data
 from ..state.manifest import (
     batch_plan_path,
     column_mapping_path,
-    committed_lsn,
     lake_config_path,
     lake_num_partitions,
     lake_parent,

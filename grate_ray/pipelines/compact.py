@@ -416,7 +416,7 @@ def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
                 continue
             if deep:
                 try:
-                    md = pq.read_metadata(path)
+                    pq.read_metadata(path)
                     checked += 1
                 except Exception as e:
                     errors.append(f"part {p}: unreadable chain file {f} ({e})")
