@@ -554,6 +554,21 @@ def q_contrastive_triplets(sf_dir: str):
     )
 
 
+def q_window_approx_distinct(sf_dir: str):
+    """Approximate distinct users per tumbling hour — the sketch-per-
+    group pattern: batches pre-reduce to (window, register) rows, one
+    keyed hop merges and estimates vectorized across windows. md5
+    hashing makes the approximation itself exactly value-checkable."""
+    import ray.data
+
+    from grate_ray.functions.sketch import windowed_approx_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return windowed_approx_distinct(ds, minutes=60, p=8)
+
+
 def q_rollup_counts(sf_dir: str):
     """Warehouse ROLLUP over the live lake state: counts at (role, tool),
     (role), and grand total in ONE pass — per-batch partials for every
@@ -2295,6 +2310,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "approx_distinct_texts": q_approx_distinct,
     "hashed_embed_search": q_hashed_embed_search,
     "rollup_counts": q_rollup_counts,
+    "window_approx_distinct": q_window_approx_distinct,
     "contrastive_triplets": q_contrastive_triplets,
     "cdc_expire": q_cdc_expire,
     "grouped_median": lambda sf: __import__(
@@ -3626,6 +3642,42 @@ sel AS (
   FROM cand
 )
 SELECT a AS anchor, b AS positive, c AS negative FROM sel WHERE rn = 1""",
+        # per-window HLL replay (p=8, m=256): the same exact-mirror
+        # arithmetic as approx_distinct_texts, grouped by tumbling hour
+        "window_approx_distinct": f"""
+WITH h AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+r AS (
+  SELECT w, CAST(h >> 56 AS BIGINT) AS idx,
+         CAST((CAST(h AS HUGEINT) * 256) % {_W64} AS UBIGINT) AS rest
+  FROM h
+),
+rk AS (
+  SELECT w, idx,
+         CASE WHEN strpos(substr(lpad(bin(rest), 64, '0'), 1, 56), '1') = 0
+              THEN 57
+              ELSE strpos(substr(lpad(bin(rest), 64, '0'), 1, 56), '1')
+         END AS rank
+  FROM r
+),
+regs AS (SELECT w, idx, max(rank) AS reg FROM rk GROUP BY w, idx),
+s AS (
+  SELECT w, count(*) AS np, sum(pow(2.0, -reg)) AS sp FROM regs GROUP BY w
+),
+est AS (
+  SELECT w,
+         (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0 / (sp + (256 - np))
+           AS raw,
+         256 - np AS zeros
+  FROM s
+)
+SELECT w, CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+               THEN round(256 * ln(256.0 / zeros), 6)
+               ELSE round(raw, 6) END AS approx_distinct
+FROM est""",
         "grouped_median": """
 SELECT user_id, quantile_disc(value, 0.5) AS q_value
 FROM events WHERE value IS NOT NULL GROUP BY user_id""",

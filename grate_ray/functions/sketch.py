@@ -35,16 +35,11 @@ def _hash64(values: list[str]) -> np.ndarray:
     return out
 
 
-def hll_from_values(values: list[str], p: int = 12) -> np.ndarray:
-    """m=2^p uint8 registers from a value list."""
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    if not values:
-        return regs
-    h = _hash64(values)
+def hll_idx_ranks(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash: idx = top p bits, rank = position
+    of the first set bit among the remaining 64-p (capped at 64-p+1)."""
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)
-    # rank = leading zeros of the remaining 64-p bits, +1 (capped)
     ranks = np.full(len(h), 64 - p + 1, dtype=np.uint8)
     found = np.zeros(len(h), dtype=bool)
     for bit in range(64 - p):
@@ -52,6 +47,16 @@ def hll_from_values(values: list[str], p: int = 12) -> np.ndarray:
         newly = (~found) & (is_set == 1)
         ranks[newly] = bit + 1
         found |= newly
+    return idx, ranks
+
+
+def hll_from_values(values: list[str], p: int = 12) -> np.ndarray:
+    """m=2^p uint8 registers from a value list."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if not values:
+        return regs
+    idx, ranks = hll_idx_ranks(_hash64(values), p)
     np.maximum.at(regs, idx, ranks)
     return regs
 
@@ -109,7 +114,7 @@ class CountMin:
         )
 
     # odd multipliers from splitmix-style constants; per-row hash =
-    # ((a_i * fp) >> 33) % w over the blake2b-64 key fingerprint
+    # ((a_i * fp) >> 33) % w over the md5-low64 key fingerprint
     _A = np.array(
         [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
          0xD6E8FEB86659FD93, 0xA5A3B195353C5E37, 0xC2B2AE3D27D4EB4F],
@@ -157,3 +162,110 @@ class CountMin:
     def from_row(cls, row: dict) -> "CountMin":
         d, w = int(row["d"]), int(row["w"])
         return cls(d, w, np.asarray(row["t"], dtype=np.int64).reshape(d, w))
+
+
+def windowed_approx_distinct(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    val_col: str = "user_id",
+    minutes: int = 60,
+    p: int = 8,
+) -> ray.data.Dataset:
+    """Approximate distinct values PER TUMBLING WINDOW — the sketch-per-
+    group pattern: each batch pre-reduces to at most (windows × m)
+    register rows (window, idx, max rank) instead of shipping values;
+    ONE keyed hop co-locates each window; the per-window byte-max merge,
+    harmonic estimate and linear-counting correction run vectorized
+    ACROSS windows per block. md5 hashing keeps the whole thing exactly
+    SQL-mirrorable even though the answer is an approximation. Emits
+    (w timestamp, approx_distinct double@6dp)."""
+    import pyarrow.compute as pc
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    m = 1 << p
+    us = minutes * 60 * 1_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("w", pa.int64()),
+                pa.field("idx", pa.int64()),
+                pa.field("reg", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // us) * us
+        vals = t[val_col].to_numpy(zero_copy_only=False)
+        # one md5 per UNIQUE value (str(v) ≡ CAST(v AS VARCHAR))
+        uniq, codes = np.unique(vals, return_inverse=True)
+        idx_u, rank_u = hll_idx_ranks(_hash64([str(v) for v in uniq]), p)
+        idx, rank = idx_u[codes], rank_u[codes].astype(np.int64)
+        key = w * m + idx  # composite numeric key (idx < m)
+        order = np.argsort(key, kind="stable")
+        ks, rs = key[order], rank[order]
+        change = np.empty(len(ks), dtype=bool)
+        change[0] = True
+        change[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(change)
+        regs = np.maximum.reduceat(rs, starts)
+        kk = ks[starts]
+        return pa.table(
+            {
+                "w": pa.array(kk // m),
+                "idx": pa.array(kk % m),
+                "reg": pa.array(regs),
+            },
+            schema=schema,
+        )
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def estimate(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("w", pa.timestamp("us")),
+                pa.field("approx_distinct", pa.float64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        w = t["w"].to_numpy(zero_copy_only=False)
+        idx = t["idx"].to_numpy(zero_copy_only=False)
+        reg = t["reg"].to_numpy(zero_copy_only=False)
+        key = w * m + idx
+        order = np.argsort(key, kind="stable")
+        ks, rs, ws = key[order], reg[order], w[order]
+        change = np.empty(len(ks), dtype=bool)
+        change[0] = True
+        change[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(change)
+        regs = np.maximum.reduceat(rs, starts)  # merged register per (w,idx)
+        wk = ws[starts]
+        wchange = np.empty(len(wk), dtype=bool)
+        wchange[0] = True
+        wchange[1:] = wk[1:] != wk[:-1]
+        wstarts = np.flatnonzero(wchange)
+        npresent = np.diff(np.append(wstarts, len(wk))).astype(np.int64)
+        sp = np.add.reduceat(np.exp2(-regs.astype(np.float64)), wstarts)
+        denom = sp + (m - npresent)
+        est = alpha * m * m / denom
+        zeros = m - npresent
+        lin = np.where(zeros > 0, m * np.log(m / np.maximum(zeros, 1)), est)
+        out = np.where((est <= 2.5 * m) & (zeros > 0), lin, est)
+        return pa.table(
+            {
+                "w": pa.array(wk[wstarts].astype("datetime64[us]")),
+                "approx_distinct": pa.array(np.round(out, 6)),
+            },
+            schema=schema,
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(join_partitions(32), keys=["w"])
+        .map_batches(estimate, batch_format="pyarrow", batch_size=None)
+    )

@@ -247,3 +247,43 @@ def test_grouped_reduce_matches_pandas(ray_session):
         expect = ref.sort_index().astype("int64")
         expect.name = "x"
         pd.testing.assert_series_equal(got, expect)
+
+
+def test_windowed_approx_distinct_accuracy(ray_session):
+    """Per-window HLL estimates land within sketch error of the true
+    per-window distinct counts regardless of partitioning."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.sketch import windowed_approx_distinct
+
+    rng = np.random.default_rng(17)
+    n = 40_000
+    ts = pd.Timestamp("2026-01-01").value // 1000 + rng.integers(
+        0, 6 * 3600, n
+    ) * 1_000_000  # 6 one-hour windows
+    users = rng.integers(0, 800, n)
+    t = pa.table(
+        {
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(users.astype(np.int64)),
+        }
+    )
+    configure_shuffle(8)
+    out = (
+        windowed_approx_distinct(
+            ray.data.from_arrow(t).repartition(5), minutes=60, p=8
+        )
+        .to_pandas()
+        .set_index("w")
+        .sort_index()
+    )
+    df = pd.DataFrame({"w": ts - (ts % 3_600_000_000), "u": users})
+    truth = df.groupby("w")["u"].nunique()
+    assert len(out) == len(truth) == 6
+    for w, true_n in truth.items():
+        est = out.loc[pd.Timestamp(w, unit="us"), "approx_distinct"]
+        assert abs(est - true_n) / true_n < 0.25, (w, est, true_n)
