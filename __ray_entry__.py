@@ -2311,6 +2311,17 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hashed_embed_search": q_hashed_embed_search,
     "rollup_counts": q_rollup_counts,
     "window_approx_distinct": q_window_approx_distinct,
+    "event_funnel": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).funnel(sf, steps=("view", "click", "purchase"), within_minutes=120),
+    "window_rolling_distinct": lambda sf: __import__(
+        "grate_ray.functions.sketch", fromlist=["x"]
+    ).windowed_approx_distinct(
+        __import__("ray.data", fromlist=["x"]).read_parquet(
+            f"{sf}/events.parquet", columns=["ts", "user_id"]
+        ),
+        minutes=60, p=8, slide=3,
+    ),
     "contrastive_triplets": q_contrastive_triplets,
     "cdc_expire": q_cdc_expire,
     "grouped_median": lambda sf: __import__(
@@ -3649,6 +3660,68 @@ WITH h AS (
   SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w,
          md5_number_lower(CAST(user_id AS VARCHAR)) AS h
   FROM events
+),
+r AS (
+  SELECT w, CAST(h >> 56 AS BIGINT) AS idx,
+         CAST((CAST(h AS HUGEINT) * 256) % {_W64} AS UBIGINT) AS rest
+  FROM h
+),
+rk AS (
+  SELECT w, idx,
+         CASE WHEN strpos(substr(lpad(bin(rest), 64, '0'), 1, 56), '1') = 0
+              THEN 57
+              ELSE strpos(substr(lpad(bin(rest), 64, '0'), 1, 56), '1')
+         END AS rank
+  FROM r
+),
+regs AS (SELECT w, idx, max(rank) AS reg FROM rk GROUP BY w, idx),
+s AS (
+  SELECT w, count(*) AS np, sum(pow(2.0, -reg)) AS sp FROM regs GROUP BY w
+),
+est AS (
+  SELECT w,
+         (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0 / (sp + (256 - np))
+           AS raw,
+         256 - np AS zeros
+  FROM s
+)
+SELECT w, CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+               THEN round(256 * ln(256.0 / zeros), 6)
+               ELSE round(raw, 6) END AS approx_distinct
+FROM est""",
+        # first-touch funnel: each stage time = earliest qualifying event
+        # strictly after the previous stage and within the window of it
+        "event_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 120 MINUTE
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND e.ts <= s2.t + INTERVAL 120 MINUTE
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+       CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', count(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM s3""",
+        # rolling (trailing 3-hour) variant: each event expands to its
+        # 3 covering windows before the identical register arithmetic
+        "window_rolling_distinct": f"""
+WITH h AS (
+  SELECT make_timestamp(((epoch_us(ts) // 3600000000) + k.k) * 3600000000)
+           AS w,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+  FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k
 ),
 r AS (
   SELECT w, CAST(h >> 56 AS BIGINT) AS idx,

@@ -170,6 +170,7 @@ def windowed_approx_distinct(
     val_col: str = "user_id",
     minutes: int = 60,
     p: int = 8,
+    slide: int = 1,
 ) -> ray.data.Dataset:
     """Approximate distinct values PER TUMBLING WINDOW — the sketch-per-
     group pattern: each batch pre-reduces to at most (windows × m)
@@ -177,8 +178,14 @@ def windowed_approx_distinct(
     ONE keyed hop co-locates each window; the per-window byte-max merge,
     harmonic estimate and linear-counting correction run vectorized
     ACROSS windows per block. md5 hashing keeps the whole thing exactly
-    SQL-mirrorable even though the answer is an approximation. Emits
-    (w timestamp, approx_distinct double@6dp)."""
+    SQL-mirrorable even though the answer is an approximation.
+
+    ``slide > 1`` turns the windows ROLLING (trailing): an event at hour
+    h contributes to windows h..h+slide−1, so window w estimates the
+    distinct values over its last ``slide`` hours (the DAU/WAU rolling-
+    retention shape). The expansion happens in the partial kernel BEFORE
+    hashing dedup, so the per-batch payload is still register rows —
+    never slide× the events. Emits (w timestamp, approx_distinct@6dp)."""
     import pyarrow.compute as pc
 
     from ..context import configure_shuffle, join_partitions
@@ -204,6 +211,11 @@ def windowed_approx_distinct(
         uniq, codes = np.unique(vals, return_inverse=True)
         idx_u, rank_u = hll_idx_ranks(_hash64([str(v) for v in uniq]), p)
         idx, rank = idx_u[codes], rank_u[codes].astype(np.int64)
+        if slide > 1:  # trailing windows: event hour h → windows h..h+s-1
+            offs = np.arange(slide, dtype=np.int64) * us
+            w = (w[:, None] + offs[None, :]).reshape(-1)
+            idx = np.repeat(idx, slide)
+            rank = np.repeat(rank, slide)
         key = w * m + idx  # composite numeric key (idx < m)
         order = np.argsort(key, kind="stable")
         ks, rs = key[order], rank[order]

@@ -420,3 +420,102 @@ def watermark_tumbling(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def funnel(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_minutes: int = 120,
+    n_parts: int = 32,
+) -> ray.data.Dataset:
+    """CONVERSION FUNNEL over the event stream: for each user, step k is
+    reached iff a ``steps[k]`` event exists strictly after the user's
+    step-k−1 time and within ``within_minutes`` of it (step times are the
+    EARLIEST qualifying events — the standard first-touch funnel).
+    Emits (step, event_type, n_users) — one row per funnel stage.
+
+    Shape: ONE keyed repartition on user_id, then the per-step "min ts
+    after previous step" selection runs vectorized ACROSS users per block
+    (masked minimum.reduceat over user segments, one pass per step —
+    steps are few and fixed); only per-block stage counts shuffle to the
+    final tiny sum."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+    from ..functions.dedup import grouped_reduce
+
+    configure_shuffle(32)
+    within_us = within_minutes * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    INF = np.int64(2**62)
+
+    def stage_counts(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field("step", pa.int64()), pa.field("cnt", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        us_, ts_, et_ = u[order], ts[order], et[order]
+        change = np.empty(len(us_), dtype=bool)
+        change[0] = True
+        change[1:] = us_[1:] != us_[:-1]
+        seg = np.cumsum(change) - 1  # user segment id per row
+        nseg = seg[-1] + 1
+        starts = np.flatnonzero(change)
+        prev_t = np.full(nseg, -INF, dtype=np.int64)  # step-0 gate: any ts
+        counts = []
+        for k, step_name in enumerate(steps):
+            gate_lo = prev_t[seg]
+            gate_hi = (
+                np.full(len(seg), INF, dtype=np.int64)
+                if k == 0
+                else np.minimum(gate_lo + within_us, INF)
+            )
+            ok = (et_ == step_name) & (ts_ > gate_lo) & (ts_ <= gate_hi)
+            masked = np.where(ok, ts_, INF)
+            t_k = np.minimum.reduceat(masked, starts)
+            t_k = np.where(t_k < INF, t_k, INF)
+            counts.append(int((t_k < INF).sum()))
+            prev_t = t_k
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+                "cnt": pa.array(np.array(counts, dtype=np.int64)),
+            },
+            schema=schema,
+        )
+
+    per_block = ds.repartition(
+        join_partitions(n_parts), keys=["user_id"]
+    ).map_batches(stage_counts, batch_format="pyarrow", batch_size=None)
+    total = grouped_reduce(per_block, ["step"], 4, val_col="cnt", out_col="n_users")
+
+    names = list(steps)
+
+    def label(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "step": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        st = t["step"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "step": t["step"],
+                "event_type": pa.array([names[s - 1] for s in st], pa.string()),
+                "n_users": t["n_users"],
+            }
+        )
+
+    return total.map_batches(label, batch_format="pyarrow")

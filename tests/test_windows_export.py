@@ -92,3 +92,51 @@ def test_export_jsonl_roundtrip(ray_session, tmp_path_factory):
     # unchanged lake: second export writes nothing
     r2 = export_lake_incremental(lake, out, fmt="jsonl")
     assert r2["exported"] == []
+
+
+def test_funnel_semantics(ray_session, tmp_path, monkeypatch):
+    """First-touch funnel: strictly-after ordering, within-window cutoff,
+    and partition independence on a hand-built stream."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grate_ray.pipelines.windows import funnel
+
+    t0 = pd.Timestamp("2026-01-01").value // 1000
+    MIN = 60 * 1_000_000
+    rows = [
+        # user 1: full funnel within windows
+        (1, "view", t0), (1, "click", t0 + 10 * MIN), (1, "purchase", t0 + 30 * MIN),
+        # user 2: click BEFORE view → stops after view
+        (2, "click", t0), (2, "view", t0 + 5 * MIN),
+        # user 3: click too late (>120min after view) → stops after view
+        (3, "view", t0), (3, "click", t0 + 121 * MIN),
+        # user 4: view+click, purchase exactly at the 120min edge (<=) → counts
+        (4, "view", t0), (4, "click", t0 + 60 * MIN),
+        (4, "purchase", t0 + 180 * MIN),
+        # user 5: never views
+        (5, "purchase", t0),
+    ]
+    u, e, ts = zip(*rows)
+    t = pa.table(
+        {
+            "user_id": pa.array(u, pa.int64()),
+            "event_type": pa.array(e),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+            "value": pa.array([1.0] * len(u)),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = (
+        funnel(str(d), steps=("view", "click", "purchase"), within_minutes=120)
+        .to_pandas()
+        .set_index("step")
+        .sort_index()
+    )
+    assert out.loc[1, "n_users"] == 4  # users 1-4 view
+    assert out.loc[2, "n_users"] == 2  # users 1, 4 (2's click precedes its
+    #                                    view; 3's click is past the window)
+    assert out.loc[3, "n_users"] == 2  # users 1 and 4 (120min edge inclusive)
