@@ -2311,6 +2311,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hashed_embed_search": q_hashed_embed_search,
     "rollup_counts": q_rollup_counts,
     "window_approx_distinct": q_window_approx_distinct,
+    "retention_cohorts": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).retention_cohorts(sf, minutes=24 * 60, max_offset=7),
     "event_funnel": lambda sf: __import__(
         "grate_ray.pipelines.windows", fromlist=["x"]
     ).funnel(sf, steps=("view", "click", "purchase"), within_minutes=120),
@@ -3689,6 +3692,22 @@ SELECT w, CASE WHEN raw <= 2.5 * 256 AND zeros > 0
                THEN round(256 * ln(256.0 / zeros), 6)
                ELSE round(raw, 6) END AS approx_distinct
 FROM est""",
+        # day-cohort retention: users keyed by first-event day, counted
+        # once per (cohort, offset) cell they were active in
+        "retention_cohorts": """
+WITH w AS (
+  SELECT user_id, (epoch_us(ts) // 86400000000) * 86400000000 AS w
+  FROM events
+),
+f AS (SELECT user_id, min(w) AS cw FROM w GROUP BY user_id),
+cells AS (
+  SELECT DISTINCT f.cw, (w.w - f.cw) // 86400000000 AS k, w.user_id
+  FROM w JOIN f USING (user_id)
+  WHERE (w.w - f.cw) // 86400000000 <= 7
+)
+SELECT make_timestamp(cw) AS cohort, CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM cells GROUP BY cw, k""",
         # first-touch funnel: each stage time = earliest qualifying event
         # strictly after the previous stage and within the window of it
         "event_funnel": """

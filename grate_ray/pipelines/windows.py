@@ -519,3 +519,98 @@ def funnel(
         )
 
     return total.map_batches(label, batch_format="pyarrow")
+
+
+def retention_cohorts(
+    sf_dir: str,
+    minutes: int = 24 * 60,
+    max_offset: int = 7,
+    n_parts: int = 32,
+) -> ray.data.Dataset:
+    """COHORT RETENTION over the event stream: users are cohorted by the
+    window (default: day) of their FIRST event; cell (cohort, k) counts
+    how many of that cohort were active again k windows later. Emits
+    (cohort timestamp, k, n_users) for 0 <= k <= max_offset (k=0 is the
+    cohort size).
+
+    Shape: ONE keyed repartition on user_id co-locates each user's
+    history; the block kernel derives (first-window, offset) pairs
+    vectorized across users (segment-min + unique-pair dedup) and emits
+    pre-aggregated cell counts; a tiny keyed sum finishes. The user
+    dimension never leaves its partition."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+    from ..functions.dedup import grouped_reduce
+
+    configure_shuffle(32)
+    us = minutes * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("cohort", pa.int64()),
+                pa.field("k", pa.int64()),
+                pa.field("cnt", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // us) * us
+        order = np.lexsort((w, u))
+        us_, ws_ = u[order], w[order]
+        change = np.empty(len(us_), dtype=bool)
+        change[0] = True
+        change[1:] = us_[1:] != us_[:-1]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        first_w = ws_[starts][seg]  # user's cohort window, per row
+        k = (ws_ - first_w) // us
+        keep = k <= max_offset
+        # distinct (cohort, k) per user → one contribution per cell
+        key = seg[keep] * (max_offset + 1) + k[keep]
+        pairs = np.unique(
+            np.stack([first_w[keep], key], axis=1), axis=0
+        )
+        cohort = pairs[:, 0]
+        kk = pairs[:, 1] % (max_offset + 1)
+        cell = cohort * (max_offset + 1) + kk
+        cu, cc = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cohort": pa.array(cu // (max_offset + 1)),
+                "k": pa.array(cu % (max_offset + 1)),
+                "cnt": pa.array(cc.astype(np.int64)),
+            },
+            schema=schema,
+        )
+
+    per_block = ds.repartition(
+        join_partitions(n_parts), keys=["user_id"]
+    ).map_batches(cells, batch_format="pyarrow", batch_size=None)
+    total = grouped_reduce(
+        per_block, ["cohort", "k"], 4, val_col="cnt", out_col="n_users"
+    )
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort": pa.array([], pa.timestamp("us")),
+                    "k": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        import numpy as np
+
+        c = t["cohort"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {"cohort": pa.array(c), "k": t["k"], "n_users": t["n_users"]}
+        )
+
+    return total.map_batches(to_ts, batch_format="pyarrow")
