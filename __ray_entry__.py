@@ -2311,6 +2311,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hashed_embed_search": q_hashed_embed_search,
     "rollup_counts": q_rollup_counts,
     "window_approx_distinct": q_window_approx_distinct,
+    "window_distinct_exact": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).window_distinct_exact(sf, minutes=60),
+    "window_lag_features": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).lag_features(sf),
     "retention_cohorts": lambda sf: __import__(
         "grate_ray.pipelines.windows", fromlist=["x"]
     ).retention_cohorts(sf, minutes=24 * 60, max_offset=7),
@@ -3692,6 +3698,19 @@ SELECT w, CASE WHEN raw <= 2.5 * 256 AND zeros > 0
                THEN round(256 * ln(256.0 / zeros), 6)
                ELSE round(raw, 6) END AS approx_distinct
 FROM est""",
+        "window_distinct_exact": """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1""",
+        # lag/lead per user under (ts, event_id) ordering; NaN/NULL for
+        # partition edges; delta rounded 6dp (float subtraction order)
+        "window_lag_features": """
+SELECT event_id, user_id, value,
+       lag(value) OVER w AS prev_value,
+       round(value - lag(value) OVER w, 6) AS value_delta,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         # day-cohort retention: users keyed by first-event day, counted
         # once per (cohort, offset) cell they were active in
         "retention_cohorts": """

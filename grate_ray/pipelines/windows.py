@@ -614,3 +614,138 @@ def retention_cohorts(
         )
 
     return total.map_batches(to_ts, batch_format="pyarrow")
+
+
+def lag_features(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
+    """Per-user LAG/LEAD window features over the event stream: for every
+    event, the previous event's value (lag), the delta against it, and
+    the next event's type (lead) under (ts, event_id) ordering — the
+    feature-engineering shape every sequence model ingests. ONE keyed
+    repartition on user_id, then shifted-neighbor arithmetic vectorized
+    ACROSS users per block (no window shuffle, no per-user Python).
+    Emits (event_id, user_id, value, prev_value, value_delta@6dp,
+    next_type)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+
+    def shifted(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("event_id", pa.int64()),
+                pa.field("user_id", pa.int64()),
+                pa.field("value", pa.float64()),
+                pa.field("prev_value", pa.float64()),
+                pa.field("value_delta", pa.float64()),
+                pa.field("next_type", pa.string()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us_, es_, vs_, ts_ = u[order], eid[order], v[order], et[order]
+        same_prev = np.zeros(len(us_), dtype=bool)
+        same_prev[1:] = us_[1:] == us_[:-1]
+        prev = np.empty(len(vs_), dtype=np.float64)
+        prev[1:] = vs_[:-1]
+        prev[0] = np.nan
+        prev = np.where(same_prev, prev, np.nan)
+        delta = np.round(vs_ - prev, 6)
+        same_next = np.zeros(len(us_), dtype=bool)
+        same_next[:-1] = us_[1:] == us_[:-1]
+        nxt = np.empty(len(ts_), dtype=object)
+        nxt[:-1] = ts_[1:]
+        nxt[-1] = None
+        nxt = np.where(same_next, nxt, None)
+        return pa.table(
+            {
+                "event_id": pa.array(es_),
+                "user_id": pa.array(us_),
+                "value": pa.array(vs_),
+                "prev_value": pa.array(prev),
+                "value_delta": pa.array(delta),
+                "next_type": pa.array(nxt, pa.string()),
+            },
+            schema=schema,
+        )
+
+    return ds.repartition(join_partitions(n_parts), keys=["user_id"]).map_batches(
+        shifted, batch_format="pyarrow", batch_size=None
+    )
+
+
+def window_distinct_exact(
+    sf_dir: str, minutes: int = 60, n_parts: int = 32
+) -> ray.data.Dataset:
+    """EXACT distinct users per tumbling window — the combiner-dedup
+    counterpart of the HLL sketch path: each batch pre-reduces to its
+    distinct (window, user) pairs BEFORE the shuffle (duplicate activity
+    inside a batch never ships), one keyed hop co-locates windows, and
+    the block kernel re-dedups and counts per window vectorized across
+    windows. Use this when window×distinct cardinality is affordable;
+    the sketch variant (`windowed_approx_distinct`) when it is not.
+    Emits (w timestamp, n_users)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    us = minutes * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field("w", pa.int64()), pa.field("user_id", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // us) * us
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([w, u], axis=1), axis=0)
+        return pa.table(
+            {"w": pa.array(uniq[:, 0]), "user_id": pa.array(uniq[:, 1])},
+            schema=schema,
+        )
+
+    def count_block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field("w", pa.timestamp("us")), pa.field("n_users", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        w = t["w"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([w, u], axis=1), axis=0)
+        ws = uniq[:, 0]
+        change = np.empty(len(ws), dtype=bool)
+        change[0] = True
+        change[1:] = ws[1:] != ws[:-1]
+        starts = np.flatnonzero(change)
+        n = np.diff(np.append(starts, len(ws)))
+        return pa.table(
+            {
+                "w": pa.array(ws[starts].astype("datetime64[us]")),
+                "n_users": pa.array(n.astype(np.int64)),
+            },
+            schema=schema,
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow").repartition(
+        join_partitions(n_parts), keys=["w"]
+    ).map_batches(count_block, batch_format="pyarrow", batch_size=None)
