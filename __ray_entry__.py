@@ -2311,6 +2311,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hashed_embed_search": q_hashed_embed_search,
     "rollup_counts": q_rollup_counts,
     "window_approx_distinct": q_window_approx_distinct,
+    "window_top_types": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).window_top_types(sf, minutes=60, k=3),
     "window_distinct_exact": lambda sf: __import__(
         "grate_ray.pipelines.windows", fromlist=["x"]
     ).window_distinct_exact(sf, minutes=60),
@@ -3698,6 +3701,20 @@ SELECT w, CASE WHEN raw <= 2.5 * 256 AND zeros > 0
                THEN round(256 * ln(256.0 / zeros), 6)
                ELSE round(raw, 6) END AS approx_distinct
 FROM est""",
+        "window_top_types": """
+WITH c AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT w, event_type, n,
+         CAST(row_number() OVER (PARTITION BY w
+                                 ORDER BY n DESC, event_type) AS BIGINT)
+           AS rank
+  FROM c
+)
+SELECT w, rank, event_type, n FROM r WHERE rank <= 3""",
         "window_distinct_exact": """
 SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

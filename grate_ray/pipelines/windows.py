@@ -749,3 +749,93 @@ def window_distinct_exact(
     return ds.map_batches(pairs, batch_format="pyarrow").repartition(
         join_partitions(n_parts), keys=["w"]
     ).map_batches(count_block, batch_format="pyarrow", batch_size=None)
+
+
+def window_top_types(
+    sf_dir: str, minutes: int = 60, k: int = 3, n_parts: int = 32
+) -> ray.data.Dataset:
+    """Top-k event types per tumbling window (the 'trending' query):
+    per-batch partial (window, type) counts BEFORE the shuffle, one keyed
+    hop on the window, then per-window count-merge + top-k rank
+    vectorized across windows (count DESC, type ASC ties). Emits
+    (w, rank, event_type, n)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    us = minutes * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("w", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("cnt", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // us) * us
+        codes, uniques = pd.factorize(t["event_type"].to_pandas())
+        key = w * len(uniques) + codes if len(uniques) else w
+        ku, cc = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(ku // len(uniques)),
+                "event_type": pa.array(
+                    np.asarray(uniques, dtype=object)[ku % len(uniques)],
+                    pa.string(),
+                ),
+                "cnt": pa.array(cc.astype(np.int64)),
+            },
+            schema=schema,
+        )
+
+    def topk(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("w", pa.timestamp("us")),
+                pa.field("rank", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("n", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = (
+            t.to_pandas()
+            .groupby(["w", "event_type"], as_index=False)["cnt"].sum()
+        )
+        w = df["w"].to_numpy()
+        et = df["event_type"].to_numpy(dtype=object)
+        n = df["cnt"].to_numpy()
+        order = np.lexsort((et, -n, w))
+        ws, es, ns = w[order], et[order], n[order]
+        change = np.empty(len(ws), dtype=bool)
+        change[0] = True
+        change[1:] = ws[1:] != ws[:-1]
+        starts = np.flatnonzero(change)
+        rank = np.arange(len(ws), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(ws)))
+        ) + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "w": pa.array(ws[keep].astype("datetime64[us]")),
+                "rank": pa.array(rank[keep]),
+                "event_type": pa.array(es[keep], pa.string()),
+                "n": pa.array(ns[keep].astype(np.int64)),
+            },
+            schema=schema,
+        )
+
+    return ds.map_batches(partials, batch_format="pyarrow").repartition(
+        join_partitions(n_parts), keys=["w"]
+    ).map_batches(topk, batch_format="pyarrow", batch_size=None)
