@@ -83,7 +83,12 @@ def plan_merge_events(
                 "role": pa.nulls(n, pa.string()),
                 "text": pa.nulls(n, pa.string()),
                 "tool": pa.nulls(n, pa.string()),
-                "ts": pa.nulls(n, pa.timestamp("us")),
+                # the lake winner's ts rides along: matched U/D events are
+                # emitted with ts = max(source ts, lake ts) so a merge
+                # always wins the (ts, lsn) LWW reduction (its lsn is above
+                # the high-water mark) — an older-ts source row must still
+                # apply, per MERGE INTO semantics
+                "ts": pc.cast(t["ts"], pa.timestamp("us")),
                 "_del": pa.array(np.zeros(n, dtype=bool)),
             }
         )
@@ -112,9 +117,9 @@ def plan_merge_events(
         cols["_del"] = dl
         return pa.table(cols)
 
-    lake_keys = read_lake(lake_dir, columns=["conv_id", "turn_idx"]).map_batches(
-        tag_lake, batch_format="pyarrow"
-    )
+    lake_keys = read_lake(
+        lake_dir, columns=["conv_id", "turn_idx", "ts"]
+    ).map_batches(tag_lake, batch_format="pyarrow")
     src = source.map_batches(tag_src, batch_format="pyarrow")
 
     def classify(t: pa.Table) -> pa.Table:
@@ -146,6 +151,17 @@ def plan_merge_events(
         take = pa.array(last[emit])
         picked = t.take(take)
         is_d = pa.array(op == "D")
+        # ts = max(source ts, lake winner ts): the merge event's lsn is
+        # strictly above the committed high-water mark, so an equal ts
+        # still wins the (ts, lsn) order — older-ts source UPDATEs apply
+        # instead of silently losing LWW, and a null source ts inherits
+        # the lake ts (deterministic) rather than riding lww_reduce's
+        # nulls-sort-last accident. Unmatched INSERTs keep the source ts.
+        ts_sorted = ts[order]
+        lake_ts = np.where(has0, ts_sorted[starts], _TS_NULL)
+        new_ts = np.maximum(ts[last], lake_ts)[emit]
+        ts_vals = new_ts.astype("datetime64[us]")
+        ts_vals[new_ts == _TS_NULL] = np.datetime64("NaT")
         out = {
             "op": pa.array(op.astype(object), pa.string()),
             "conv_id": picked["conv_id"],
@@ -153,7 +169,7 @@ def plan_merge_events(
         }
         for c in ["role", "text", "tool"]:
             out[c] = pc.if_else(is_d, pa.nulls(len(op), pa.string()), picked[c])
-        out["ts"] = picked["ts"]  # D keeps ts: tombstones must win LWW order
+        out["ts"] = pa.array(ts_vals)  # D keeps ts: tombstones must win LWW
         return pa.table(out, schema=empty.schema)
 
     return (
@@ -169,25 +185,49 @@ def merge_into(
     delete_col: str | None = None,
     scratch_dir: str | None = None,
     num_parts: int | None = None,
+    source_binlog: str | None = None,
 ) -> pa.Table:
     """MERGE ``source`` into the lake (see module docstring); returns the
     ingest metrics table of the resulting commit(s). The merge delta is
     staged as ordinary binlog chunk files in ``scratch_dir`` (fresh temp
-    dir by default) with dense LSNs starting one past the lake's global
-    committed high-water mark, then applied by the exactly-once
-    ``ingest`` — re-merging the identical source is a state no-op (every
-    re-classified event re-applies the same payload)."""
+    dir by default) with dense LSNs starting one past the lake's LSN
+    frontier, then applied by the exactly-once ``ingest`` — re-merging
+    the identical source is a state no-op (every re-classified event
+    re-applies the same payload).
+
+    LSN namespace: the frontier is max(committed high-water mark,
+    highest PLANNED micro-batch window) — so merging into a lake whose
+    persisted batch plan has uncommitted windows cannot reuse their
+    LSNs. A binlog with a pending, never-planned backlog is invisible to
+    the lake; pass ``source_binlog`` (the lake's binlog dir) and the
+    frontier also clears every chunk LSN present there, keeping the
+    strict (ts, lsn) total order when a later ``ingest`` drains the
+    backlog. Without it, merge_into requires the lake's binlog to be
+    fully planned/drained."""
     import uuid
 
     from ray.data.aggregate import Count
 
-    from ..state.manifest import committed_lsn, lake_num_partitions, list_partitions
-    from .ingest import ingest
+    from ..state.manifest import (
+        committed_lsn,
+        lake_num_partitions,
+        list_partitions,
+        read_batch_plan,
+    )
+    from .ingest import _chunk_lsn_ranges, ingest
 
     events = plan_merge_events(lake_dir, source, delete_col, num_parts)
 
     hws = [committed_lsn(lake_dir, p) for p in list_partitions(lake_dir)]
-    lsn0 = max([h for h in hws if h is not None], default=-1) + 1
+    frontier = max([h for h in hws if h is not None], default=-1)
+    for _, hi in read_batch_plan(lake_dir):
+        frontier = max(frontier, hi)
+    if source_binlog is not None:
+        from .cdc import list_binlog_files
+
+        for _, _, hi in _chunk_lsn_ranges(list_binlog_files(source_binlog)):
+            frontier = max(frontier, hi)
+    lsn0 = frontier + 1
 
     if scratch_dir is None:
         scratch_dir = os.path.join(
@@ -308,6 +348,7 @@ def expire_rows(
     lake_dir: str,
     before_ts,
     scratch_dir: str | None = None,
+    source_binlog: str | None = None,
 ) -> pa.Table:
     """Retention / TTL delete: tombstone every live row with
     ``ts < before_ts``, compiled onto the ordinary MERGE path (flagged
@@ -338,4 +379,5 @@ def expire_rows(
     return merge_into(
         lake_dir, old.map_batches(flag, batch_format="pyarrow"),
         delete_col="_del", scratch_dir=scratch_dir,
+        source_binlog=source_binlog,
     )

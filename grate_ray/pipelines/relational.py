@@ -899,7 +899,10 @@ def grouped_quantile(
         change[1:] = us[1:] != us[:-1]
         starts = np.flatnonzero(change)
         lens = np.diff(np.append(starts, len(us)))
-        kth = starts + np.ceil(q * lens).astype(np.int64) - 1
+        # quantile_disc(0) must return the group MINIMUM: clamp the
+        # per-group offset to >=1 so q=0 can't index into the previous
+        # group (or wrap to the array tail for the first group).
+        kth = starts + np.maximum(np.ceil(q * lens).astype(np.int64), 1) - 1
         return pa.table(
             {"user_id": pa.array(us[starts]), "q_value": pa.array(vs[kth])},
             schema=schema,

@@ -405,9 +405,13 @@ def chain_stats(
                 zone[col] = {"unknown": True}
                 continue
             if cs.get("all_null"):
+                # record that the column EXISTS (vs a never-seen name) so
+                # zone_may_match can distinguish "all-null everywhere"
+                # (provably no comparison match) from a typo'd filter column
+                zone.setdefault(col, {"all_null": True})
                 continue
             z = zone.get(col)
-            if z is None:
+            if z is None or z.get("all_null"):
                 zone[col] = {"min": cs["min"], "max": cs["max"]}
             elif not z.get("unknown"):
                 z["min"] = min(z["min"], cs["min"])
@@ -418,11 +422,16 @@ def chain_stats(
 def zone_may_match(zone: dict[str, dict], col: str, op: str, val) -> bool:
     """Can any row of a partition whose zone map is ``zone`` satisfy
     ``col <op> val``? False ⇒ the partition is provably empty under the
-    predicate and its chain is never read. Unknown columns / poisoned
-    stats keep the partition (sound). A column absent from the zone has
-    only null values in every chain file — comparisons never match."""
+    predicate and its chain is never read. Poisoned stats keep the
+    partition (sound). A column recorded as all-null in every chain file
+    never matches a comparison; a column NEVER seen in any chain stats
+    (likely a typo'd filter) keeps the partition so the exact downstream
+    filter raises on the unknown name instead of silently pruning to
+    an empty result."""
     cs = zone.get(col)
     if cs is None:
+        return True  # unknown column: let the exact filter surface the error
+    if cs.get("all_null"):
         return False  # all-null everywhere: comparison predicates drop nulls
     if cs.get("unknown"):
         return True
@@ -725,11 +734,19 @@ def writer_lock(lake_dir: str):
     """Single-writer guard for the lake (the engine's commit protocol is
     exactly-once under retries of ONE logical writer; two concurrent
     writers planning micro-batches against the same high-water mark
-    would double-apply — so the contract is made explicit). O_EXCL lock
-    file carrying the holder's pid; a lock whose process is gone is
-    stale and stolen, so a crashed writer never wedges the lake.
-    Context manager: ``with writer_lock(lake): ...``."""
+    would double-apply — so the contract is made explicit).
+
+    Implemented as ``fcntl.flock`` on a PERSISTENT lock file: the kernel
+    owns liveness, releasing the lock automatically when the holder
+    exits or crashes, so there is no stale-lock stealing (and therefore
+    no steal TOCTOU race and no PID-reuse misclassification — two
+    processes can never both hold it). The file itself is never
+    unlinked (unlinking would let a later opener lock a fresh inode
+    while an earlier opener still holds the old one); its pid/ts JSON
+    payload is diagnostic only. Context manager:
+    ``with writer_lock(lake): ...``."""
     import contextlib
+    import fcntl
     import time
 
     path = os.path.join(lake_dir, "_writer.lock")
@@ -737,45 +754,27 @@ def writer_lock(lake_dir: str):
     @contextlib.contextmanager
     def _lock():
         os.makedirs(lake_dir, exist_ok=True)
-        for _ in range(3):
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
-                break
-            except FileExistsError:
-                try:
-                    with open(path) as f:
-                        info = json.load(f)
-                except Exception:
-                    info = {}
-                pid = info.get("pid")
-                alive = False
-                if isinstance(pid, int):
-                    try:
-                        os.kill(pid, 0)
-                        alive = True
-                    except ProcessLookupError:
-                        alive = False
-                    except PermissionError:
-                        alive = True  # exists, different user
-                if alive and pid != os.getpid():
-                    raise ConcurrentWriterError(
-                        f"lake {lake_dir} is locked by live writer pid {pid}"
-                    )
-                # stale (holder gone) or our own leftover: steal
-                try:
-                    os.unlink(path)
-                except FileNotFoundError:
-                    pass
-        else:
-            raise ConcurrentWriterError(f"could not acquire writer lock in {lake_dir}")
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
         try:
-            yield
-        finally:
             try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                try:
+                    holder = json.loads(os.read(fd, 4096).decode() or "{}")
+                except Exception:
+                    holder = {}
+                raise ConcurrentWriterError(
+                    f"lake {lake_dir} is locked by live writer "
+                    f"pid {holder.get('pid', '?')}"
+                )
+            os.ftruncate(fd, 0)
+            os.lseek(fd, 0, os.SEEK_SET)
+            os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
     return _lock()

@@ -222,3 +222,33 @@ def test_table_diff_semantics(ray_session):
         (5, "U", "e"),   # null → value
         (6, "I", "f"),   # only in new
     }
+
+
+def test_grouped_quantile_edge_qs(ray_session, sf_dir):
+    """quantile_disc edge cases: q=0 must return each group's MINIMUM
+    (not index into the previous group — the ceil(0·n)−1 regression),
+    q=1 the maximum, q=0.5 the disc median (element at ceil(n/2)−1)."""
+    from grate_ray.pipelines.relational import grouped_quantile
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ev = ev.dropna(subset=["value"])
+
+    for q, ref in [
+        (0.0, ev.groupby("user_id")["value"].min()),
+        (1.0, ev.groupby("user_id")["value"].max()),
+        (
+            0.5,
+            ev.sort_values(["user_id", "value"])
+            .groupby("user_id")["value"]
+            .apply(lambda s: s.iloc[int(np.ceil(0.5 * len(s))) - 1]),
+        ),
+    ]:
+        got = (
+            grouped_quantile(sf_dir, q=q)
+            .to_pandas()
+            .sort_values("user_id")
+            .set_index("user_id")["q_value"]
+        )
+        want = ref.sort_index()
+        assert len(got) == len(want) > 0
+        assert np.allclose(got.to_numpy(), want.to_numpy()), f"q={q}"

@@ -93,8 +93,11 @@ def test_zone_may_match_ops():
     assert not zone_may_match({"x": {"min": 3, "max": 3}}, "x", "!=", 3)
     # unknown stats keep the partition (sound)
     assert zone_may_match(zone, "dead", "==", 1)
-    # column all-null / absent everywhere: comparisons can never match
-    assert not zone_may_match(zone, "missing", "==", 1)
+    # column recorded all-null everywhere: comparisons can never match
+    assert not zone_may_match({"x": {"all_null": True}}, "x", "==", 1)
+    # column NEVER seen in any chain stats (likely a typo): keep the
+    # partition so the exact downstream filter raises on the unknown name
+    assert zone_may_match(zone, "missing", "==", 1)
 
 
 def test_prune_all_partitions_on_impossible_predicate(zlake):
@@ -230,3 +233,13 @@ def test_backfill_stats_upgrades_old_lake(zlake, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_typod_filter_column_raises_not_empty(zlake):
+    """A filter on a column the lake has NEVER seen must surface the
+    error (KeyError from the exact filter) instead of silently pruning
+    every partition to an empty result."""
+    import ray as _ray
+
+    with pytest.raises((KeyError, _ray.exceptions.RayTaskError)):
+        read_lake(zlake, filters=[("txet", "==", "x")]).count()
