@@ -132,6 +132,8 @@ def diff_branches(base_dir: str, branch_dir: str) -> ray.data.Dataset:
     each partition pair diffs CO-LOCATED in one task — one vectorized
     key join per partition, no shuffle, exactly the ``lake_changes``
     shape across two lineages instead of two commit points."""
+    from ..context import configure_shuffle as _cfg
+    _cfg(32)  # BEFORE dataset creation: plans freeze the DataContext
     if lake_num_partitions(base_dir) != lake_num_partitions(branch_dir):
         raise ValueError("diff_branches requires the same partition count")
     parts = sorted(

@@ -119,6 +119,8 @@ def synthesize_container_dir(
     ``key % group_mod``, one TSV stream per distinct ``name_col`` value
     inside it. ``encrypt=True`` adds a FilePass stream and RC4-encrypts
     every payload stream (S10). Idempotent across driver calls."""
+    from ..context import configure_shuffle as _cfg
+    _cfg(32)  # BEFORE dataset creation: plans freeze the DataContext
     import hashlib
     import shutil
     import uuid

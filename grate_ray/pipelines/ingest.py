@@ -972,6 +972,8 @@ def lake_changes(
     payload as ``old_role``/``old_text``/``old_tool``/``old_ts`` (null
     for inserts) — what an incremental view maintainer needs to retract
     the superseded row's contribution before adding the new one."""
+    from ..context import configure_shuffle as _cfg
+    _cfg(32)  # BEFORE dataset creation: plans freeze the DataContext
     if from_lsn > to_lsn:
         raise ValueError(
             f"lake_changes requires from_lsn <= to_lsn (got {from_lsn} > {to_lsn})"

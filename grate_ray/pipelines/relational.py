@@ -540,6 +540,8 @@ def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     (only n_blocks×k rows ever move), single-block final prune + rank —
     a lazy Dataset end to end like every sibling pipeline, no driver
     materialization. Deterministic tie-break by key."""
+    from ..context import configure_shuffle as _cfg
+    _cfg(32)  # BEFORE dataset creation: plans freeze the DataContext
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )

@@ -133,6 +133,8 @@ def asof_join_events(
     ts (backward as-of, ts-inclusive). Vectorized across users: rows are
     sorted (user, ts, right-before-left-on-ties) and a single segmented
     running max yields the answer for every left row at once."""
+    from ..context import configure_shuffle as _cfg
+    _cfg(32)  # BEFORE dataset creation: plans freeze the DataContext
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
@@ -196,6 +198,8 @@ def range_join_trailing_count(
     (inclusive both ends — mirrored in the oracle). Vectorized across
     users: one searchsorted over composite (segment, ts) keys answers
     every anchor in the block at once."""
+    from ..context import configure_shuffle as _cfg
+    _cfg(32)  # BEFORE dataset creation: plans freeze the DataContext
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
@@ -241,6 +245,8 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     previous event exceeds ``gap_minutes``. Output: one row per session
     (user_id, session_id, n_events, t_start, t_end). Vectorized across
     users: gap breaks + segment-relative cumsum + reduceat aggregation."""
+    from ..context import configure_shuffle as _cfg
+    _cfg(32)  # BEFORE dataset creation: plans freeze the DataContext
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
@@ -686,17 +692,91 @@ def lag_features(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
     )
 
 
+def _window_bucket_partials(
+    ds: ray.data.Dataset, us: int, n_parts: int, n_buckets: int
+) -> ray.data.Dataset:
+    """Stage 1+2 of the two-level exact per-window distinct: per-batch
+    distinct (window, user) pairs (duplicate activity inside a batch
+    never ships), then one hop keyed on (w, hash(user) % B) — so a hot
+    window's distinct-user set is SPLIT across B blocks instead of
+    landing in one — and a block kernel emitting exact per-bucket
+    distinct counts (w, n_partial). Buckets partition the user space,
+    so per-bucket distincts sum to the window's distinct count."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("w", pa.int64()),
+                pa.field("bkt", pa.int64()),
+                pa.field("user_id", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // us) * us
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([w, u], axis=1), axis=0)
+        bkt = (
+            (uniq[:, 1].astype(np.uint64) * mult) >> shift
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "w": pa.array(uniq[:, 0]),
+                "bkt": pa.array(bkt),
+                "user_id": pa.array(uniq[:, 1]),
+            },
+            schema=schema,
+        )
+
+    def bucket_count(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field("w", pa.int64()), pa.field("n_partial", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        w = t["w"].to_numpy(zero_copy_only=False)
+        b = t["bkt"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([w, b, u], axis=1), axis=0)
+        wb = uniq[:, :2]
+        change = np.empty(len(wb), dtype=bool)
+        change[0] = True
+        change[1:] = (wb[1:] != wb[:-1]).any(axis=1)
+        starts = np.flatnonzero(change)
+        n = np.diff(np.append(starts, len(wb)))
+        return pa.table(
+            {
+                "w": pa.array(wb[starts, 0]),
+                "n_partial": pa.array(n.astype(np.int64)),
+            },
+            schema=schema,
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow").repartition(
+        join_partitions(n_parts), keys=["w", "bkt"]
+    ).map_batches(bucket_count, batch_format="pyarrow", batch_size=None)
+
+
 def window_distinct_exact(
-    sf_dir: str, minutes: int = 60, n_parts: int = 32
+    sf_dir: str, minutes: int = 60, n_parts: int = 32, n_buckets: int = 64
 ) -> ray.data.Dataset:
     """EXACT distinct users per tumbling window — the combiner-dedup
-    counterpart of the HLL sketch path: each batch pre-reduces to its
-    distinct (window, user) pairs BEFORE the shuffle (duplicate activity
-    inside a batch never ships), one keyed hop co-locates windows, and
-    the block kernel re-dedups and counts per window vectorized across
-    windows. Use this when window×distinct cardinality is affordable;
+    counterpart of the HLL sketch path, made skew-proof by a TWO-LEVEL
+    distinct: the first hop is keyed on (window, hash(user) % B) so a
+    peak-hour window with 10⁸ distinct users spreads over B blocks
+    (each O(pairs/B)), each block emits its exact per-bucket distinct
+    count, and a second TINY hop (≤ B rows per window) sums buckets per
+    window. Use this when window×distinct cardinality is affordable;
     the sketch variant (`windowed_approx_distinct`) when it is not.
-    Emits (w timestamp, n_users)."""
+    Emits (w timestamp, n_users). ``n_buckets`` must be a power of two."""
     import numpy as np
 
     from ..context import configure_shuffle, join_partitions
@@ -707,48 +787,34 @@ def window_distinct_exact(
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
+    partials = _window_bucket_partials(ds, us, n_parts, n_buckets)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        schema = pa.schema(
-            [pa.field("w", pa.int64()), pa.field("user_id", pa.int64())]
-        )
-        if t.num_rows == 0:
-            return schema.empty_table()
-        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        w = (ts // us) * us
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = np.unique(np.stack([w, u], axis=1), axis=0)
-        return pa.table(
-            {"w": pa.array(uniq[:, 0]), "user_id": pa.array(uniq[:, 1])},
-            schema=schema,
-        )
-
-    def count_block(t: pa.Table) -> pa.Table:
+    def sum_block(t: pa.Table) -> pa.Table:
         schema = pa.schema(
             [pa.field("w", pa.timestamp("us")), pa.field("n_users", pa.int64())]
         )
         if t.num_rows == 0:
             return schema.empty_table()
         w = t["w"].to_numpy(zero_copy_only=False)
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        uniq = np.unique(np.stack([w, u], axis=1), axis=0)
-        ws = uniq[:, 0]
+        n = t["n_partial"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="stable")
+        ws, ns = w[order], n[order]
         change = np.empty(len(ws), dtype=bool)
         change[0] = True
         change[1:] = ws[1:] != ws[:-1]
         starts = np.flatnonzero(change)
-        n = np.diff(np.append(starts, len(ws)))
+        sums = np.add.reduceat(ns, starts)
         return pa.table(
             {
                 "w": pa.array(ws[starts].astype("datetime64[us]")),
-                "n_users": pa.array(n.astype(np.int64)),
+                "n_users": pa.array(sums.astype(np.int64)),
             },
             schema=schema,
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow").repartition(
-        join_partitions(n_parts), keys=["w"]
-    ).map_batches(count_block, batch_format="pyarrow", batch_size=None)
+    return partials.repartition(
+        join_partitions(min(n_parts, 8)), keys=["w"]
+    ).map_batches(sum_block, batch_format="pyarrow", batch_size=None)
 
 
 def window_top_types(

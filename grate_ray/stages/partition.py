@@ -200,6 +200,8 @@ def heavy_hitters(
     the sketch and the (small) candidate relation.
 
     Emits (col, n_events) rows, one per heavy hitter."""
+    from ..context import configure_shuffle as _cfg
+    _cfg(32)  # BEFORE dataset creation: plans freeze the DataContext
     import pandas as pd
 
     total = ds.count()

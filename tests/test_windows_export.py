@@ -140,3 +140,68 @@ def test_funnel_semantics(ray_session, tmp_path, monkeypatch):
     assert out.loc[2, "n_users"] == 2  # users 1, 4 (2's click precedes its
     #                                    view; 3's click is past the window)
     assert out.loc[3, "n_users"] == 2  # users 1 and 4 (120min edge inclusive)
+
+
+def test_window_distinct_exact_two_level_skew(ray_session, tmp_path):
+    """Correctness AND skew-resistance of the two-level exact distinct:
+    plant one hot window holding 50% of ALL users; per-bucket partial
+    counts (the first hop's peak block payload) must stay O(distinct/B)
+    instead of the hot window's whole distinct set landing in one block."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from grate_ray.pipelines.windows import (
+        _window_bucket_partials,
+        window_distinct_exact,
+    )
+
+    rng = np.random.default_rng(11)
+    n_users = 20_000
+    hot_users = np.arange(n_users // 2)                      # 50% of users
+    cold = rng.integers(0, n_users, 4_000)
+    base = pd.Timestamp("2026-03-01").value // 1000          # µs
+    hour = 3_600 * 1_000_000
+    ts = np.concatenate(
+        [
+            np.full(len(hot_users), base + hour),            # ONE hot window
+            base + (rng.integers(2, 26, len(cold)) * hour),  # 24 cold windows
+        ]
+    )
+    users = np.concatenate([hot_users, cold])
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(users)), pa.int64()),
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+        }
+    )
+    d = tmp_path / "sk"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    B = 16
+    got = (
+        window_distinct_exact(str(d), minutes=60, n_buckets=B)
+        .to_pandas()
+        .sort_values("w")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"w": ts // hour * hour, "u": users})
+    want = (
+        df.groupby("w")["u"].nunique().sort_index().rename("n_users")
+    )
+    assert got["n_users"].tolist() == want.tolist()
+    assert got["n_users"].max() == len(hot_users)  # the hot window is there
+
+    # peak first-hop block payload: per-(w,bucket) distinct counts must be
+    # ~distinct/B, not the whole hot window in one block
+    parts = _window_bucket_partials(
+        ray.data.read_parquet(str(d / "events.parquet"), columns=["ts", "user_id"]),
+        hour, 32, B,
+    ).to_pandas()
+    hot_total = len(hot_users)
+    assert parts["n_partial"].max() <= 3 * hot_total // B
+    assert parts["n_partial"].sum() == want.sum()
