@@ -251,32 +251,57 @@ def incremental_text_index(
     )
 
 
-def content_lookup(lake_dir: str, texts: list[str]) -> ray.data.Dataset:
+def content_lookup(
+    lake_dir: str, texts: list[str], max_convs: int = 100_000
+) -> ray.data.Dataset:
     """CONTENT → ROW lookup accelerated by the secondary index: the
     target texts fingerprint to a tiny broadcast set, ONE streaming
-    ``is_in`` probe of the fingerprint index yields the candidate keys
-    (no shuffle), and only the partitions that can hold those
-    conversations are reconstructed (``read_lake(conv_ids=...)`` point
-    pruning). A text-equality filter on the fetched rows removes any
-    fingerprint collision, so results are exact: every live lake row
-    whose text equals one of the targets."""
+    ``is_in`` probe of the fingerprint index yields the candidate keys,
+    and only the partitions that can hold those conversations are
+    reconstructed (``read_lake(conv_ids=...)`` point pruning). A
+    text-equality filter on the fetched rows removes any fingerprint
+    collision, so results are exact: every live lake row whose text
+    equals one of the targets.
+
+    The driver never sees matched ROWS: candidate conv_ids are
+    deduplicated IN-CLUSTER (per-block distinct, one keyed hop,
+    per-block distinct again), so a degenerate probe (boilerplate text
+    matching half the lake) pulls at most one row per matching
+    conversation — and ``max_convs`` caps even that, raising instead of
+    silently materializing an unbounded id list on the driver."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from ..context import configure_shuffle, join_partitions
     from ..functions.text import fingerprint64
 
+    configure_shuffle(32)
     targets = pa.array([t or "" for t in texts], pa.string())
     fps = fingerprint64(targets)
 
-    def probe(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["fp"], value_set=fps))
+    def probe_distinct(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.is_in(t["fp"], value_set=fps))
+        return pa.table({"conv_id": m["conv_id"].combine_chunks().unique()})
 
-    matched = (
+    def block_distinct(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t["conv_id"].combine_chunks().unique()})
+
+    cand = (
         text_index_view(lake_dir)
-        .map_batches(probe, batch_format="pyarrow")
-        .to_pandas()  # bounded by the number of matching rows
+        .map_batches(probe_distinct, batch_format="pyarrow")
+        .repartition(join_partitions(16), keys=["conv_id"])
+        .map_batches(block_distinct, batch_format="pyarrow", batch_size=None)
+        .limit(max_convs + 1)  # driver pull bounded by the cap, not matches
+        .to_pandas()
     )
-    convs = sorted(set(matched["conv_id"])) if len(matched) else []
+    if len(cand) > max_convs:
+        raise ValueError(
+            f"content_lookup matched more than max_convs={max_convs} "
+            "conversations — the probe text is too unselective to point-"
+            "look-up; raise max_convs or use read_lake(filters=...) to "
+            "stream the matches instead of materializing ids"
+        )
+    convs = sorted(cand["conv_id"]) if len(cand) else []
     if not convs:
         from ..schema import empty_lake_table
 

@@ -586,6 +586,56 @@ def test_content_lookup_finds_all_copies(tmp_path_factory):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_content_lookup_degenerate_probe_bounded(tmp_path_factory):
+    """A degenerate probe (boilerplate text present in ~50% of rows,
+    spread over every conversation) must still answer exactly — the
+    driver pull is the in-cluster-deduped conv_id list, not the matched
+    rows — and max_convs caps that list with a clear error instead of an
+    unbounded driver materialization."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grate_ray.pipelines.views import content_lookup
+
+    d = str(tmp_path_factory.mktemp("dbinlog"))
+    lake = str(tmp_path_factory.mktemp("dlake"))
+    # hand-build a binlog: every even turn of EVERY conv shares one text
+    n_convs, turns = 40, 20
+    conv = np.repeat([f"conv{i:03d}" for i in range(n_convs)], turns)
+    turn = np.tile(np.arange(turns, dtype=np.int32), n_convs)
+    boiler = "I agree with the terms and conditions."
+    uniq = np.array(
+        [f"unique-{c}-{t}" for c, t in zip(conv, turn)], dtype=object
+    )
+    text = np.where(turn % 2 == 0, boiler, uniq)
+    t = pa.table(
+        {
+            "op": pa.array(["I"] * len(conv)),
+            "lsn": pa.array(np.arange(len(conv), dtype=np.int64)),
+            "conv_id": pa.array(conv),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "role": pa.array(["user"] * len(conv)),
+            "text": pa.array(text.astype(object), pa.string()),
+            "tool": pa.nulls(len(conv), pa.string()),
+            "ts": pa.array(
+                np.arange(len(conv)).astype("datetime64[us]"), pa.timestamp("us")
+            ),
+        }
+    )
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "chunk-000000000000.parquet"))
+    ingest(d, lake, num_partitions=P, files_per_microbatch=None)
+
+    got = content_lookup(lake, [boiler]).to_pandas()
+    assert len(got) == n_convs * (turns // 2)          # every copy found
+    assert set(got["conv_id"]) == set(f"conv{i:03d}" for i in range(n_convs))
+
+    with pytest.raises(ValueError, match="max_convs"):
+        content_lookup(lake, [boiler], max_convs=10).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_repartition_lake_and_resume(tmp_path_factory):
     """Re-bucket 8→5 partitions mid-stream (at a micro-batch boundary),
     resume ingest on the NEW lake: final state equals the oracle, and
