@@ -1788,6 +1788,45 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, qids, qmat, k=5, ncentroids=16, nprobe=4)
 
 
+def q_cell_errors(sf_dir: str):
+    """T13 tail — BIFF BoolErr error-label decode (berrLookup,
+    /root/reference/xls/sheets.go:441-450): deterministic error codes
+    (event_id % 48) decode through the vectorized 256-slot label take;
+    codes outside the table decode to null and are routed to the
+    '__deadletter__' bucket (the dead-letter contract under the oracle
+    gate). Per-batch partial counts (combiner) before one tiny groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from grate_ray.functions.typed import error_labels
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ev = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = pc.fill_null(
+            error_labels(pa.array(ev % 48)), "__deadletter__"
+        )
+        g = pa.table({"label": labels}).group_by("label").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"label": g["label"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "label"
+    ).aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n"), "n", pc.cast(t["n"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_cell_types(sf_dir: str):
     """T5 Types() projection: per-column cell-type histogram of the decoded
     customer payload strings (blank/integer/float/boolean/date/string)."""
@@ -2432,6 +2471,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_wav": q_multimodal_wav,
     "multimodal_frames": q_multimodal_frames,
     "cell_types": q_cell_types,
+    "cell_errors": q_cell_errors,
     "range_join": lambda sf: __import__(
         "grate_ray.pipelines.windows", fromlist=["x"]
     ).range_join_trailing_count(sf),
@@ -4553,6 +4593,22 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
         "cell_types": _CELL_TYPES_SQL,
+        "cell_errors": """
+SELECT coalesce(
+         CASE (event_id % 48)
+              WHEN 0  THEN '#NULL!'
+              WHEN 7  THEN '#DIV/0!'
+              WHEN 15 THEN '#VALUE!'
+              WHEN 23 THEN '#REF!'
+              WHEN 29 THEN '#NAME?'
+              WHEN 36 THEN '#NUM!'
+              WHEN 42 THEN '#N/A'
+              WHEN 43 THEN '#GETTING_DATA'
+              ELSE NULL END,
+         '__deadletter__') AS label,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
         "range_join": """
 SELECT e.event_id, e.user_id, e.ts,
        (SELECT count(*) FROM events c

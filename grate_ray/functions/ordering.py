@@ -183,3 +183,65 @@ def sort_mixed_cells(values) -> list:
     cls, num, lex = cell_sort_key(values)
     order = np.lexsort((lex, num, cls))
     return [values[i] for i in order]
+
+
+def _sscanf_g(s: str) -> float:
+    """Go ``fmt.Sscanf(s, "%g", &v)`` semantics: parse a leading float
+    (whitespace-skipping, trailing junk ignored); on no parse the Go
+    variable keeps its zero value — so 0.0."""
+    x = _sniff_float(s)
+    return 0.0 if x is None else x
+
+
+def cell_equal(v1, v2) -> bool:
+    """Exact scalar mirror of the reference's type-coercing ``Cell.Equal``
+    (/root/reference/commonxl/cell.go:319-344) — the kernel its own golden
+    tests compare states with (xls/simple_test.go:77):
+
+    - If EITHER side is numeric (int/float cell): both coerce to float —
+      numerics directly, anything else via Sscanf "%g" of its printed
+      form ("true"/"false" for bools per Go's fmt.Sprint, which fails to
+      parse and leaves 0.0). Mirrored QUIRK: the reference re-parses the
+      FIRST cell's print into the second operand (cell.go:336 uses c[0],
+      not other[0]), so e.g. Cell(5).Equal(Cell("abc")) is true — kept
+      verbatim so goldens match the reference bit-for-bit, documented
+      here so nobody "fixes" it silently.
+    - Otherwise: equal iff neither is Less than the other (which makes
+      nil compare equal to everything, per Less's nil rules).
+
+    Bools are NOT IntegerCells here (the reference stores them as
+    BooleanCell; its cell.go:147 Set path renders bool→"TRUE"/"FALSE"
+    when coerced through a string-typed column — that conversion happens
+    before Equal ever sees the value, so Equal itself treats a live bool
+    via the non-numeric branch)."""
+    n1 = isinstance(v1, (int, float)) and not isinstance(v1, bool)
+    n2 = isinstance(v2, (int, float)) and not isinstance(v2, bool)
+    if n1 or n2:
+        a = float(v1) if n1 else _sscanf_g(_go_sprint(v1))
+        b = float(v2) if n2 else _sscanf_g(_go_sprint(v1))  # quirk: v1
+        return a == b
+    return cell_less(v1, v2) == cell_less(v2, v1)
+
+
+def _go_sprint(v) -> str:
+    """Go fmt.Sprint for the non-numeric cell payloads Equal coerces."""
+    if v is None:
+        return "<nil>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def cells_equal(col_a, col_b) -> np.ndarray:
+    """Vectorized ``cell_equal`` over two aligned mixed-type columns
+    (Python lists / Arrow arrays) — the comparison a golden-state test
+    drives across a whole table at once."""
+    if isinstance(col_a, (pa.Array, pa.ChunkedArray)):
+        col_a = col_a.to_pylist()
+    if isinstance(col_b, (pa.Array, pa.ChunkedArray)):
+        col_b = col_b.to_pylist()
+    return np.fromiter(
+        (cell_equal(a, b) for a, b in zip(col_a, col_b)),
+        dtype=bool,
+        count=len(col_a),
+    )

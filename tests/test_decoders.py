@@ -212,3 +212,29 @@ def test_scan_strict_lenient_timestamp_matrix(sf_dir):
     # lenient: timestamp destination rejected up front
     with pytest.raises(TypeError, match="lenient Scan"):
         scan_typed(decoded, ["event_id", "ts"], [pa.int64(), pa.timestamp("us")])
+
+
+def test_berr_lookup_golden_mirrors_reference():
+    """BoolErr error-label table golden — mirrors berrLookup
+    (/root/reference/xls/sheets.go:441-450) entry for entry; unknown
+    codes decode to null (dead-letter route), never a wrong label."""
+    import pyarrow as pa
+
+    from grate_ray.functions.typed import BERR_LABELS, error_labels
+
+    golden = {
+        0x00: "#NULL!",
+        0x07: "#DIV/0!",
+        0x0F: "#VALUE!",
+        0x17: "#REF!",
+        0x1D: "#NAME?",
+        0x24: "#NUM!",
+        0x2A: "#N/A",
+        0x2B: "#GETTING_DATA",
+    }
+    assert BERR_LABELS == golden
+
+    codes = list(golden) + [1, 2, 6, 44, 128, 255, 256, -1, None]
+    got = error_labels(pa.array(codes, pa.int64())).to_pylist()
+    assert got[: len(golden)] == list(golden.values())
+    assert all(v is None for v in got[len(golden):])

@@ -88,3 +88,83 @@ def test_sort_key_total_order():
             if cell_less(a, b) and not cell_less(b, a):  # strict pair
                 if keys[i] != keys[j]:
                     assert keys[i] < keys[j], (a, b)
+
+
+def test_cell_equal_golden_table():
+    """Cell.Equal mirror (cell.go:319-344) golden table, including the
+    documented reference quirk (second operand re-parses the FIRST
+    cell's print when non-numeric) and nil-equal-to-everything."""
+    from grate_ray.functions.ordering import cell_equal
+
+    golden = [
+        # numeric promotions
+        (5, 5.0, True), (5, 5, True), (5.0, 5.0, True), (5, 6, False),
+        (-1, -1.0, True), (0, 0.0, True),
+        # numeric vs numeric-string (string first: parses its own print)
+        ("5", 5, True), ("5.5", 5.5, True), ("5.5e1", 55.0, True),
+        ("6", 5, False),
+        # the c[0]-reparse quirk: with a NUMERIC first cell the second
+        # operand re-parses the first cell's print, so ANY non-numeric
+        # second operand compares equal — including a different number
+        # spelled as a string (cell.go:336 uses c[0], kept verbatim)
+        (5, "5", True), (5, "6", True), (5, "abc", True), (0, "abc", True),
+        # reverse order: junk first parses 0.0
+        ("abc", 5, False), ("abc", 0, True), ("abc", 0.0, True),
+        # bools through the numeric branch print as true/false → 0.0
+        (True, 0.0, True), (True, 1.0, False), (False, 0, True),
+        # non-numeric branch: Less-symmetry
+        ("a", "a", True), ("a", "b", False),
+        (True, True, True), (True, False, False), (False, False, True),
+        (None, "x", True), (None, None, True), ("x", None, True),
+        # bool vs truthy string (non-numeric branch, boolStrings table)
+        (True, "yes", True), (False, "no", True), (False, "yes", False),
+    ]
+    for a, b, want in golden:
+        assert cell_equal(a, b) is want, (a, b, want)
+
+
+def test_cells_equal_wires_lake_golden(ray_session, tmp_path):
+    """The reference compares decoded states against goldens with
+    Cell.Equal (simple_test.go:77); mirror that: a replayed lake state
+    must compare cell-equal to the DuckDB arg_max golden column-wise,
+    and a perturbed copy must NOT."""
+    import duckdb
+    import numpy as np
+
+    from grate_ray.functions.ordering import cells_equal
+    from grate_ray.genlog import GenSpec, generate_binlog
+    from grate_ray.pipelines.ingest import ingest, read_lake
+
+    bl, lk = str(tmp_path / "binlog"), str(tmp_path / "lake")
+    generate_binlog(bl, GenSpec(num_events=4_000, num_convs=30, chunk_rows=2_000))
+    ingest(bl, lk, num_partitions=4, files_per_microbatch=None)
+    got = (
+        read_lake(lk)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        with w as (
+          select *, row_number() over (
+            partition by conv_id, turn_idx order by ts desc, lsn desc) rn
+          from read_parquet('{bl}/*.parquet'))
+        select conv_id, turn_idx, role, text from w
+        where rn = 1 and op <> 'D' order by conv_id, turn_idx
+        """
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in ("conv_id", "role", "text"):
+        eq = cells_equal(
+            got[col].where(got[col].notna(), None).tolist(),
+            want[col].where(want[col].notna(), None).tolist(),
+        )
+        assert eq.all(), col
+    # a perturbed state must fail the same comparison
+    bad = got["text"].copy()
+    bad.iloc[0] = (bad.iloc[0] or "") + "-corrupted"
+    assert not cells_equal(
+        bad.where(bad.notna(), None).tolist(),
+        want["text"].where(want["text"].notna(), None).tolist(),
+    ).all()
