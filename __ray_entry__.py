@@ -2378,6 +2378,18 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "grouped_median": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).grouped_quantile(sf, q=0.5),
+    "grouped_p90_cont": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).grouped_quantile_cont(sf, q=0.9),
+    "uniform_sample": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).uniform_sample(sf, n=500),
+    "orders_by_region": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).orders_by_region(sf),
+    "rolling_mean": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).rolling_mean(sf, k=4),
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
@@ -3849,6 +3861,25 @@ FROM est""",
         "grouped_median": """
 SELECT user_id, quantile_disc(value, 0.5) AS q_value
 FROM events WHERE value IS NOT NULL GROUP BY user_id""",
+        "grouped_p90_cont": """
+SELECT user_id, round(quantile_cont(value, 0.9), 6) AS q_value
+FROM events WHERE value IS NOT NULL GROUP BY user_id""",
+        "uniform_sample": """
+SELECT event_id, user_id, event_type, ts FROM events
+ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 500""",
+        "orders_by_region": """
+SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
+        "rolling_mean": """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+FROM events""",
         "rollup_counts": f"""
 SELECT role, tool,
        CAST(GROUPING(role, tool) AS BIGINT) AS grouping_id,

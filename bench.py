@@ -102,6 +102,27 @@ def run_headline(num_cpus: int) -> dict:
     return {"sec": best, "events": n_events, "events_per_sec": n_events / best}
 
 
+def weather_probe() -> dict:
+    """Same-process host-weather calibration: a fixed single-core numpy
+    matmul whose wall time moves proportionally with host CPU-steal /
+    tenancy (measured 2x swings on this shared VM). Each BENCH artifact
+    carries it so absolute seconds can be normalized across rounds:
+    engine_time_normalized ~= value * (probe_ref / probe_sec). The
+    reference value probe_ref (1.09 s) was measured at load-average
+    0.14 on this box (2026-08-18, round 4)."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((1024, 1024))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a @ a
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {"probe_sec": round(best, 4), "probe_ref": 1.09}
+
+
 def run_queries() -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
@@ -158,6 +179,7 @@ def main() -> None:
                     "scaling_efficiency_4_to_16": round((tput[16] / tput[4]) / 4, 3),
                     "scaling_efficiency_8_to_32": round((tput[32] / tput[8]) / 4, 3),
                     "sf": sf_of(SF_DIR),
+                    "weather": weather_probe(),
                 }
             )
         )
@@ -166,6 +188,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
 
+    weather = weather_probe()  # calibrate BEFORE the load we generate
     headline = run_headline(NUM_CPUS)
     queries = {} if "--headline-only" in sys.argv else run_queries()
     print(
@@ -179,6 +202,7 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "events": headline["events"],
                 "events_per_sec": round(headline["events_per_sec"]),
+                "weather": weather,
             }
         )
     )

@@ -913,3 +913,181 @@ def grouped_quantile(
     return ds.repartition(join_partitions(n_parts), keys=["user_id"]).map_batches(
         block_quantile, batch_format="pyarrow", batch_size=None
     )
+
+
+def grouped_quantile_cont(
+    sf_dir: str, q: float = 0.5, n_parts: int = 32
+) -> ray.data.Dataset:
+    """EXACT per-group CONTINUOUS quantile (``quantile_cont`` semantics:
+    linear interpolation at rank h = q·(n−1) of the group's sorted
+    values) of event value per user — the interpolating companion of
+    ``grouped_quantile``. Same scale shape: ONE keyed repartition
+    co-locates each user, then a block kernel computes every group's
+    interpolated order statistic vectorized ACROSS groups (one sort per
+    block + segment index arithmetic)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def block_quantile(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field("user_id", pa.int64()), pa.field("q_value", pa.float64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        u, v = u[keep], v[keep]
+        if len(u) == 0:
+            return schema.empty_table()
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        change = np.empty(len(us), dtype=bool)
+        change[0] = True
+        change[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(us)))
+        h = q * (lens - 1)
+        lo = np.floor(h).astype(np.int64)
+        frac = h - lo
+        vlo = vs[starts + lo]
+        vhi = vs[starts + np.minimum(lo + 1, lens - 1)]
+        return pa.table(
+            {
+                "user_id": pa.array(us[starts]),
+                # 6dp snap mirrors the oracle's round(quantile_cont, 6)
+                "q_value": sql_round(pa.array(vlo + frac * (vhi - vlo)), 6),
+            },
+            schema=schema,
+        )
+
+    return ds.repartition(join_partitions(n_parts), keys=["user_id"]).map_batches(
+        block_quantile, batch_format="pyarrow", batch_size=None
+    )
+
+
+def uniform_sample(sf_dir: str, n: int = 500) -> ray.data.Dataset:
+    """Deterministic RNG-free uniform sample of N events: the sample is
+    the n rows with the smallest md5(event_id) — a fixed uniform hash
+    order every re-run (and the SQL oracle) reproduces exactly. Scale
+    shape: distributed top-k by hash — each block prunes to its local n
+    smallest BEFORE one single-block final prune, so only
+    n_blocks × n candidate rows ever move and nothing is globally
+    sorted."""
+    import hashlib
+
+    import numpy as np
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(32)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def hash_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("h", pa.array([], pa.string()))
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        # md5 hex of the decimal id — ≡ DuckDB md5(CAST(id AS VARCHAR))
+        h = np.fromiter(
+            (hashlib.md5(str(int(e)).encode()).hexdigest() for e in ev),
+            dtype=object,
+            count=len(ev),
+        )
+        t = t.append_column("h", pa.array(h, pa.string()))
+        order = pc.sort_indices(t, sort_keys=[("h", "ascending")])
+        return t.take(order[: min(n, t.num_rows)])
+
+    pruned = ds.map_batches(hash_prune, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("h", "ascending")])
+        return t.take(order[: min(n, t.num_rows)]).drop_columns(["h"])
+
+    return pruned.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+
+
+def orders_by_region(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5-shaped three-table rollup: revenue per REGION from
+    orders ⋈ customer ⋈ nation ⋈ region, each edge at its true size —
+    the fact-sized orders⋈customer edge is a DISTRIBUTED hash join; the
+    nation→region map (25 rows) collapses driver-side into one
+    nationkey→region_name broadcast probed with vectorized ``index_in``.
+    Two shuffles total (join + final rollup) regardless of fact size."""
+    import pyarrow.parquet as pq
+
+    from ..context import configure_shuffle, join_partitions
+    from ..functions.num import sql_round
+
+    configure_shuffle(32)
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rmap = {
+        rk: rn
+        for rk, rn in zip(
+            region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()
+        )
+    }
+    nkeys = nation["n_nationkey"].combine_chunks()
+    rnames = pa.array(
+        [rmap[rk] for rk in nation["n_regionkey"].to_pylist()], pa.string()
+    )
+    ref = ray.put((nkeys, rnames))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=join_partitions(32),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def tag_region(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "r_name": pa.array([], pa.string()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                }
+            )
+        ks, rn = ray.get(ref)
+        idx = pc.index_in(t["c_nationkey"], value_set=ks)
+        return pa.table(
+            {"r_name": rn.take(idx), "o_totalprice": t["o_totalprice"]}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.map_batches(tag_region, batch_format="pyarrow").groupby(
+        "r_name"
+    ).aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue", sql_round(t["revenue"], 2)
+        ),
+        batch_format="pyarrow",
+    )

@@ -905,3 +905,71 @@ def window_top_types(
     return ds.map_batches(partials, batch_format="pyarrow").repartition(
         join_partitions(n_parts), keys=["w"]
     ).map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+def rolling_mean(
+    sf_dir: str, k: int = 4, n_parts: int = 32
+) -> ray.data.Dataset:
+    """Per-user TRAILING moving average over the last ``k`` events
+    (SQL: ``avg(value) OVER (PARTITION BY user ORDER BY ts, event_id
+    ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``) — the rolling-window
+    companion of the lag/lead features. ONE user-keyed hop, then a block
+    kernel computes every user's windows at once: segment-clamped
+    prefix-sum differencing (window sums = C[i+1] − C[w0], w0 clamped to
+    the user's segment start), null values excluded from both sum and
+    count exactly as SQL windows do. 6dp snap mirrors the oracle."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+    from ..functions.num import sql_round
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("event_id", pa.int64()),
+                pa.field("user_id", pa.int64()),
+                pa.field("rolling_avg", pa.float64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df, seg = _sorted_block(t, ["event_id", "user_id", "ts", "value"])
+        v = df["value"].to_numpy().astype(np.float64)
+        ok = ~np.isnan(v)
+        v0 = np.where(ok, v, 0.0)
+        n = len(df)
+        i = np.arange(n)
+        seg_starts = np.zeros(n, dtype=bool)
+        seg_starts[0] = True
+        seg_starts[1:] = seg[1:] != seg[:-1]
+        starts = np.flatnonzero(seg_starts)
+        lens = np.diff(np.append(starts, n))
+        row_start = np.repeat(starts, lens)
+        w0 = np.maximum(row_start, i - (k - 1))
+        C = np.concatenate([[0.0], np.cumsum(v0)])
+        N = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+        s = C[i + 1] - C[w0]
+        cnt = N[i + 1] - N[w0]
+        avg = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+        rounded = sql_round(pa.array(avg), 6).to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "event_id": pa.array(
+                    df["event_id"].to_numpy().astype(np.int64)
+                ),
+                "user_id": pa.array(df["user_id"].to_numpy().astype(np.int64)),
+                # from_pandas: NaN (all-null window) → SQL NULL
+                "rolling_avg": pa.array(rounded, from_pandas=True),
+            },
+            schema=schema,
+        )
+        return out
+
+    return _by_user(ds).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )

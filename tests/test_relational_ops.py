@@ -252,3 +252,61 @@ def test_grouped_quantile_edge_qs(ray_session, sf_dir):
         want = ref.sort_index()
         assert len(got) == len(want) > 0
         assert np.allclose(got.to_numpy(), want.to_numpy()), f"q={q}"
+
+
+def test_grouped_quantile_cont_interpolates(ray_session, sf_dir):
+    from grate_ray.pipelines.relational import grouped_quantile_cont
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ev = ev.dropna(subset=["value"])
+    got = (
+        grouped_quantile_cont(sf_dir, q=0.9)
+        .to_pandas()
+        .sort_values("user_id")
+        .set_index("user_id")["q_value"]
+    )
+    want = ev.groupby("user_id")["value"].quantile(0.9, interpolation="linear")
+    assert len(got) == len(want) > 0
+    assert np.allclose(got.to_numpy(), want.sort_index().to_numpy(), atol=1e-6)
+
+
+def test_uniform_sample_deterministic_hash_order(ray_session, sf_dir):
+    import hashlib
+
+    from grate_ray.pipelines.relational import uniform_sample
+
+    got = uniform_sample(sf_dir, n=100).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    h = ev["event_id"].map(lambda e: hashlib.md5(str(e).encode()).hexdigest())
+    want = ev.loc[h.sort_values().index[:100], "event_id"].tolist()
+    assert sorted(got["event_id"].tolist()) == sorted(want)
+    # re-run identical (no RNG anywhere)
+    again = uniform_sample(sf_dir, n=100).to_pandas()
+    assert sorted(again["event_id"].tolist()) == sorted(want)
+
+
+def test_rolling_mean_matches_pandas_window(ray_session, sf_dir):
+    from grate_ray.pipelines.windows import rolling_mean
+
+    got = (
+        rolling_mean(sf_dir, k=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    ref = (
+        ev.groupby("user_id")["value"]
+        .rolling(4, min_periods=1)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
+    ev["want"] = ref
+    ev = ev.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(ev) > 0
+    a = got["rolling_avg"].to_numpy(dtype=float)
+    b = ev["want"].to_numpy(dtype=float)
+    assert np.allclose(a, b, atol=1e-6, equal_nan=True)

@@ -89,8 +89,14 @@ def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = [a for a in argv if not os.path.isdir(a)]
 
     import ray
 
@@ -113,6 +119,7 @@ def main() -> None:
     oracles = entry.oracle_sql()
     names = only or list(queries)
     failures = []
+    records: dict[str, dict] = {}
     import time
 
     for name in names:
@@ -122,27 +129,52 @@ def main() -> None:
         except Exception as e:
             print(f"{name}: RAY ERROR {type(e).__name__}: {e}")
             failures.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "sec": round(time.perf_counter() - t0, 2),
+                "err": f"{type(e).__name__}: {e}"[:300],
+            }
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"{name}: no_oracle rows={len(ray_df)} ({time.perf_counter()-t0:.1f}s)")
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "ray_rows": len(ray_df), "oracle_rows": None,
+                "sec": round(time.perf_counter() - t0, 2), "err": None,
+                "no_oracle": True,
+            }
             continue
         try:
             ora_df = con.sql(sql).df()
         except Exception as e:
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
             failures.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "ray_rows": len(ray_df),
+                "sec": round(time.perf_counter() - t0, 2),
+                "err": f"oracle {type(e).__name__}: {e}"[:300],
+            }
             continue
         r = compare(name, ray_df, ora_df)
         status = "OK" if all(r.values()) else f"FAIL {r}"
-        print(
-            f"{name}: {status} rows={len(ray_df)}/{len(ora_df)} "
-            f"({time.perf_counter()-t0:.1f}s)"
-        )
+        dt = time.perf_counter() - t0
+        print(f"{name}: {status} rows={len(ray_df)}/{len(ora_df)} ({dt:.1f}s)")
         if not all(r.values()):
             failures.append(name)
+        records[name] = {
+            **r, "ray_rows": len(ray_df), "oracle_rows": len(ora_df),
+            "sec": round(dt, 2), "err": None,
+        }
 
     print(f"\n{len(names)-len(failures)}/{len(names)} green; failures: {failures}")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "results": records}, f, indent=1)
+        print(f"wrote {json_out}")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
