@@ -1744,6 +1744,22 @@ def q_ann_bruteforce(sf_dir: str):
     return brute_force_topk(ds, qids, qmat, k=5)
 
 
+def q_knn_classify(sf_dir: str):
+    """k-NN majority-vote labels for the broadcast queries: exact cosine
+    top-10 via the distributed brute-force kernel, neighbor labels via
+    ONE broadcast membership filter (the corpus never shuffles), bounded
+    driver-side vote over n_queries × k rows."""
+    import ray.data
+    from grate_ray.functions.ann import knn_classify
+
+    qids, qmat = _queries_mat(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return knn_classify(ds, qids, qmat, k=10)
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed ANN (scale path); full SQL oracle mirrors
     the plane codes, multi-probe and bucket scoring."""
@@ -2390,6 +2406,22 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rolling_mean": lambda sf: __import__(
         "grate_ray.pipelines.windows", fromlist=["x"]
     ).rolling_mean(sf, k=4),
+    "value_histogram": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).value_histogram(sf, width=25.0),
+    "stratified_sample": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).stratified_sample(sf, n=50),
+    "group_entropy": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).group_entropy(sf),
+    "event_transitions": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).event_transitions(sf),
+    "ntile_stats": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).ntile_stats(sf, tiles=4),
+    "knn_classify": q_knn_classify,
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
@@ -3880,6 +3912,63 @@ SELECT event_id, user_id,
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
 FROM events""",
+        "value_histogram": """
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events WHERE value IS NOT NULL GROUP BY bin""",
+        "stratified_sample": """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+  FROM events) WHERE rn <= 50""",
+        "group_entropy": """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type),
+t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+SELECT c.user_id,
+       round(-sum((n / tot) * ln(n / tot)), 6) AS entropy
+FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id""",
+        "event_transitions": """
+WITH seq AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events)
+SELECT src, dst, count(*) AS n
+FROM seq WHERE src IS NOT NULL GROUP BY src, dst""",
+        "ntile_stats": """
+WITH t AS (
+  SELECT user_id, value,
+         ntile(4) OVER (
+           PARTITION BY user_id ORDER BY value, event_id) AS tile
+  FROM events WHERE value IS NOT NULL)
+SELECT user_id, CAST(tile AS BIGINT) AS tile,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM t GROUP BY user_id, tile""",
+        "knn_classify": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, label, count(*) AS n_votes
+  FROM ranked WHERE rank <= 10 GROUP BY query_id, label
+)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label, n_votes
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY n_votes DESC, label ASC) AS r
+      FROM votes) WHERE r = 1""",
         "rollup_counts": f"""
 SELECT role, tool,
        CAST(GROUPING(role, tool) AS BIGINT) AS grouping_id,

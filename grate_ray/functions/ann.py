@@ -854,3 +854,60 @@ def semantic_dedup(
         .repartition(join_partitions(32), keys=["cluster"])
         .map_batches(prune, batch_format="pyarrow", batch_size=None)
     )
+
+
+def knn_classify(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> pa.Table:
+    """k-NN majority-vote classification of the broadcast queries against
+    the corpus: exact cosine top-k per query (the verified distributed
+    ``brute_force_topk`` kernel — per-batch matmul + local prune, one
+    tiny final shuffle), then labels for the ≤ n_queries × k neighbor
+    rows are fetched with ONE broadcast membership filter over the
+    corpus — the big table is never shuffled and never leaves the
+    cluster. Ties: highest vote count, then smallest label. Driver state
+    is bounded by n_queries × k rows end to end."""
+    import pandas as pd
+
+    topk = brute_force_topk(
+        ds.select_columns([id_col, emb_col]), query_ids, query_mat,
+        k=k, id_col=id_col, emb_col=emb_col,
+    )
+    nt = topk.select_columns(["query_id", id_col]).to_pandas()
+
+    wanted = ray.put(np.unique(nt[id_col].to_numpy()))
+
+    def pick_labels(t: pa.Table) -> pa.Table:
+        w = ray.get(wanted)
+        mask = pc.is_in(t[id_col], value_set=pa.array(w))
+        return t.filter(mask).select([id_col, label_col])
+
+    labels = (
+        ds.select_columns([id_col, label_col])
+        .map_batches(pick_labels, batch_format="pyarrow")
+        .to_pandas()
+    )
+    votes = (
+        nt.merge(labels, on=id_col)
+        .groupby(["query_id", label_col], as_index=False)
+        .size()
+        .rename(columns={"size": "n_votes"})
+    )
+    votes = votes.sort_values(
+        ["query_id", "n_votes", label_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = votes.groupby("query_id", as_index=False).head(1)
+    return pa.table(
+        {
+            "query_id": pa.array(top["query_id"].to_numpy(np.int64)),
+            "pred_label": pa.array(top[label_col].to_numpy(np.int64)),
+            "n_votes": pa.array(top["n_votes"].to_numpy(np.int64)),
+        }
+    )

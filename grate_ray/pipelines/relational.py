@@ -1091,3 +1091,180 @@ def orders_by_region(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def value_histogram(sf_dir: str, width: float = 25.0) -> ray.data.Dataset:
+    """Fixed-width histogram of event values: bin = floor(value/width).
+    The combiner pattern end-to-end — each batch collapses to ≤ n_bins
+    partial rows (factorize + np.bincount) BEFORE the tiny groupby sum,
+    so the shuffle moves histograms, not events. At 100 TB the exchange
+    is O(blocks × bins) regardless of row count."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("bin", pa.int64()),
+                pa.field("n", pa.int64()),
+                pa.field("total", pa.float64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return schema.empty_table()
+        b = np.floor(v / width).astype(np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        return pa.table(
+            {
+                "bin": pa.array(uniq),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "total": pa.array(np.bincount(inv, weights=v)),
+            },
+            schema=schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total"), "total", sql_round(t["total"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def stratified_sample(sf_dir: str, n: int = 50) -> ray.data.Dataset:
+    """Deterministic per-stratum sample: for every event_type, the n rows
+    with the smallest md5(event_id) — RNG-free, rerun-identical, exactly
+    the oracle's row_number() OVER (PARTITION BY type ORDER BY md5).
+    Scale shape: each block prunes to its local n per stratum, ONE
+    type-keyed hop over ≤ n_blocks × strata × n candidates, block-final
+    rank. No global sort."""
+    import hashlib
+
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("h", pa.array([], pa.string()))
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (hashlib.md5(str(int(e)).encode()).hexdigest() for e in ev),
+            dtype=object,
+            count=len(ev),
+        )
+        t = t.append_column("h", pa.array(h, pa.string()))
+        order = pc.sort_indices(
+            t, sort_keys=[("event_type", "ascending"), ("h", "ascending")]
+        )
+        t = t.take(order)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(et), dtype=bool)
+        change[0] = True
+        change[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(change)
+        rank = np.arange(len(et), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(et)))
+        )
+        return t.filter(pa.array(rank < n))
+
+    def final(t: pa.Table) -> pa.Table:
+        return local_prune(t).drop_columns(["h"])
+
+    return (
+        ds.map_batches(local_prune, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["event_type"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def group_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-user Shannon entropy (nats) of the event-type distribution — a
+    behavioral-diversity feature. Combiner first: each batch collapses to
+    (user, type, n) partials, ONE user-keyed hop co-locates a user's
+    partials, and the block kernel finishes count-sum + entropy for every
+    user at once (segment reductions, no Python loop)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("user_id", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("n", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            },
+            schema=schema,
+        )
+
+    def block_entropy(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field("user_id", pa.int64()), pa.field("entropy", pa.float64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.to_pandas()
+        # finish the count merge (a (user,type) partial may arrive from
+        # several upstream blocks), vectorized across the whole block
+        g = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        g = g.sort_values("user_id", kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        cnt = g["n"].to_numpy(np.float64)
+        change = np.empty(len(u), dtype=bool)
+        change[0] = True
+        change[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(u)))
+        tot = np.add.reduceat(cnt, starts)
+        p = cnt / np.repeat(tot, lens)
+        ent = -np.add.reduceat(p * np.log(p), starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "entropy": sql_round(pa.array(ent), 6),
+            },
+            schema=schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(32), keys=["user_id"])
+        .map_batches(block_entropy, batch_format="pyarrow", batch_size=None)
+    )

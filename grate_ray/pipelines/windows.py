@@ -973,3 +973,134 @@ def rolling_mean(
     return _by_user(ds).map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def event_transitions(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
+    """Markov transition counts: per user, events ordered by (ts,
+    event_id) form a chain; count every (prev_type → type) bigram
+    globally. ONE user-keyed hop makes each user's chain block-local
+    (no cross-block bigrams by construction), the block kernel shifts
+    within segments and emits per-block partial counts, and a tiny
+    groupby sums them — the exchange moves O(types²) rows per block."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("src", pa.string()),
+                pa.field("dst", pa.string()),
+                pa.field("n", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df, seg = _sorted_block(t, ["event_id", "user_id", "event_type", "ts"])
+        et = df["event_type"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = seg[1:] == seg[:-1]  # row has an in-user predecessor
+        src = np.roll(et, 1)[same]
+        dst = et[same]
+        if len(dst) == 0:
+            return schema.empty_table()
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"src": src, "dst": dst})
+            .groupby(["src", "dst"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "src": pa.array(g["src"], pa.string()),
+                "dst": pa.array(g["dst"], pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            },
+            schema=schema,
+        )
+
+    return (
+        _by_user(ds)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def ntile_stats(
+    sf_dir: str, tiles: int = 4, n_parts: int = 32
+) -> ray.data.Dataset:
+    """Per-user NTILE(tiles) over (value, event_id) order with exact SQL
+    tile sizing (first n mod k tiles get the extra row), rolled up to
+    (user, tile) count + mean — per-user value-quartile features. ONE
+    user-keyed hop; the block kernel assigns every user's tiles at once
+    with segment index arithmetic and reduces in the same pass (no
+    second shuffle: a user's rows never span blocks)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+    from ..functions.num import sql_round
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("user_id", pa.int64()),
+                pa.field("tile", pa.int64()),
+                pa.field("n", pa.int64()),
+                pa.field("avg_value", pa.float64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isnan(v)
+        u, v, e = u[keep], v[keep], e[keep]
+        if len(u) == 0:
+            return schema.empty_table()
+        order = np.lexsort((e, v, u))
+        u, v = u[order], v[order]
+        change = np.empty(len(u), dtype=bool)
+        change[0] = True
+        change[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(u)))
+        i = np.arange(len(u)) - np.repeat(starts, lens)  # pos within user
+        n = np.repeat(lens, lens)
+        base, rem = n // tiles, n % tiles
+        big_span = rem * (base + 1)
+        tile = np.where(
+            i < big_span,
+            i // np.maximum(base + 1, 1),
+            rem + (i - big_span) // np.maximum(base, 1),
+        ) + 1
+        # reduce (user, tile) in the same pass: key = seg * tiles + tile
+        seg = np.repeat(np.arange(len(starts)), lens)
+        key = seg * tiles + (tile - 1)
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv)
+        s = np.bincount(inv, weights=v)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts][uk // tiles]),
+                "tile": pa.array((uk % tiles + 1).astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+                "avg_value": sql_round(pa.array(s / cnt), 6),
+            },
+            schema=schema,
+        )
+
+    return ds.repartition(join_partitions(n_parts), keys=["user_id"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )

@@ -310,3 +310,47 @@ def test_rolling_mean_matches_pandas_window(ray_session, sf_dir):
     a = got["rolling_avg"].to_numpy(dtype=float)
     b = ev["want"].to_numpy(dtype=float)
     assert np.allclose(a, b, atol=1e-6, equal_nan=True)
+
+
+def test_event_transitions_match_pandas_bigrams(ray_session, sf_dir):
+    from grate_ray.pipelines.windows import event_transitions
+
+    got = (
+        event_transitions(sf_dir)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    ev["src"] = ev.groupby("user_id")["event_type"].shift(1)
+    want = (
+        ev.dropna(subset=["src"])
+        .groupby(["src", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"event_type": "dst", "size": "n"})
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_ntile_exact_sql_tile_sizing(ray_session, sf_dir):
+    """SQL NTILE: first n%k tiles get ceil(n/k) rows — verify per-user
+    tile sizes and that each user's tile sizes differ by at most 1."""
+    from grate_ray.pipelines.windows import ntile_stats
+
+    got = ntile_stats(sf_dir, tiles=4).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    nn = ev.dropna(subset=["value"]).groupby("user_id").size()
+    for uid, g in got.groupby("user_id"):
+        n = nn[uid]
+        base, rem = divmod(n, 4)
+        expect = sorted(
+            [base + 1] * rem + [base] * (4 - rem) if base else [1] * rem
+        )
+        assert sorted(g["n"].tolist()) == [x for x in expect if x > 0]
+    assert got["n"].sum() == nn.sum()
