@@ -2409,9 +2409,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "value_histogram": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).value_histogram(sf, width=25.0),
-    "stratified_sample": lambda sf: __import__(
+    "per_stratum_sample": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
-    ).stratified_sample(sf, n=50),
+    ).per_stratum_sample(sf, n=50),
     "group_entropy": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).group_entropy(sf),
@@ -3916,7 +3916,7 @@ FROM events""",
 SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
        count(*) AS n, round(sum(value), 2) AS total
 FROM events WHERE value IS NOT NULL GROUP BY bin""",
-        "stratified_sample": """
+        "per_stratum_sample": """
 SELECT event_id, event_type FROM (
   SELECT event_id, event_type,
          row_number() OVER (

@@ -1146,7 +1146,7 @@ def value_histogram(sf_dir: str, width: float = 25.0) -> ray.data.Dataset:
     )
 
 
-def stratified_sample(sf_dir: str, n: int = 50) -> ray.data.Dataset:
+def per_stratum_sample(sf_dir: str, n: int = 50) -> ray.data.Dataset:
     """Deterministic per-stratum sample: for every event_type, the n rows
     with the smallest md5(event_id) — RNG-free, rerun-identical, exactly
     the oracle's row_number() OVER (PARTITION BY type ORDER BY md5).
@@ -1166,14 +1166,17 @@ def stratified_sample(sf_dir: str, n: int = 50) -> ray.data.Dataset:
 
     def local_prune(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.append_column("h", pa.array([], pa.string()))
-        ev = t["event_id"].to_numpy(zero_copy_only=False)
-        h = np.fromiter(
-            (hashlib.md5(str(int(e)).encode()).hexdigest() for e in ev),
-            dtype=object,
-            count=len(ev),
-        )
-        t = t.append_column("h", pa.array(h, pa.string()))
+            if "h" not in t.column_names:
+                t = t.append_column("h", pa.array([], pa.string()))
+            return t
+        if "h" not in t.column_names:  # second pass reuses the carried hash
+            ev = t["event_id"].to_numpy(zero_copy_only=False)
+            h = np.fromiter(
+                (hashlib.md5(str(int(e)).encode()).hexdigest() for e in ev),
+                dtype=object,
+                count=len(ev),
+            )
+            t = t.append_column("h", pa.array(h, pa.string()))
         order = pc.sort_indices(
             t, sort_keys=[("event_type", "ascending"), ("h", "ascending")]
         )
