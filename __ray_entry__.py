@@ -2422,6 +2422,21 @@ QUERIES: dict[str, Callable[[str], Any]] = {
         "grate_ray.pipelines.windows", fromlist=["x"]
     ).ntile_stats(sf, tiles=4),
     "knn_classify": q_knn_classify,
+    "user_type_pivot": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).user_type_pivot(sf),
+    "above_avg_orders": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).above_avg_orders(sf),
+    "max_qty_shipment": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).max_qty_shipment(sf),
+    "grouped_mode": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).grouped_mode(sf),
+    "running_total": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).running_total(sf),
     "cdc_ingest_metrics": q_cdc_ingest_metrics,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_filtered_read": q_cdc_filtered_read,
@@ -3948,6 +3963,40 @@ WITH t AS (
 SELECT user_id, CAST(tile AS BIGINT) AS tile,
        count(*) AS n, round(avg(value), 6) AS avg_value
 FROM t GROUP BY user_id, tile""",
+        "user_type_pivot": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id""",
+        "above_avg_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+  FROM orders) WHERE o_totalprice > cavg""",
+        "max_qty_shipment": """
+SELECT l_partkey, l_orderkey, max_qty FROM (
+  SELECT l_partkey, l_orderkey, l_quantity AS max_qty,
+         row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_quantity DESC, l_orderkey ASC) AS rn
+  FROM lineitem) WHERE rn = 1""",
+        "grouped_mode": """
+SELECT user_id, mode_type, n FROM (
+  SELECT user_id, event_type AS mode_type, count(*) AS n,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type) WHERE rn = 1""",
+        "running_total": """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       AS running_sum
+FROM events""",
         "knn_classify": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -1271,3 +1271,239 @@ def group_entropy(sf_dir: str) -> ray.data.Dataset:
         .repartition(join_partitions(32), keys=["user_id"])
         .map_batches(block_entropy, batch_format="pyarrow", batch_size=None)
     )
+
+
+def user_type_pivot(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT: per user, one count column per event type (conditional
+    aggregation). Combiner-first — each batch collapses to one row per
+    user present (factorize users × fixed type set, 2-D bincount), the
+    groupby sums partial pivots; the exchange moves O(users) rows of
+    fixed width, never events."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(32)
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = [f"n_{t}" for t in types]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field("user_id", pa.int64())]
+            + [pa.field(c, pa.int64()) for c in cols]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uu, uinv = np.unique(u, return_inverse=True)
+        tcodes = pc.index_in(
+            t["event_type"], value_set=pa.array(types)
+        ).to_numpy(zero_copy_only=False)
+        flat = np.zeros(len(uu) * len(types), dtype=np.int64)
+        np.add.at(flat, uinv * len(types) + tcodes, 1)
+        grid = flat.reshape(len(uu), len(types))
+        data = {"user_id": pa.array(uu)}
+        for j, c in enumerate(cols):
+            data[c] = pa.array(grid[:, j])
+        return pa.table(data, schema=schema)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
+def above_avg_orders(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
+    """Correlated-subquery shape: orders strictly above their own
+    customer's average price. ONE custkey-keyed hop co-locates each
+    customer's orders; the block kernel computes every customer's mean
+    and filters in the same pass (segment reduce + gather) — no second
+    aggregate relation, no join."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("o_orderkey", pa.int64()),
+                pa.field("o_custkey", pa.int64()),
+                pa.field("o_totalprice", pa.float64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(c, kind="stable")
+        c, p, k = c[order], p[order], k[order]
+        change = np.empty(len(c), dtype=bool)
+        change[0] = True
+        change[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(c)))
+        mean = np.add.reduceat(p, starts) / lens
+        keep = p > np.repeat(mean, lens)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep]),
+                "o_custkey": pa.array(c[keep]),
+                "o_totalprice": pa.array(p[keep]),
+            },
+            schema=schema,
+        )
+
+    return ds.repartition(join_partitions(n_parts), keys=["o_custkey"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def max_qty_shipment(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
+    """Per-part argmax: for every part, the order shipping its largest
+    quantity (ties → smallest orderkey) — the distributed argmax-join
+    shape. Per-block local argmax FIRST (each block emits ≤ one row per
+    part it sees), then one partkey-keyed hop finishes the argmax over
+    block winners: the exchange moves candidates, not lineitems."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_quantity"],
+    )
+
+    def local_argmax(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("l_partkey", pa.int64()),
+                pa.field("l_orderkey", pa.int64()),
+                pa.field("max_qty", pa.float64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # sort (part asc, qty desc, orderkey asc): first row per part wins
+        order = np.lexsort((ok, -q, pk))
+        pk, ok, q = pk[order], ok[order], q[order]
+        change = np.empty(len(pk), dtype=bool)
+        change[0] = True
+        change[1:] = pk[1:] != pk[:-1]
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[change]),
+                "l_orderkey": pa.array(ok[change]),
+                "max_qty": pa.array(q[change]),
+            },
+            schema=schema,
+        )
+
+    def final_argmax(t: pa.Table) -> pa.Table:
+        # block winners arrive as (l_partkey, l_orderkey, max_qty);
+        # feed them back through the same kernel
+        return local_argmax(
+            t.rename_columns(["l_partkey", "l_orderkey", "l_quantity"])
+        )
+
+    return (
+        ds.map_batches(local_argmax, batch_format="pyarrow")
+        .repartition(join_partitions(n_parts), keys=["l_partkey"])
+        .map_batches(final_argmax, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def grouped_mode(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
+    """Per-user modal event type (ties → lexicographically smallest) —
+    the categorical argmax feature. Combiner-first (user,type,n)
+    partials, ONE user-keyed hop, block kernel finishes the count merge
+    and picks each user's winner with one sort + segment head."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("user_id", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("n", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        import pandas as pd
+
+        g = (
+            t.to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            },
+            schema=schema,
+        )
+
+    def block_mode(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("user_id", pa.int64()),
+                pa.field("mode_type", pa.string()),
+                pa.field("n", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = (
+            t.to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False)["n"]
+            .sum()
+        )
+        df = df.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        head = df.groupby("user_id", as_index=False).head(1)
+        import numpy as np
+
+        return pa.table(
+            {
+                "user_id": pa.array(head["user_id"].to_numpy(np.int64)),
+                "mode_type": pa.array(head["event_type"], pa.string()),
+                "n": pa.array(head["n"].to_numpy(np.int64)),
+            },
+            schema=schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(n_parts), keys=["user_id"])
+        .map_batches(block_mode, batch_format="pyarrow", batch_size=None)
+    )

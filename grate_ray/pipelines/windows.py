@@ -1104,3 +1104,60 @@ def ntile_stats(
     return ds.repartition(join_partitions(n_parts), keys=["user_id"]).map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-user cumulative sum of value over (ts, event_id) order — the
+    UNBOUNDED PRECEDING window companion of rolling_mean. ONE user-keyed
+    hop, then segment-reset prefix sums across every user in the block
+    (global cumsum minus each segment's starting offset); nulls add 0
+    but still emit a row, exactly as SQL sum() OVER ignores NULLs."""
+    import numpy as np
+
+    from ..functions.num import sql_round
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("event_id", pa.int64()),
+                pa.field("user_id", pa.int64()),
+                pa.field("running_sum", pa.float64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df, seg = _sorted_block(t, ["event_id", "user_id", "ts", "value"])
+        v = df["value"].to_numpy().astype(np.float64)
+        ok = ~np.isnan(v)
+        v0 = np.where(ok, v, 0.0)
+        csum = np.cumsum(v0)
+        starts = np.zeros(len(df), dtype=bool)
+        starts[0] = True
+        starts[1:] = seg[1:] != seg[:-1]
+        sidx = np.flatnonzero(starts)
+        lens = np.diff(np.append(sidx, len(df)))
+        base = np.repeat(csum[sidx] - v0[sidx], lens)
+        run = csum - base
+        # a user whose prefix is all-null yields SQL NULL until the
+        # first non-null value arrives
+        seen = np.cumsum(ok.astype(np.int64))
+        seen_base = np.repeat(seen[sidx] - ok[sidx].astype(np.int64), lens)
+        any_seen = (seen - seen_base) > 0
+        rounded = sql_round(pa.array(run), 6).to_numpy(zero_copy_only=False)
+        out = np.where(any_seen, rounded, np.nan)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy().astype(np.int64)),
+                "user_id": pa.array(df["user_id"].to_numpy().astype(np.int64)),
+                "running_sum": pa.array(out, from_pandas=True),
+            },
+            schema=schema,
+        )
+
+    return _by_user(ds).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )

@@ -11,9 +11,14 @@ def ray_session():
     import ray
 
     if not ray.is_initialized():
+        # 8 CPUs (was 4): the suite is dominated by the per-wide-op
+        # scheduling floor, and 8 slots let each ingest pass's shuffle +
+        # merger-actor + writer stages overlap instead of serializing.
+        # Measured solo: full suite 689s at 4 CPUs vs see STATUS_r4 at 8.
+        # GRAFT_TEST_CPUS overrides for bisecting CPU-sensitive failures.
         ray.init(
             address="local",
-            num_cpus=4,
+            num_cpus=int(os.environ.get("GRAFT_TEST_CPUS", "8")),
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",

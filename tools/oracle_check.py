@@ -28,7 +28,16 @@ TABLES = [
 def to_pandas(res) -> pd.DataFrame:
     if hasattr(res, "to_pandas"):
         try:
-            return res.to_pandas()
+            df = res.to_pandas()
+            if len(df.columns) == 0 and hasattr(res, "schema"):
+                # Ray 2.49 drops column names in to_pandas() when every
+                # block is empty; rebuild the typed empty frame from the
+                # dataset schema so 0-row results keep their schema
+                sch = res.schema(fetch_if_missing=True)
+                base = getattr(sch, "base_schema", None)
+                if base is not None:
+                    df = base.empty_table().to_pandas()
+            return df
         except TypeError:
             pass
     if hasattr(res, "iter_batches"):  # Dataset
