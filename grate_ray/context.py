@@ -78,3 +78,40 @@ def configure_shuffle(num_partitions: int) -> None:
     # pair of joins at 8 CPUs reserves every slot and deadlocks alongside
     # any fixed actor-pool map stage (measured: minhash verify pipeline)
     ctx.join_operator_actor_num_cpus_per_partition_override = 0.05
+
+
+def nonempty_blocks(ds):
+    """Drop empty blocks from a (bounded) relation before a hash join.
+
+    Ray 2.49 emits SCHEMA-LESS empty blocks from map_batches tasks whose
+    input partition was empty (the UDF's typed empty output is ignored),
+    and the join's HashShuffleAggregator crashes unifying a schema-less
+    block with real rows ("No match or multiple matches for key field
+    reference ..."). Any keyed repartition with fewer live keys than
+    partitions produces such blocks — the small/skewed-relation regime
+    of the candidate/graph joins.
+
+    This is a zero-copy guard: materialize, then rebuild the dataset
+    from the NON-EMPTY block refs (moves object refs, not data). If
+    every block is empty, reconstruct a typed empty relation from the
+    dataset's logical schema so downstream joins see column names.
+    Intended for BOUNDED relations (candidates, sizes, graph edges) —
+    the callers that already materialize mid-DAG by design."""
+    import ray.data as rd
+
+    m = ds.materialize()
+    refs, total = [], 0
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, md in bundle.blocks:
+            total += 1
+            if md.num_rows:
+                refs.append(ref)
+    if len(refs) == total:
+        return m
+    if refs:
+        return rd.from_arrow_refs(refs)
+    sch = m.schema(fetch_if_missing=True)
+    base = getattr(sch, "base_schema", None)
+    if base is not None:
+        return rd.from_arrow(base.empty_table())
+    return m

@@ -515,10 +515,15 @@ def cosine_neardup_pairs_lsh(
             ["a", "b"], npart, out_col="_m",
         )
         .map_batches(lambda t: t.drop_columns(["_m"]), batch_format="pyarrow")
-        .materialize()  # split the DAG before the verify joins (scheduler
-        # deadlocks when an actorless multi-shuffle prefix and two joins
-        # share one execution at small CPU counts; candidates are tiny)
     )
+    from ..context import nonempty_blocks
+
+    # materializes (splits the DAG before the verify joins — scheduler
+    # deadlocks when an actorless multi-shuffle prefix and two joins
+    # share one execution at small CPU counts; candidates are tiny) AND
+    # drops the schema-less empty blocks sparse keyed reduces emit
+    # (Ray 2.49), which crash the join aggregator
+    cand = nonempty_blocks(cand)
 
     # join payloads can't be list<float> (Arrow hash-join limitation) —
     # pack each embedding into ONE fixed-size-binary cell, zero-copy both
@@ -546,6 +551,7 @@ def cosine_neardup_pairs_lsh(
     ea = ds.map_batches(pack("a"), batch_format="pyarrow")
     eb = ds.map_batches(pack("b"), batch_format="pyarrow")
     j = cand.join(ea, join_type="inner", num_partitions=npart, on=("a",))
+    j = nonempty_blocks(j)  # join emits schema-less empty-partition blocks
     j = j.join(eb, join_type="inner", num_partitions=npart, on=("b",))
 
     def verify(t: pa.Table) -> pa.Table:

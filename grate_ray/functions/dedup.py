@@ -365,9 +365,17 @@ def _jaccard_from_counts(
     def rename(names: list[str]):
         return lambda t: t.rename_columns(names)
 
+    from ..context import nonempty_blocks
+
+    # sparse keyed reduces emit schema-less empty blocks (Ray 2.49) that
+    # crash the join aggregator; both relations are candidate-bounded
+    inter = nonempty_blocks(inter)
+    sizes = nonempty_blocks(sizes)
     sa = sizes.map_batches(rename(["a", "na"]), batch_format="pyarrow")
     sb = sizes.map_batches(rename(["b", "nb"]), batch_format="pyarrow")
     j = inter.join(sa, join_type="inner", num_partitions=npart, on=("a",))
+    # the join itself emits schema-less blocks for its empty partitions
+    j = nonempty_blocks(j)
     j = j.join(sb, join_type="inner", num_partitions=npart, on=("b",))
 
     def verify(t: pa.Table) -> pa.Table:
@@ -602,6 +610,10 @@ def minhash_lsh_pairs(
     # riding along on the gram rows (with_counts) — candidates only, all
     # distributed, and the whole tail is 2 joins + 1 keyed reduce over the
     # SAME materialized gram relation the signatures came from
+    from ..context import nonempty_blocks
+
+    cand = nonempty_blocks(cand)
+    grams = nonempty_blocks(grams)
     ga = grams.map_batches(
         lambda t: t.rename_columns(["a", "gram", "na"]), batch_format="pyarrow"
     )
@@ -609,6 +621,7 @@ def minhash_lsh_pairs(
         lambda t: t.rename_columns(["b", "gram", "nb"]), batch_format="pyarrow"
     )
     j1 = cand.join(ga, join_type="inner", num_partitions=npart, on=("a",))
+    j1 = nonempty_blocks(j1)  # join emits schema-less empty-partition blocks
     j2 = j1.join(gb, join_type="inner", num_partitions=npart, on=("b", "gram"))
 
     def pair_reduce(t: pa.Table) -> pa.Table:
@@ -856,7 +869,7 @@ def connected_components(
     (no transitive closure); this operator is part of the LLM-prep
     extension surface.
     """
-    from ..context import join_partitions
+    from ..context import join_partitions, nonempty_blocks
 
     npart = npart or join_partitions(32)
 
@@ -871,8 +884,9 @@ def connected_components(
             [pa.table({"u": a, "v": b}), pa.table({"u": b, "v": a})]
         ).combine_chunks()
 
-    # both directions once, pinned: re-read every iteration
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    # both directions once, pinned: re-read every iteration (empty-block
+    # drop: the pair relation is often far sparser than its block count)
+    edges = nonempty_blocks(pairs.map_batches(to_edges, batch_format="pyarrow"))
 
     # init: lbl(u) = min(u, min neighbor) — one free propagation round
     labels = grouped_reduce(
@@ -887,7 +901,8 @@ def connected_components(
             }
         ),
         batch_format="pyarrow",
-    ).materialize()
+    )
+    labels = nonempty_blocks(labels)
 
     def as_u(t: pa.Table) -> pa.Table:
         return pa.table({"u": t["node"], "lbl": t["lbl"]})
@@ -903,10 +918,12 @@ def connected_components(
         msgs = edges.join(
             lab_u, join_type="inner", num_partitions=npart, on=("u",)
         ).map_batches(as_msgs, batch_format="pyarrow")
-        labels = grouped_reduce(
-            msgs.union(labels), ["node"], npart,
-            val_col="lbl", out_col="lbl", reduce="min",
-        ).materialize()
+        labels = nonempty_blocks(
+            grouped_reduce(
+                msgs.union(labels), ["node"], npart,
+                val_col="lbl", out_col="lbl", reduce="min",
+            )
+        )
         new_sum = labels.sum("lbl") or 0
         if new_sum == prev_sum:
             break
@@ -1339,6 +1356,9 @@ def chunk_dedup(
         ),
         ["h"], npart, val_col="doc_id", out_col="own", reduce="min",
     )
+    from ..context import nonempty_blocks
+
+    owners = nonempty_blocks(owners)  # sparse keys < partitions at small corpora
     j = rel.join(owners, join_type="inner", num_partitions=npart, on=("h",))
 
     def per_doc_partial(t: pa.Table) -> pa.Table:

@@ -69,7 +69,7 @@ def pagerank(
     + one keyed float sum per dst (zero-in-degree nodes joined back at
     (1-d)/N). Rank relations are materialized between rounds — they are
     node-sized, orders of magnitude smaller than the edge relation."""
-    from ..context import configure_shuffle, join_partitions
+    from ..context import configure_shuffle, join_partitions, nonempty_blocks
 
     configure_shuffle(32)
     npart = npart or join_partitions(32)
@@ -102,11 +102,12 @@ def pagerank(
             }
         )
 
-    e = (
+    # nonempty_blocks: sparse keyed repartitions emit schema-less empty
+    # blocks (Ray 2.49) that crash the per-iteration hash join
+    e = nonempty_blocks(
         edges.map_batches(norm, batch_format="pyarrow")
         .repartition(npart, keys=["src"])
         .map_batches(dedup_outdeg, batch_format="pyarrow", batch_size=None)
-        .materialize()
     )
 
     def node_sides(t: pa.Table) -> pa.Table:
@@ -125,11 +126,10 @@ def pagerank(
         u = np.unique(t["node"].to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(u, pa.int64())})
 
-    nodes = (
+    nodes = nonempty_blocks(
         e.map_batches(node_sides, batch_format="pyarrow")
         .repartition(npart, keys=["node"])
         .map_batches(distinct_block, batch_format="pyarrow", batch_size=None)
-        .materialize()
     )
     n = nodes.count()
     if n == 0:
@@ -149,7 +149,7 @@ def pagerank(
             }
         ),
         batch_format="pyarrow",
-    ).materialize()
+    ).materialize()  # rank blocks mirror nodes' (nonempty) layout
 
     for _ in range(iters):
 
@@ -199,6 +199,6 @@ def pagerank(
                 ),
                 batch_format="pyarrow",
             )
-            .materialize()
         )
+        ranks = nonempty_blocks(ranks)
     return ranks

@@ -765,3 +765,35 @@ def test_hashed_embeddings_serial_and_neardup_signal(ray_session):
     )
     for i in range(len(texts)):
         assert np.allclose(np.array(ds_out.loc[i, "embedding"]), exp[i])
+
+
+def test_sparse_candidate_joins_survive_empty_partitions(ray_session):
+    """Regression: relations far sparser than the partition count reach
+    the verify joins as keyed-reduce outputs whose empty partitions are
+    schema-less blocks (Ray 2.49 ignores a UDF's typed empty output),
+    which crashed the join aggregator. The nonempty_blocks guard drops
+    them zero-copy; output must be exact on a 4-doc corpus whose pair
+    relation has 1-2 rows spread over 8+ partitions."""
+    import pyarrow as pa
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.functions.dedup import ngram_jaccard_pairs
+
+    configure_shuffle(32)  # BEFORE dataset creation (context freezes)
+    texts = [
+        "a b c d e f g",
+        "a b c d e f g h",
+        "x y z w q r s",
+        "p q r s t u v",
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=1000).to_pandas()
+    assert set(zip(out["a"], out["b"])) == {(0, 1)}
