@@ -401,7 +401,7 @@ def hyperplanes(d: int, nbits: int, seed: int) -> np.ndarray:
 def cosine_neardup_pairs_lsh(
     ds: ray.data.Dataset,
     threshold: float = 0.9,
-    nbits: int = 8,
+    nbits: int | None = None,
     seed: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
@@ -431,6 +431,14 @@ def cosine_neardup_pairs_lsh(
     # three branches read the input (codes + both pack sides) — pin it in
     # the object store once instead of re-scanning the source three times
     ds = ds.materialize()
+    if nbits is None:
+        # code width MUST track corpus size: with fixed nbits the buckets
+        # hold n/2^nbits vectors and candidate pairs grow QUADRATICALLY
+        # with n (measured: 10x the vectors at nbits=8 cost 21x the wall
+        # — BASELINE.md "sf1 query ladder"). Target ~24 exact vectors per
+        # bucket; clamp to [8, 24] (24 bits = 16M buckets).
+        n = ds.count()
+        nbits = int(np.clip(np.ceil(np.log2(max(n, 2) / 24)), 8, 24))
 
     def code_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -59,12 +59,27 @@ def run(names: list[str]) -> None:
     import __ray_entry__ as entry
 
     queries = entry.queries()
+
+    def auto_lsh(sf):
+        # the scale path: code width tracks corpus size (auto nbits).
+        # The registered query pins nbits=8 for its static SQL oracle;
+        # at 10x vectors that fixed width goes quadratic (see BASELINE.md)
+        from grate_ray.context import configure_shuffle
+        from grate_ray.functions.ann import cosine_neardup_pairs_lsh
+
+        configure_shuffle(32)  # BEFORE dataset creation (context freezes)
+        return cosine_neardup_pairs_lsh(
+            entry._embeddings_with_perturbed(sf), threshold=0.9, nbits=None
+        )
+
+    runners = dict(queries)
+    runners["dedup_embedding_lsh"] = auto_lsh
     out: dict[str, dict] = {}
     for name in names:
         row: dict = {}
         for tag, sf in (("sf0.1", SF01), ("sf1", SF1)):
             t0 = time.perf_counter()
-            res = queries[name](sf)
+            res = runners[name](sf)
             stats = None
             if hasattr(res, "to_pandas"):
                 df = res.to_pandas()
