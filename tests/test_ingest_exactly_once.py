@@ -204,21 +204,21 @@ def test_ingest_resume_with_different_batch_size(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("rbinlog"))
     lake = str(tmp_path_factory.mktemp("rlake"))
     generate_binlog(
-        d, GenSpec(num_events=16_000, num_convs=120, seed=44, chunk_rows=2_000)
+        d, GenSpec(num_events=8_000, num_convs=120, seed=44, chunk_rows=2_000)
     )
-    # killed run plans 1-file windows, completes 3 of 8
-    m1 = ingest(d, lake, num_partitions=P, files_per_microbatch=1, max_microbatches=3)
+    # killed run plans 1-file windows, completes 2 of 4
+    m1 = ingest(d, lake, num_partitions=P, files_per_microbatch=1, max_microbatches=2)
     # resume asks for much bigger batches — plan must override
     m2 = ingest(d, lake, num_partitions=P, files_per_microbatch=5)
     _assert_lake_matches(lake, d)
     both = pa.concat_tables([m1, m2]).to_pandas()
     applied = both[~both["skipped"]]
-    assert applied["n_events"].sum() == 16_000
+    assert applied["n_events"].sum() == 8_000
     # and the plan really was honored: resumed commits reuse 1-file windows
     from grate_ray.state.manifest import read_batch_plan
 
     plan = read_batch_plan(lake)
-    assert len(plan) == 8  # one window per chunk file, planned up front
+    assert len(plan) == 4  # one window per chunk file, planned up front
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -234,11 +234,11 @@ def test_read_lake_time_travel(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("tbinlog"))
     lake = str(tmp_path_factory.mktemp("tlake"))
     generate_binlog(
-        d, GenSpec(num_events=12_000, num_convs=100, seed=55, chunk_rows=1_500)
+        d, GenSpec(num_events=9_000, num_convs=100, seed=55, chunk_rows=1_500)
     )
     ingest(d, lake, num_partitions=P, files_per_microbatch=2, auto_compact=False)
     plan = read_batch_plan(lake)
-    assert len(plan) == 4  # 8 chunk files / 2 per micro-batch
+    assert len(plan) == 3  # 6 chunk files / 2 per micro-batch
 
     def state_at(asof):
         return (
@@ -294,7 +294,7 @@ def test_lake_changes_net_diff(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("cbinlog"))
     lake = str(tmp_path_factory.mktemp("clake"))
     generate_binlog(
-        d, GenSpec(num_events=12_000, num_convs=80, seed=66, chunk_rows=1_500)
+        d, GenSpec(num_events=9_000, num_convs=80, seed=66, chunk_rows=1_500)
     )
     ingest(d, lake, num_partitions=P, files_per_microbatch=2, auto_compact=False)
     plan = read_batch_plan(lake)
@@ -364,7 +364,7 @@ def test_ingest_auto_compacts(tmp_path_factory):
     lake = str(tmp_path_factory.mktemp("alake"))
     generate_binlog(
         d,
-        GenSpec(num_events=12_000, num_convs=80, seed=77, epoch0_frac=0.4, chunk_rows=1_500),
+        GenSpec(num_events=6_000, num_convs=80, seed=77, epoch0_frac=0.4, chunk_rows=1_500),
     )
     ingest(d, lake, num_partitions=P, files_per_microbatch=1, compact_max_chain=2)
     _assert_lake_matches(lake, d)
@@ -389,7 +389,7 @@ def test_incremental_view_equals_full_recompute(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("vbinlog"))
     lake = str(tmp_path_factory.mktemp("vlake"))
     generate_binlog(
-        d, GenSpec(num_events=12_000, num_convs=60, seed=99, chunk_rows=1_500)
+        d, GenSpec(num_events=6_000, num_convs=60, seed=99, chunk_rows=1_000)
     )
     ingest(d, lake, num_partitions=P, files_per_microbatch=2, auto_compact=False)
     plan = read_batch_plan(lake)
@@ -483,7 +483,7 @@ def test_incremental_index_equals_full_recompute(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("ibinlog2"))
     lake = str(tmp_path_factory.mktemp("ilake2"))
     generate_binlog(
-        d, GenSpec(num_events=12_000, num_convs=60, seed=101, chunk_rows=1_500)
+        d, GenSpec(num_events=6_000, num_convs=60, seed=101, chunk_rows=1_000)
     )
     ingest(d, lake, num_partitions=P, files_per_microbatch=2, auto_compact=False)
     plan = read_batch_plan(lake)
@@ -647,11 +647,11 @@ def test_repartition_lake_and_resume(tmp_path_factory):
     lake = str(tmp_path_factory.mktemp("rlakeA"))
     lake2 = str(tmp_path_factory.mktemp("rlakeB"))
     generate_binlog(
-        d, GenSpec(num_events=12_000, num_convs=90, seed=29,
+        d, GenSpec(num_events=6_000, num_convs=90, seed=29,
                    epoch0_frac=0.3, chunk_rows=1_500)
     )
     m1 = ingest(d, lake, num_partitions=P, files_per_microbatch=2,
-                max_microbatches=2)
+                max_microbatches=1)
     res = repartition_lake(lake, lake2, new_partitions=5)
     assert set(list_partitions(lake2)) == set(range(5))
     # old and new live views agree
@@ -670,7 +670,7 @@ def test_repartition_lake_and_resume(tmp_path_factory):
         assert got[col].tolist() == want[col].tolist(), col
     both = pa.concat_tables(
         [m1, m2], promote_options="default").to_pandas()
-    assert both[~both["skipped"]]["n_events"].sum() == 12_000
+    assert both[~both["skipped"]]["n_events"].sum() == 6_000
     # idempotent: re-running the repartition is a no-op
     res2 = repartition_lake(lake, lake2.rstrip("/"), new_partitions=5)
     assert sorted(res2["part"].to_pylist()) == sorted(res["part"].to_pylist())

@@ -190,7 +190,7 @@ def test_schema_evolution_across_delta_chain(ray_session, tmp_path):
     lake = str(tmp_path / "lake")
     generate_binlog(
         binlog,
-        GenSpec(num_events=30_000, chunk_rows=3_000, seed=11, num_convs=40,
+        GenSpec(num_events=18_000, chunk_rows=3_000, seed=11, num_convs=40,
                 epoch0_frac=0.5),
     )
     ingest(binlog, lake, num_partitions=4, files_per_microbatch=1)
