@@ -2350,6 +2350,48 @@ def q_multimodal_wav(sf_dir: str):
     )
 
 
+def q_cdc_superseded(sf_dir: str):
+    """Per-op counts of binlog events that LOST the (ts, lsn) LWW
+    reduction — replay churn metrics off the SAME counted-winner shuffle
+    the ingest path uses (no second pass over the log)."""
+    from grate_ray.pipelines.cdc import superseded_counts
+
+    return superseded_counts(_binlog(sf_dir), num_partitions=16)
+
+
+def q_cdc_fill_forward(sf_dir: str):
+    """Gap-fill window over the lake final state: forward-fill the
+    nullable tool column down each conversation in turn order
+    (last_value IGNORE NULLS)."""
+    from grate_ray.pipelines.cdc import apply_binlog, fill_forward_tool
+
+    return fill_forward_tool(apply_binlog(_binlog(sf_dir), num_partitions=16))
+
+
+def q_cdc_compact(sf_dir: str):
+    """Chain compaction preserves the live view EXACTLY: copy the
+    ingested lake, compact every partition's snapshot+delta chain to one
+    unified-schema snapshot (GC'ing superseded files), and read the
+    compacted lake back — the oracle is the same LWW final state."""
+    import os
+    import shutil
+    import uuid
+
+    from grate_ray.pipelines.compact import compact_lake
+    from grate_ray.pipelines.ingest import read_lake
+
+    lake = _ingest_lake(sf_dir)
+    out = lake.rstrip("/") + "_cmp"
+    # rebuild the copy each call: compaction mutates its target, and a
+    # half-compacted leftover from a killed run must never be reused
+    staging = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.copytree(lake, staging)
+    os.rename(staging, out)
+    compact_lake(out)
+    return read_lake(out)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_apply": q_cdc_apply,
     "cdc_apply_salted": q_cdc_apply_salted,
@@ -2570,6 +2612,43 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distinct_event_types": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).distinct_event_types(sf),
+    # --- round-4 session-2 additions -------------------------------------
+    "nation_coverage": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).nation_coverage(sf),
+    "corr_qty_price": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).corr_qty_price(sf),
+    "month_revenue": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).month_revenue(sf),
+    "weighted_avg_price": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).weighted_avg_price(sf),
+    "type_distinct_users": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).type_distinct_users(sf),
+    "user_activity_span": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).user_activity_span(sf),
+    "first_last_event": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).first_last_event(sf),
+    "mad_value": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).mad_value(sf),
+    "collapse_repeats": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).collapse_repeats(sf),
+    "vocab_topk": lambda sf: __import__(
+        "grate_ray.functions.search", fromlist=["x"]
+    ).vocab_topk(_docs(sf, cols=("text",)), k=50),
+    "bigram_topk": lambda sf: __import__(
+        "grate_ray.functions.search", fromlist=["x"]
+    ).bigram_topk(_docs(sf, cols=("text",)), k=30),
+    "cdc_superseded": q_cdc_superseded,
+    "cdc_fill_forward": q_cdc_fill_forward,
+    "cdc_compact": q_cdc_compact,
 }
 
 
@@ -3607,6 +3686,85 @@ FROM ({BINLOG_SQL}) base
     return {
         "cdc_apply": lww,
         "cdc_apply_salted": lww,
+        # --- round-4 session-2 additions ---------------------------------
+        "cdc_compact": lww,
+        "cdc_superseded": f"""
+WITH r AS (
+  SELECT op, row_number() OVER (PARTITION BY conv_id, turn_idx
+             ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ({BINLOG_SQL}) b)
+SELECT op, count(*) AS superseded FROM r WHERE rn > 1 GROUP BY op""",
+        "cdc_fill_forward": f"""
+SELECT conv_id, turn_idx,
+       last_value(tool IGNORE NULLS) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_filled
+FROM ({lww}) s""",
+        "nation_coverage": """
+SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey,
+       coalesce(c.n, 0) AS customers,
+       coalesce(s.n, 0) AS suppliers
+FROM nation n
+LEFT JOIN (SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1) c
+       ON c.c_nationkey = n.n_nationkey
+LEFT JOIN (SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY 1) s
+       ON s.s_nationkey = n.n_nationkey""",
+        "corr_qty_price": """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qp
+FROM lineitem GROUP BY 1""",
+        "month_revenue": """
+SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1""",
+        "weighted_avg_price": """
+SELECT l_returnflag,
+       round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 6)
+         AS wavg_price
+FROM lineitem GROUP BY 1""",
+        "type_distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1""",
+        "user_activity_span": """
+SELECT user_id, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+FROM events GROUP BY 1""",
+        "first_last_event": """
+WITH w AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT user_id,
+       max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
+FROM w GROUP BY user_id""",
+        "mad_value": """
+SELECT event_type, round(mad(value), 6) AS mad FROM events GROUP BY 1""",
+        "collapse_repeats": """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS pt
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       count(*) FILTER (WHERE pt IS NULL OR event_type <> pt) AS n_runs
+FROM o GROUP BY 1""",
+        "vocab_topk": """
+WITH w AS (
+  SELECT unnest(str_split(coalesce(text, ''), ' ')) AS word FROM documents)
+SELECT word, count(*) AS n FROM w WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+        "bigram_topk": """
+WITH d AS (SELECT str_split(coalesce(text, ''), ' ') AS ws FROM documents),
+b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM d, UNNEST(range(1, len(ws))) AS t(i))
+SELECT w1 || ' ' || w2 AS bigram, count(*) AS n
+FROM b WHERE w1 <> '' AND w2 <> ''
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30""",
         "cdc_op_counts": f"SELECT op, count(*) AS n FROM ({BINLOG_SQL}) b GROUP BY op",
         "cdc_conv_stats": f"""
 SELECT conv_id,

@@ -367,3 +367,138 @@ def bm25_topk(
         .repartition(max(2, min(len(queries), p)), keys=["qid"])
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def _split_offsets(texts: pa.ChunkedArray | pa.Array):
+    """Single-space tokenization of a string column → (flat numpy token
+    array, int64 list offsets). Zero Python loops: Arrow split_pattern
+    gives a list array whose offsets delimit each document's tokens."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+    flat = words.flatten().to_numpy(zero_copy_only=False)
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offsets
+
+
+def _topk_terms(
+    partials: ray.data.Dataset,
+    term_col: str,
+    k: int,
+    n_parts: int = 32,
+) -> ray.data.Dataset:
+    """Distributed (term, n)-partial → global top-k by (n DESC, term ASC):
+    one term-keyed hop finishes the count merge, a per-block prune keeps
+    ≤k candidates, and the final rank runs over ≤ k×blocks rows in one
+    tiny block. Never a global sort."""
+    from ..context import join_partitions
+
+    schema = pa.schema(
+        [pa.field(term_col, pa.string()), pa.field("n", pa.int64())]
+    )
+
+    def merge_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby(term_col, as_index=False)["n"].sum()
+        g = g.sort_values(["n", term_col], ascending=[False, True], kind="mergesort")
+        g = g.head(k)
+        return pa.table(
+            {
+                term_col: pa.array(g[term_col], pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            },
+            schema=schema,
+        )
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.to_pandas()
+        df = df.sort_values(["n", term_col], ascending=[False, True], kind="mergesort")
+        df = df.head(k)
+        return pa.table(
+            {
+                term_col: pa.array(df[term_col], pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+            },
+            schema=schema,
+        )
+
+    return (
+        partials.repartition(join_partitions(n_parts), keys=[term_col])
+        .map_batches(merge_prune, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final_rank, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def vocab_topk(
+    docs: ray.data.Dataset, k: int = 50, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Global top-k vocabulary over the corpus: per-batch word-count
+    partials (np.unique over the flattened Arrow token buffer — duplicate
+    words never leave the batch), then the distributed term top-k."""
+    schema = pa.schema([pa.field("word", pa.string()), pa.field("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        flat, _ = _split_offsets(t[text_col])
+        flat = flat[flat != ""]
+        if len(flat) == 0:
+            return schema.empty_table()
+        words, n = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"word": pa.array(words, pa.string()), "n": pa.array(n.astype(np.int64))},
+            schema=schema,
+        )
+
+    return _topk_terms(
+        docs.map_batches(partial, batch_format="pyarrow"), "word", k
+    )
+
+
+def bigram_topk(
+    docs: ray.data.Dataset, k: int = 30, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Global top-k ADJACENT word pairs (bigrams joined with one space),
+    document-bounded: a pair never spans two documents. The adjacency
+    mask comes from the Arrow list offsets (a token is pair-leading iff
+    its successor is in the same document), both sides must be non-empty
+    tokens, and per-batch np.unique collapses duplicates before the term
+    top-k exchange."""
+    schema = pa.schema([pa.field("bigram", pa.string()), pa.field("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        flat, offsets = _split_offsets(t[text_col])
+        if len(flat) < 2:
+            return schema.empty_table()
+        lead = np.ones(len(flat), dtype=bool)
+        lead[-1] = False
+        # positions offsets[1:]-1 end a document; their successor starts
+        # the next one
+        ends = offsets[1:] - 1
+        ends = ends[(ends >= 0) & (ends < len(flat))]
+        lead[ends] = False
+        a = flat[:-1]
+        b = flat[1:]
+        m = lead[:-1] & (a != "") & (b != "")
+        if not m.any():
+            return schema.empty_table()
+        pairs = np.char.add(np.char.add(a[m].astype("U"), " "), b[m].astype("U"))
+        grams, n = np.unique(pairs, return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(grams, pa.string()),
+                "n": pa.array(n.astype(np.int64)),
+            },
+            schema=schema,
+        )
+
+    return _topk_terms(
+        docs.map_batches(partial, batch_format="pyarrow"), "bigram", k
+    )

@@ -332,3 +332,106 @@ def scd2_history(
     return events.repartition(
         join_partitions(num_partitions), keys=["conv_id"]
     ).map_batches(versions, batch_format="pyarrow", batch_size=None)
+
+
+def superseded_counts(ds: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Dataset:
+    """Replay-quality metric: how many binlog events LOST the
+    (ts, lsn) LWW reduction, grouped by the losing event's op — the
+    update-churn / late-arrival signal a CDC operator watches. Reuses
+    the counted LWW reducer (the shuffle ships one winner row per key
+    carrying exact per-op raw counts), so superseded_o is just
+    Σ cnt_o − #(winner op = o) — no second pass over the log."""
+    import numpy as np
+
+    from ..context import REDUCE_BATCH_SIZE, configure_shuffle, join_partitions
+    from ..stages.merge import lww_reduce_counted
+
+    configure_shuffle(num_partitions)
+
+    out_schema = pa.schema(
+        [pa.field("op", pa.string()), pa.field("superseded", pa.int64())]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = lww_reduce_counted(t)  # per-key exact merge (keys co-located)
+        op = t["op"].to_numpy(zero_copy_only=False)
+        sup = {}
+        for col, o in (("cnt_i", "I"), ("cnt_u", "U"), ("cnt_d", "D")):
+            total = int(t[col].to_numpy(zero_copy_only=False).astype(np.int64).sum())
+            winners = int((op == o).sum())
+            sup[o] = total - winners
+        return pa.table(
+            {
+                "op": pa.array(list(sup.keys()), pa.string()),
+                "superseded": pa.array(list(sup.values()), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby("op", as_index=False)["superseded"].sum()
+        g = g[g["superseded"] > 0]
+        return pa.table(
+            {
+                "op": pa.array(g["op"], pa.string()),
+                "superseded": pa.array(g["superseded"].to_numpy("int64")),
+            },
+            schema=out_schema,
+        )
+
+    from ..stages.merge import lww_reduce_counted as _partial
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=REDUCE_BATCH_SIZE)
+        .repartition(join_partitions(num_partitions), keys=["conv_id", "turn_idx"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def fill_forward_tool(state: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Dataset:
+    """Forward-fill the nullable ``tool`` column down each conversation
+    (turn order) over the LWW final state — the gap-fill window shape
+    (last_value IGNORE NULLS). ONE conv-keyed hop, then a pandas
+    grouped ffill vectorized across every conversation in the block."""
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    out_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("tool_filled", pa.string()),
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.select(["conv_id", "turn_idx", "tool"]).to_pandas()
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        df["tool_filled"] = df.groupby("conv_id", sort=False)["tool"].ffill()
+        import numpy as np
+
+        return pa.table(
+            {
+                "conv_id": pa.array(df["conv_id"], pa.string()),
+                "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int32)),
+                "tool_filled": pa.array(
+                    df["tool_filled"].where(df["tool_filled"].notna(), None),
+                    pa.string(),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return state.repartition(
+        join_partitions(num_partitions), keys=["conv_id"]
+    ).map_batches(per_block, batch_format="pyarrow", batch_size=None)

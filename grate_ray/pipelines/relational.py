@@ -1507,3 +1507,656 @@ def grouped_mode(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
         .repartition(join_partitions(n_parts), keys=["user_id"])
         .map_batches(block_mode, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-2 additions: set-op coverage, statistical aggregates,
+# calendar rollups, exact distincts and order-statistic features — every
+# one combiner-first so the exchange moves partials, not rows.
+# ---------------------------------------------------------------------------
+
+
+def nation_coverage(sf_dir: str, n_parts: int = 8) -> ray.data.Dataset:
+    """INTERSECT/EXCEPT-shaped coverage report: for EVERY nation, how
+    many customers and suppliers it has (0 when none) — the set-algebra
+    surface (nations with both = INTERSECT, customers-only = EXCEPT)
+    read off one relation. Combiner-first: each side collapses to
+    per-nation partial counts inside ``map_batches``; the tiny nation
+    table itself seeds zero rows so coverage gaps survive the keyed sum
+    (a LEFT JOIN with no join — the exchange moves O(25) rows/side)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(8)
+
+    schema = pa.schema(
+        [
+            pa.field("n_nationkey", pa.int64()),
+            pa.field("customers", pa.int64()),
+            pa.field("suppliers", pa.int64()),
+        ]
+    )
+
+    def partial(col: str, as_customers: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return schema.empty_table()
+            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys, n = np.unique(k, return_counts=True)
+            zeros = np.zeros(len(keys), dtype=np.int64)
+            return pa.table(
+                {
+                    "n_nationkey": pa.array(keys),
+                    "customers": pa.array(n if as_customers else zeros),
+                    "suppliers": pa.array(zeros if as_customers else n),
+                },
+                schema=schema,
+            )
+
+        return fn
+
+    def seed(t: pa.Table) -> pa.Table:
+        k = t["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(k), dtype=np.int64)
+        return pa.table(
+            {"n_nationkey": pa.array(k), "customers": pa.array(z), "suppliers": pa.array(z)},
+            schema=schema,
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey"]
+    ).map_batches(partial("c_nationkey", True), batch_format="pyarrow")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]
+    ).map_batches(partial("s_nationkey", False), batch_format="pyarrow")
+    nations = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    ).map_batches(seed, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        k = t["n_nationkey"].to_numpy(zero_copy_only=False)
+        c = t["customers"].to_numpy(zero_copy_only=False)
+        s = t["suppliers"].to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(keys),
+                "customers": pa.array(np.bincount(inv, weights=c).astype(np.int64)),
+                "suppliers": pa.array(np.bincount(inv, weights=s).astype(np.int64)),
+            },
+            schema=schema,
+        )
+
+    return (
+        cust.union(supp)
+        .union(nations)
+        .repartition(join_partitions(n_parts), keys=["n_nationkey"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def corr_qty_price(sf_dir: str) -> ray.data.Dataset:
+    """Per-returnflag Pearson correlation + population covariance of
+    (l_quantity, l_extendedprice) — the two-variable statistical
+    aggregate family (corr / covar_pop) via the moments combiner: each
+    batch collapses to (n, Σx, Σy, Σxx, Σyy, Σxy) per flag, ONE tiny
+    keyed hop merges the moments, and the closed-form finish runs on a
+    handful of rows. The exchange moves O(blocks × flags) rows."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(8)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("l_returnflag", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("sx", pa.float64()),
+            pa.field("sy", pa.float64()),
+            pa.field("sxx", pa.float64()),
+            pa.field("syy", pa.float64()),
+            pa.field("sxy", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys, inv = np.unique(flag, return_inverse=True)
+        k = len(keys)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(keys, pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+                "sx": pa.array(np.bincount(inv, weights=x, minlength=k)),
+                "sy": pa.array(np.bincount(inv, weights=y, minlength=k)),
+                "sxx": pa.array(np.bincount(inv, weights=x * x, minlength=k)),
+                "syy": pa.array(np.bincount(inv, weights=y * y, minlength=k)),
+                "sxy": pa.array(np.bincount(inv, weights=x * y, minlength=k)),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("l_returnflag", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("corr_qp", pa.float64()),
+            pa.field("covar_qp", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        n = g["n"].to_numpy(np.float64)
+        sx, sy = g["sx"].to_numpy(), g["sy"].to_numpy()
+        sxx, syy, sxy = g["sxx"].to_numpy(), g["syy"].to_numpy(), g["sxy"].to_numpy()
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) ** 2
+        vy = syy / n - (sy / n) ** 2
+        corr = cov / np.sqrt(vx * vy)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "corr_qp": sql_round(pa.array(corr), 6),
+                "covar_qp": sql_round(pa.array(cov), 4),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["l_returnflag"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def month_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Calendar rollup: per order month, order count + revenue — the
+    date_trunc family. Months are computed vectorized from the raw
+    timestamp (integer math on epoch-µs via numpy datetime64), partials
+    collapse per batch, ONE tiny month-keyed hop finishes. The exchange
+    moves O(blocks × months) rows."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(8)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("month", pa.timestamp("us")),
+            pa.field("n", pa.int64()),
+            pa.field("revenue", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (
+            us.astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(m, return_inverse=True)
+        return pa.table(
+            {
+                "month": pa.array(keys).cast(pa.timestamp("us")),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "revenue": pa.array(np.bincount(inv, weights=price)),
+            },
+            schema=part_schema,
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        m = t["month"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(m, return_inverse=True)
+        return pa.table(
+            {
+                "month": pa.array(keys).cast(pa.timestamp("us")),
+                "n": pa.array(
+                    np.bincount(inv, weights=t["n"].to_numpy(zero_copy_only=False))
+                    .astype(np.int64)
+                ),
+                "revenue": sql_round(
+                    pa.array(
+                        np.bincount(
+                            inv, weights=t["revenue"].to_numpy(zero_copy_only=False)
+                        )
+                    ),
+                    2,
+                ),
+            },
+            schema=part_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["month"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def weighted_avg_price(sf_dir: str) -> ray.data.Dataset:
+    """Quantity-weighted mean extended price per return flag — the
+    weighted-average aggregate via the two-sum combiner (Σwx, Σw per
+    batch, one tiny keyed hop, closed-form finish)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(8)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("l_returnflag", pa.string()),
+            pa.field("swx", pa.float64()),
+            pa.field("sw", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        w = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys, inv = np.unique(flag, return_inverse=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(keys, pa.string()),
+                "swx": pa.array(np.bincount(inv, weights=w * x)),
+                "sw": pa.array(np.bincount(inv, weights=w)),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("l_returnflag", pa.string()),
+            pa.field("wavg_price", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        wavg = g["swx"].to_numpy() / g["sw"].to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+                "wavg_price": sql_round(pa.array(wavg), 6),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["l_returnflag"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def type_distinct_users(
+    sf_dir: str, n_parts: int = 32, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """EXACT count(distinct user) per event type via the two-level
+    skew-proof distinct (same shape as window_distinct_exact): per-batch
+    distinct (type, user) pairs, first hop keyed (type, hash(user) % B)
+    so a hot type spreads over B blocks, per-bucket distinct counts,
+    then a second tiny hop sums B rows per type. No type's full distinct
+    set ever lands in one block."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    pair_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("user_id", pa.int64()),
+            pa.field("bucket", pa.int64()),
+        ]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.char.add(np.char.add(et.astype("U"), "\x00"), u.astype("U20"))
+        _, idx = np.unique(key, return_index=True)
+        et, u = et[idx], u[idx]
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "user_id": pa.array(u),
+                "bucket": pa.array(u % n_buckets),
+            },
+            schema=pair_schema,
+        )
+
+    bucket_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("bucket", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return bucket_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby(["event_type", "bucket"], as_index=False)["user_id"].nunique()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+                "n": pa.array(g["user_id"].to_numpy(np.int64)),
+            },
+            schema=bucket_schema,
+        )
+
+    out_schema = pa.schema(
+        [pa.field("event_type", pa.string()), pa.field("n_users", pa.int64())]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby("event_type", as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n_users": pa.array(g["n"].to_numpy(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .repartition(join_partitions(n_parts), keys=["event_type", "bucket"])
+        .map_batches(bucket_counts, batch_format="pyarrow", batch_size=None)
+        .repartition(join_partitions(8), keys=["event_type"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def user_activity_span(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
+    """Per-user lifetime features: event count + first/last activity
+    timestamps + exact span in µs (integer arithmetic — no float
+    rounding). Min/max/count partials per batch, one keyed hop."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("first_ts", pa.int64()),
+            pa.field("last_ts", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="mergesort")
+        u, ts = u[order], ts[order]
+        change = np.empty(len(u), dtype=bool)
+        change[0] = True
+        change[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(u)))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "n": pa.array(lens.astype(np.int64)),
+                "first_ts": pa.array(np.minimum.reduceat(ts, starts)),
+                "last_ts": pa.array(np.maximum.reduceat(ts, starts)),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("first_ts", pa.timestamp("us")),
+            pa.field("last_ts", pa.timestamp("us")),
+            pa.field("span_us", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), first_ts=("first_ts", "min"), last_ts=("last_ts", "max")
+        )
+        first = g["first_ts"].to_numpy(np.int64)
+        last = g["last_ts"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "first_ts": pa.array(first).cast(pa.timestamp("us")),
+                "last_ts": pa.array(last).cast(pa.timestamp("us")),
+                "span_us": pa.array(last - first),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(n_parts), keys=["user_id"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def first_last_event(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
+    """Per-user first and last event type under strict (ts, event_id)
+    ordering — the arg_min/arg_max aggregate pair. Block-local argmin/
+    argmax partials (one candidate row per user per batch), one keyed
+    hop re-runs the same reduction over candidates only."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    cand_schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("fts", pa.int64()),
+            pa.field("feid", pa.int64()),
+            pa.field("first_type", pa.string()),
+            pa.field("lts", pa.int64()),
+            pa.field("leid", pa.int64()),
+            pa.field("last_type", pa.string()),
+        ]
+    )
+
+    def reduce_block(
+        u, ts, eid, et, fts=None, feid=None, ftyp=None, lts=None, leid=None, ltyp=None
+    ):
+        # (u, ts, eid, et) are the "first" candidates; when the last-*
+        # arrays are given the rows carry separate first/last candidates
+        if fts is None:
+            fts, feid, ftyp = ts, eid, et
+            lts, leid, ltyp = ts, eid, et
+        order = np.lexsort((feid, fts, u))
+        uf = u[order]
+        change = np.empty(len(uf), dtype=bool)
+        change[0] = True
+        change[1:] = uf[1:] != uf[:-1]
+        fsel = order[np.flatnonzero(change)]
+        order2 = np.lexsort((leid, lts, u))
+        ul = u[order2]
+        change2 = np.empty(len(ul), dtype=bool)
+        change2[-1] = True
+        change2[:-1] = ul[1:] != ul[:-1]
+        lsel = order2[np.flatnonzero(change2)]
+        return pa.table(
+            {
+                "user_id": pa.array(u[fsel]),
+                "fts": pa.array(fts[fsel]),
+                "feid": pa.array(feid[fsel]),
+                "first_type": pa.array(ftyp[fsel], pa.string()),
+                "lts": pa.array(lts[lsel]),
+                "leid": pa.array(leid[lsel]),
+                "last_type": pa.array(ltyp[lsel], pa.string()),
+            },
+            schema=cand_schema,
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        return reduce_block(u, ts, eid, et)
+
+    out_schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("first_type", pa.string()),
+            pa.field("last_type", pa.string()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cand = reduce_block(
+            u,
+            None,
+            None,
+            None,
+            fts=t["fts"].to_numpy(zero_copy_only=False).astype(np.int64),
+            feid=t["feid"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ftyp=t["first_type"].to_numpy(zero_copy_only=False),
+            lts=t["lts"].to_numpy(zero_copy_only=False).astype(np.int64),
+            leid=t["leid"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ltyp=t["last_type"].to_numpy(zero_copy_only=False),
+        )
+        return cand.select(["user_id", "first_type", "last_type"]).cast(out_schema)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(n_parts), keys=["user_id"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def mad_value(sf_dir: str, n_parts: int = 16) -> ray.data.Dataset:
+    """Per-type median absolute deviation of `value` (MAD — the robust
+    spread statistic): one type-keyed hop co-locates each type, then the
+    block kernel computes the interpolated median and the median of
+    |x − median| per segment, vectorized across segments via sorted
+    reduceat arithmetic. Few-group order statistics share
+    grouped_quantile's documented concentration trade-off; the
+    skew-proof alternative for exact global quantiles is
+    exact_quantiles' histogram refinement."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(16)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    out_schema = pa.schema(
+        [pa.field("event_type", pa.string()), pa.field("mad", pa.float64())]
+    )
+
+    def seg_median(sorted_vals, starts, lens):
+        # interpolated median per segment over a value array already
+        # sorted within segments
+        mid = (lens - 1) / 2.0
+        lo = starts + np.floor(mid).astype(np.int64)
+        hi = starts + np.ceil(mid).astype(np.int64)
+        return 0.5 * (sorted_vals[lo] + sorted_vals[hi])
+
+    def block_mad(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys, inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((v, inv))
+        gi, vs = inv[order], v[order]
+        change = np.empty(len(gi), dtype=bool)
+        change[0] = True
+        change[1:] = gi[1:] != gi[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(gi)))
+        med = seg_median(vs, starts, lens)
+        dev = np.abs(vs - np.repeat(med, lens))
+        order2 = np.lexsort((dev, gi))
+        ds_ = dev[order2]
+        mad = seg_median(ds_, starts, lens)
+        return pa.table(
+            {
+                "event_type": pa.array(keys[gi[starts]], pa.string()),
+                "mad": sql_round(pa.array(mad), 6),
+            },
+            schema=out_schema,
+        )
+
+    return ds.repartition(join_partitions(n_parts), keys=["event_type"]).map_batches(
+        block_mad, batch_format="pyarrow", batch_size=None
+    )

@@ -1161,3 +1161,59 @@ def running_total(sf_dir: str) -> ray.data.Dataset:
     return _by_user(ds).map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def collapse_repeats(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
+    """Per-user run-length structure of the event sequence: total events
+    and the number of RUNS after collapsing consecutive duplicate event
+    types under (ts, event_id) order — the streaming change-detection
+    shape (state transitions vs heartbeats). ONE keyed hop on user_id,
+    then the run counter is a shifted-comparison vectorized ACROSS all
+    users in the block (per-user boundaries reset the comparison)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("n_events", pa.int64()),
+            pa.field("n_runs", pa.int64()),
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us_, es_ = u[order], et[order]
+        new_run = np.ones(len(us_), dtype=bool)
+        new_run[1:] = (us_[1:] != us_[:-1]) | (es_[1:] != es_[:-1])
+        change = np.empty(len(us_), dtype=bool)
+        change[0] = True
+        change[1:] = us_[1:] != us_[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(us_)))
+        runs = np.add.reduceat(new_run.astype(np.int64), starts)
+        return pa.table(
+            {
+                "user_id": pa.array(us_[starts]),
+                "n_events": pa.array(lens.astype(np.int64)),
+                "n_runs": pa.array(runs),
+            },
+            schema=schema,
+        )
+
+    return ds.repartition(join_partitions(n_parts), keys=["user_id"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
