@@ -2649,6 +2649,29 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_superseded": q_cdc_superseded,
     "cdc_fill_forward": q_cdc_fill_forward,
     "cdc_compact": q_cdc_compact,
+    "cdc_resurrected": lambda sf: __import__(
+        "grate_ray.pipelines.cdc", fromlist=["x"]
+    ).resurrected_keys(_binlog(sf), num_partitions=16),
+    "conv_role_path": lambda sf: (
+        lambda cdc: cdc.conv_role_path(
+            cdc.apply_binlog(_binlog(sf), num_partitions=16)
+        )
+    )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
+    "type_jaccard": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).type_jaccard(sf),
+    "month_running_share": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).month_running_share(sf),
+    "brand_revenue": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).brand_revenue(sf),
+    "region_top_customer": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).region_top_customer(sf),
+    "embedding_norms": lambda sf: __import__(
+        "grate_ray.functions.embed", fromlist=["x"]
+    ).embedding_norms(sf),
 }
 
 
@@ -3700,6 +3723,59 @@ SELECT conv_id, turn_idx,
          PARTITION BY conv_id ORDER BY turn_idx
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_filled
 FROM ({lww}) s""",
+        "cdc_resurrected": f"""
+WITH b AS ({BINLOG_SQL}),
+r AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+          ORDER BY ts DESC, lsn DESC) AS rn FROM b),
+w AS (SELECT conv_id, turn_idx, op FROM r WHERE rn = 1),
+d AS (SELECT DISTINCT conv_id, turn_idx FROM b WHERE op = 'D')
+SELECT w.conv_id, count(*) AS resurrected
+FROM w JOIN d USING (conv_id, turn_idx)
+WHERE w.op <> 'D' GROUP BY 1""",
+        "conv_role_path": f"""
+SELECT conv_id, string_agg(role, '>' ORDER BY turn_idx) AS role_path
+FROM ({lww}) s GROUP BY conv_id""",
+        "type_jaccard": """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS nab
+      FROM d a JOIN d b ON a.user_id = b.user_id
+         AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+SELECT ta, tb,
+       round(nab * 1.0 / (ca.n + cb.n - nab), 6) AS jaccard
+FROM p
+JOIN c ca ON ca.event_type = ta
+JOIN c cb ON cb.event_type = tb""",
+        "month_running_share": """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1)
+SELECT month,
+       round(sum(revenue) OVER (ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sum(revenue) OVER (), 6) AS cum_share
+FROM m""",
+        "brand_revenue": """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1""",
+        "region_top_customer": """
+WITH j AS (
+  SELECT r.r_name, c.c_name, c.c_acctbal, c.c_custkey,
+         row_number() OVER (PARTITION BY r.r_name
+             ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey)
+SELECT r_name, c_name, c_acctbal, c_custkey FROM j WHERE rn = 1""",
+        "embedding_norms": """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS mean_norm
+FROM embeddings GROUP BY 1""",
         "nation_coverage": """
 SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey,
        coalesce(c.n, 0) AS customers,

@@ -86,3 +86,80 @@ def hashed_embeddings(
         )
 
     return ds.map_batches(embed, batch_format="pyarrow")
+
+
+def embedding_norms(sf_dir: str, n_parts: int = 8) -> ray.data.Dataset:
+    """Per-label vector statistics over the embeddings table: count and
+    mean L2 norm — the schema-level demo that list<float> columns flow
+    through the same combiner pattern as scalars. Norms are computed in
+    float64 from the Arrow list buffer (zero-copy flat values +
+    offset-segmented reduceat — no per-row Python), partials collapse
+    per batch, one tiny label-keyed hop finishes."""
+    from ..context import configure_shuffle, join_partitions
+    from .num import sql_round
+
+    configure_shuffle(8)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("label", pa.int32()),
+            pa.field("n", pa.int64()),
+            pa.field("s_norm", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = flat * flat
+        norms = np.sqrt(np.add.reduceat(sq, offsets[:-1]))
+        # rows with empty lists: reduceat on equal offsets returns the
+        # next element — zero them explicitly
+        lens = np.diff(offsets)
+        norms = np.where(lens > 0, norms, 0.0)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(lab, return_inverse=True)
+        return pa.table(
+            {
+                "label": pa.array(keys.astype(np.int32)),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "s_norm": pa.array(np.bincount(inv, weights=norms)),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("label", pa.int32()),
+            pa.field("n", pa.int64()),
+            pa.field("mean_norm", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby("label", as_index=False).sum()
+        return pa.table(
+            {
+                "label": pa.array(g["label"].to_numpy(np.int32)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "mean_norm": sql_round(
+                    pa.array(g["s_norm"].to_numpy() / g["n"].to_numpy()), 6
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(n_parts), keys=["label"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

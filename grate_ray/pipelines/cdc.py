@@ -435,3 +435,95 @@ def fill_forward_tool(state: ray.data.Dataset, num_partitions: int = 16) -> ray.
     return state.repartition(
         join_partitions(num_partitions), keys=["conv_id"]
     ).map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def conv_role_path(state: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-conversation ordered role path (roles joined with '>') over
+    the LWW final state — the ordered string_agg shape. One conv-keyed
+    hop co-locates each conversation; the join runs grouped in the
+    block (pandas C-level groupby-agg, conversations are bounded by
+    max_turns so no group outgrows a block)."""
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    out_schema = pa.schema(
+        [pa.field("conv_id", pa.string()), pa.field("role_path", pa.string())]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.select(["conv_id", "turn_idx", "role"]).to_pandas()
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)["role"].agg(">".join).reset_index()
+        return pa.table(
+            {
+                "conv_id": pa.array(g["conv_id"], pa.string()),
+                "role_path": pa.array(g["role"], pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return state.repartition(
+        join_partitions(num_partitions), keys=["conv_id"]
+    ).map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def resurrected_keys(ds: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Dataset:
+    """Tombstone-resurrection audit: per conversation, how many keys
+    carry a live winner (op ≠ D) on top of at least one delete event —
+    the delete-then-reinsert pattern a CDC consumer must handle. Falls
+    out of the counted LWW shuffle for free: resurrected ⇔ winner op ≠ D
+    and cnt_d > 0; the exchange ships winners only."""
+    import numpy as np
+
+    from ..context import REDUCE_BATCH_SIZE, configure_shuffle, join_partitions
+    from ..stages.merge import lww_reduce_counted
+
+    configure_shuffle(num_partitions)
+
+    out_schema = pa.schema(
+        [pa.field("conv_id", pa.string()), pa.field("resurrected", pa.int64())]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = lww_reduce_counted(t)  # keys co-located → exact winners
+        op = t["op"].to_numpy(zero_copy_only=False)
+        cnt_d = t["cnt_d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = (op != "D") & (cnt_d > 0)
+        if not mask.any():
+            return out_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)[mask]
+        keys, n = np.unique(conv, return_counts=True)
+        return pa.table(
+            {
+                "conv_id": pa.array(keys, pa.string()),
+                "resurrected": pa.array(n.astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("conv_id", as_index=False)["resurrected"].sum()
+        return pa.table(
+            {
+                "conv_id": pa.array(df["conv_id"], pa.string()),
+                "resurrected": pa.array(df["resurrected"].to_numpy("int64")),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(
+            lww_reduce_counted, batch_format="pyarrow", batch_size=REDUCE_BATCH_SIZE
+        )
+        .repartition(join_partitions(num_partitions), keys=["conv_id", "turn_idx"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .repartition(join_partitions(8), keys=["conv_id"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -2160,3 +2160,367 @@ def mad_value(sf_dir: str, n_parts: int = 16) -> ray.data.Dataset:
     return ds.repartition(join_partitions(n_parts), keys=["event_type"]).map_batches(
         block_mad, batch_format="pyarrow", batch_size=None
     )
+
+
+def type_jaccard(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
+    """Pairwise Jaccard similarity between event types over their USER
+    sets — a set-similarity join with a bounded pair space (types², not
+    users²). Per-batch distinct (type, user) pairs, ONE user-keyed hop
+    (each user's type set lands whole in one block, so a pandas
+    self-merge emits that user's type pairs locally), then partial
+    pair/type counts collapse to one tiny final block for the Jaccard
+    arithmetic. No all-pairs over users, ever."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    pair_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("user_id", pa.int64()),
+        ]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        df = t.to_pandas().drop_duplicates()
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            },
+            schema=pair_schema,
+        )
+
+    cnt_schema = pa.schema(
+        [
+            pa.field("ta", pa.string()),
+            pa.field("tb", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        # all rows for a user are co-located: emit exact per-block pair
+        # counts and per-type distinct-user counts (tb='' marks a type
+        # count partial)
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        df = t.to_pandas().drop_duplicates()  # cross-batch duplicates collapse here
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = m.groupby(["event_type_x", "event_type_y"], as_index=False).size()
+        types = df.groupby("event_type", as_index=False).size()
+        return pa.table(
+            {
+                "ta": pa.array(
+                    list(pairs["event_type_x"]) + list(types["event_type"]),
+                    pa.string(),
+                ),
+                "tb": pa.array(
+                    list(pairs["event_type_y"]) + [""] * len(types), pa.string()
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [
+                            pairs["size"].to_numpy(np.int64),
+                            types["size"].to_numpy(np.int64),
+                        ]
+                    )
+                    if len(pairs) or len(types)
+                    else np.array([], dtype=np.int64)
+                ),
+            },
+            schema=cnt_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("ta", pa.string()),
+            pa.field("tb", pa.string()),
+            pa.field("jaccard", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby(["ta", "tb"], as_index=False)["n"].sum()
+        sizes = dict(
+            zip(df[df["tb"] == ""]["ta"], df[df["tb"] == ""]["n"])
+        )
+        p = df[df["tb"] != ""]
+        na = p["ta"].map(sizes).to_numpy(np.float64)
+        nb = p["tb"].map(sizes).to_numpy(np.float64)
+        nab = p["n"].to_numpy(np.float64)
+        jac = nab / (na + nb - nab)
+        import numpy as _np
+
+        return pa.table(
+            {
+                "ta": pa.array(p["ta"], pa.string()),
+                "tb": pa.array(p["tb"], pa.string()),
+                "jaccard": sql_round(pa.array(jac), 6),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .repartition(join_partitions(n_parts), keys=["user_id"])
+        .map_batches(block_counts, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def month_running_share(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative revenue share by order month — a window over an
+    AGGREGATE (the months relation is tiny, so the running sum runs in
+    one final block; the heavy input collapses via the same month
+    combiner as month_revenue, unrounded)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(8)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    part_schema = pa.schema(
+        [pa.field("month", pa.timestamp("us")), pa.field("revenue", pa.float64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (
+            us.astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keys, inv = np.unique(m, return_inverse=True)
+        return pa.table(
+            {
+                "month": pa.array(keys).cast(pa.timestamp("us")),
+                "revenue": pa.array(
+                    np.bincount(
+                        inv, weights=t["o_totalprice"].to_numpy(zero_copy_only=False)
+                    )
+                ),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [pa.field("month", pa.timestamp("us")), pa.field("cum_share", pa.float64())]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("month", as_index=False)["revenue"].sum()
+        df = df.sort_values("month", kind="mergesort")
+        rev = df["revenue"].to_numpy(np.float64)
+        share = np.cumsum(rev) / rev.sum()
+        return pa.table(
+            {
+                "month": pa.array(df["month"]).cast(pa.timestamp("us")),
+                "cum_share": sql_round(pa.array(share), 6),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def brand_revenue(sf_dir: str, n_parts: int = 16) -> ray.data.Dataset:
+    """Discounted revenue per part brand: the mid-size-dimension join
+    (part: tens of thousands of rows — small enough to broadcast once
+    via the object store, too big to re-ship per batch). The partkey →
+    brand map is one ``ray.put`` read by every task; the probe is a
+    vectorized ``pc.index_in`` against the broadcast key array, then the
+    brand combiner collapses each batch before one tiny keyed hop."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(16)
+    part_tbl = (
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        .to_arrow_refs()
+    )
+    import pyarrow as _pa
+
+    parts = pa.concat_tables([ray.get(r) for r in part_tbl])
+    brands_uniq = pc.unique(parts["p_brand"].combine_chunks())
+    brand_code = pc.index_in(
+        parts["p_brand"].combine_chunks(), value_set=brands_uniq
+    ).to_numpy(zero_copy_only=False)
+    ref = ray.put(
+        (
+            parts["p_partkey"].combine_chunks(),
+            brand_code.astype(np.int32),
+            brands_uniq.to_pylist(),
+        )
+    )
+
+    part_schema = pa.schema(
+        [pa.field("p_brand", pa.string()), pa.field("revenue", pa.float64())]
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        keys, codes, names = ray.get(ref)
+        idx = pc.index_in(t["l_partkey"].combine_chunks(), value_set=keys)
+        idxn = idx.to_numpy(zero_copy_only=False)
+        rev = (
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        valid = idxn >= 0
+        bc = codes[idxn[valid]]
+        sums = np.bincount(bc, weights=rev[valid], minlength=len(names))
+        nz = np.flatnonzero(sums != 0.0)
+        return pa.table(
+            {
+                "p_brand": pa.array([names[i] for i in nz], pa.string()),
+                "revenue": pa.array(sums[nz]),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [pa.field("p_brand", pa.string()), pa.field("revenue", pa.float64())]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("p_brand", as_index=False)["revenue"].sum()
+        return pa.table(
+            {
+                "p_brand": pa.array(df["p_brand"], pa.string()),
+                "revenue": sql_round(pa.array(df["revenue"].to_numpy()), 2),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .repartition(join_partitions(n_parts), keys=["p_brand"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def region_top_customer(sf_dir: str) -> ray.data.Dataset:
+    """Per-region top customer by account balance (ties broken by the
+    smaller custkey): the distributed grouped-argmax over a broadcast
+    dimension chain (customer → nation → region, both dims tiny).
+    Block-local argmax keeps one candidate row per region per batch; the
+    final reduction re-runs the same rule over candidates only."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(8)
+    nation = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in ray.data.read_parquet(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+            ).to_arrow_refs()
+        ]
+    )
+    region = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in ray.data.read_parquet(
+                f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+            ).to_arrow_refs()
+        ]
+    )
+    nat_keys = nation["n_nationkey"].combine_chunks()
+    nat_region = nation["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    reg_keys = region["r_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    reg_names = region["r_name"].to_numpy(zero_copy_only=False)
+    reg_name_of = dict(zip(reg_keys, reg_names))
+
+    cand_schema = pa.schema(
+        [
+            pa.field("r_name", pa.string()),
+            pa.field("c_name", pa.string()),
+            pa.field("c_acctbal", pa.float64()),
+            pa.field("c_custkey", pa.int64()),
+        ]
+    )
+
+    def reduce_cands(r_name, c_name, bal, ck):
+        order = np.lexsort((ck, -bal, r_name))
+        rs = r_name[order]
+        first = np.empty(len(rs), dtype=bool)
+        first[0] = True
+        first[1:] = rs[1:] != rs[:-1]
+        sel = order[np.flatnonzero(first)]
+        return pa.table(
+            {
+                "r_name": pa.array(r_name[sel], pa.string()),
+                "c_name": pa.array(c_name[sel], pa.string()),
+                "c_acctbal": pa.array(bal[sel]),
+                "c_custkey": pa.array(ck[sel]),
+            },
+            schema=cand_schema,
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        idx = pc.index_in(t["c_nationkey"].cast(pa.int32()), value_set=nat_keys)
+        rk = nat_region[idx.to_numpy(zero_copy_only=False)]
+        r_name = np.array([reg_name_of[k] for k in rk], dtype=object)
+        return reduce_cands(
+            r_name,
+            t["c_name"].to_numpy(zero_copy_only=False),
+            t["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64),
+            t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        return reduce_cands(
+            t["r_name"].to_numpy(zero_copy_only=False),
+            t["c_name"].to_numpy(zero_copy_only=False),
+            t["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64),
+            t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["r_name"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
