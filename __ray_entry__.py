@@ -2672,6 +2672,21 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_norms": lambda sf: __import__(
         "grate_ray.functions.embed", fromlist=["x"]
     ).embedding_norms(sf),
+    "scan_lenient": lambda sf: __import__(
+        "grate_ray.pipelines.extract", fromlist=["x"]
+    ).scan_lenient_customer(sf),
+    "regr_price_qty": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).regr_price_qty(sf),
+    "hourly_profile": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).hourly_profile(sf),
+    "part_type_counts": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).part_type_counts(sf),
+    "vocab_zipf_slope": lambda sf: __import__(
+        "grate_ray.functions.search", fromlist=["x"]
+    ).vocab_zipf_slope(_docs(sf, cols=("text",))),
 }
 
 
@@ -3776,6 +3791,30 @@ SELECT label, count(*) AS n,
        round(avg(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS mean_norm
 FROM embeddings GROUP BY 1""",
+        "scan_lenient": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+            "FROM customer"
+        ),
+        "regr_price_qty": """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept
+FROM lineitem GROUP BY 1""",
+        "hourly_profile": """
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS h, count(*) AS n
+FROM events GROUP BY 1, 2""",
+        "part_type_counts": """
+SELECT split_part(p_type, ' ', 1) AS family, count(*) AS n,
+       round(avg(p_retailprice), 6) AS avg_price
+FROM part GROUP BY 1""",
+        "vocab_zipf_slope": """
+WITH w AS (
+  SELECT unnest(str_split(coalesce(text, ''), ' ')) AS word FROM documents),
+c AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM c)
+SELECT round(regr_slope(log10(n), log10(rank)), 6) AS slope,
+       round(regr_intercept(log10(n), log10(rank)), 6) AS intercept
+FROM r""",
         "nation_coverage": """
 SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey,
        coalesce(c.n, 0) AS customers,

@@ -502,3 +502,75 @@ def bigram_topk(
     return _topk_terms(
         docs.map_batches(partial, batch_format="pyarrow"), "bigram", k
     )
+
+
+def vocab_zipf_slope(
+    docs: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Zipf-law fit over the corpus vocabulary: least-squares slope and
+    intercept of log10(frequency) on log10(rank), rank ordered by
+    (count DESC, word ASC). Word counts collapse via the same per-batch
+    partials as vocab_topk; only the (small) vocabulary reaches the
+    final single-block regression."""
+    from ..context import join_partitions
+    from .num import sql_round
+
+    part_schema = pa.schema(
+        [pa.field("word", pa.string()), pa.field("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        flat, _ = _split_offsets(t[text_col])
+        flat = flat[flat != ""]
+        if len(flat) == 0:
+            return part_schema.empty_table()
+        words, n = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"word": pa.array(words, pa.string()), "n": pa.array(n.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    def merge_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = t.to_pandas().groupby("word", as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "word": pa.array(df["word"], pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [pa.field("slope", pa.float64()), pa.field("intercept", pa.float64())]
+    )
+
+    def fit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        df = df.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+        y = np.log10(df["n"].to_numpy(np.float64))
+        x = np.log10(np.arange(1, len(df) + 1, dtype=np.float64))
+        mx, my = x.mean(), y.mean()
+        cov = (x * y).mean() - mx * my
+        vx = (x * x).mean() - mx * mx
+        slope = cov / vx
+        return pa.table(
+            {
+                "slope": sql_round(pa.array([slope]), 6),
+                "intercept": sql_round(pa.array([my - slope * mx]), 6),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(16), keys=["word"])
+        .map_batches(merge_counts, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(fit, batch_format="pyarrow", batch_size=None)
+    )

@@ -462,3 +462,25 @@ def styled_render(sf_dir: str) -> ray.data.Dataset:
     return decoded.map_batches(
         StyledRenderer, batch_format="pyarrow", concurrency=(1, 4)
     )
+
+
+def scan_lenient_customer(sf_dir: str) -> ray.data.Dataset:
+    """T7 lenient ``Scan``: frame customer rows as CSV payloads, decode
+    through the sniffing registry, then parse-from-string typed
+    extraction (≅ the simple driver's lenient Scan,
+    /root/reference/simple/simple.go:74-108) — Arrow casts per column,
+    no per-row error routing (the caller guarantees clean cells; the
+    timestamp-destination refusal at simple.go:99 is enforced by
+    scan_typed and pytest-covered)."""
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols)
+
+    # frame_rows stringifies at the payload edge (str(float) round-trips
+    # exactly through the lenient parse)
+    payloads = frame_rows(ds, cols, group_mod=16, key_col="c_custkey", sep=",")
+    decoded = decode_payloads(payloads, ncols=5)
+    return scan_typed(
+        decoded, cols,
+        [pa.int64(), pa.string(), pa.int32(), pa.float64(), pa.string()],
+        strict=False,
+    )

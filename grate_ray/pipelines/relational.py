@@ -2524,3 +2524,209 @@ def region_top_customer(sf_dir: str) -> ray.data.Dataset:
         .repartition(join_partitions(8), keys=["r_name"])
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def regr_price_qty(sf_dir: str) -> ray.data.Dataset:
+    """Per-returnflag least-squares fit of extended price on quantity
+    (regr_slope / regr_intercept) — same moments combiner as
+    corr_qty_price with the regression finish: slope = cov/var(x),
+    intercept = ȳ − slope·x̄."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(8)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("l_returnflag", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("sx", pa.float64()),
+            pa.field("sy", pa.float64()),
+            pa.field("sxx", pa.float64()),
+            pa.field("sxy", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys, inv = np.unique(flag, return_inverse=True)
+        k = len(keys)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(keys, pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+                "sx": pa.array(np.bincount(inv, weights=x, minlength=k)),
+                "sy": pa.array(np.bincount(inv, weights=y, minlength=k)),
+                "sxx": pa.array(np.bincount(inv, weights=x * x, minlength=k)),
+                "sxy": pa.array(np.bincount(inv, weights=x * y, minlength=k)),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("l_returnflag", pa.string()),
+            pa.field("slope", pa.float64()),
+            pa.field("intercept", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("l_returnflag", as_index=False).sum()
+        n = df["n"].to_numpy(np.float64)
+        mx, my = df["sx"].to_numpy() / n, df["sy"].to_numpy() / n
+        cov = df["sxy"].to_numpy() / n - mx * my
+        vx = df["sxx"].to_numpy() / n - mx * mx
+        slope = cov / vx
+        return pa.table(
+            {
+                "l_returnflag": pa.array(df["l_returnflag"], pa.string()),
+                "slope": sql_round(pa.array(slope), 6),
+                "intercept": sql_round(pa.array(my - slope * mx), 6),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["l_returnflag"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def hourly_profile(sf_dir: str) -> ray.data.Dataset:
+    """Hour-of-day activity profile per event type (date-part family):
+    the hour is integer arithmetic on epoch-µs, partials collapse per
+    batch on the (type, hour) grid — at most types × 24 rows ship."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(8)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("h", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (us // 3_600_000_000) % 24
+        keys, codes = np.unique(et, return_inverse=True)
+        cell = codes * 24 + h
+        grid, inv = np.unique(cell, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(keys[grid // 24], pa.string()),
+                "h": pa.array(grid % 24),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            },
+            schema=schema,
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.to_pandas().groupby(["event_type", "h"], as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "h": pa.array(df["h"].to_numpy(np.int64)),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+            },
+            schema=schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["event_type", "h"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def part_type_counts(sf_dir: str) -> ray.data.Dataset:
+    """Part-family rollup on the FIRST word of p_type (string-function
+    pushdown: the split runs vectorized at the read edge, the combiner
+    ships one row per family per batch): count + mean retail price."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(8)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"]
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("family", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("s", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        fam = pc.list_element(
+            pc.split_pattern(pc.fill_null(t["p_type"], ""), pattern=" "), 0
+        ).to_numpy(zero_copy_only=False)
+        price = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(fam, return_inverse=True)
+        return pa.table(
+            {
+                "family": pa.array(keys, pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "s": pa.array(np.bincount(inv, weights=price)),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("family", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("avg_price", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("family", as_index=False).sum()
+        return pa.table(
+            {
+                "family": pa.array(df["family"], pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+                "avg_price": sql_round(
+                    pa.array(df["s"].to_numpy() / df["n"].to_numpy()), 6
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["family"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
