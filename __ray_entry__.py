@@ -1499,6 +1499,66 @@ def q_dedup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Cluster-size histogram over the resolved near-dup components —
+    the dedup-audit rollup (how much of the corpus sits in how-big
+    clusters). Two tiny keyed hops over the (already bounded) cluster
+    relation; the heavy lifting is the shared minhash+CC pipeline."""
+    import numpy as np
+
+    from grate_ray.context import join_partitions
+
+    clusters = q_dedup_clusters(sf_dir)
+
+    size_schema = pa.schema(
+        [pa.field("cluster_id", pa.int64()), pa.field("size", pa.int64())]
+    )
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return size_schema.empty_table()
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, n = np.unique(cid, return_counts=True)
+        return pa.table(
+            {"cluster_id": pa.array(keys), "size": pa.array(n.astype(np.int64))},
+            schema=size_schema,
+        )
+
+    hist_schema = pa.schema(
+        [pa.field("size", pa.int64()), pa.field("n_clusters", pa.int64())]
+    )
+
+    def size_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        df = t.to_pandas().groupby("cluster_id", as_index=False)["size"].sum()
+        keys, n = np.unique(df["size"].to_numpy(np.int64), return_counts=True)
+        return pa.table(
+            {"size": pa.array(keys), "n_clusters": pa.array(n.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    def hist_final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        df = t.to_pandas().groupby("size", as_index=False)["n_clusters"].sum()
+        return pa.table(
+            {
+                "size": pa.array(df["size"].to_numpy(np.int64)),
+                "n_clusters": pa.array(df["n_clusters"].to_numpy(np.int64)),
+            },
+            schema=hist_schema,
+        )
+
+    return (
+        clusters.map_batches(size_partial, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["cluster_id"])
+        .map_batches(size_merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(hist_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 13 == 0 act as the
     eval set; train = the rest ∪ planted truncated copies of eval docs
@@ -1949,6 +2009,28 @@ def q_multimodal_features(sf_dir: str):
         .map_batches(
             MediaDecoder,
             fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow",
+            batch_size=256,  # media batches stay small (payload-size aware)
+            concurrency=(1, 4),
+        )
+    )
+
+
+def q_multimodal_resize(sf_dir: str):
+    """The brief's RESIZE stage, end to end and exact: real BMP decode →
+    2×2 area-average downsample in the actor pool → resized dims +
+    channel means + position-weighted checksums (spatial proof). The
+    oracle reproduces the box filter from the generation arithmetic."""
+    from grate_ray.functions.multimodal import (
+        BmpResizeFeatures,
+        synthesize_bmp_column,
+    )
+
+    return (
+        _docs(sf_dir, cols=("doc_id",))
+        .map_batches(synthesize_bmp_column, batch_format="pyarrow")
+        .map_batches(
+            BmpResizeFeatures,
             batch_format="pyarrow",
             batch_size=256,  # media batches stay small (payload-size aware)
             concurrency=(1, 4),
@@ -2687,6 +2769,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "vocab_zipf_slope": lambda sf: __import__(
         "grate_ray.functions.search", fromlist=["x"]
     ).vocab_zipf_slope(_docs(sf, cols=("text",))),
+    "dup_rate_by_source": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).dup_rate_by_source(sf),
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 
@@ -3795,6 +3882,16 @@ FROM embeddings GROUP BY 1""",
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
             "FROM customer"
         ),
+        "dup_rate_by_source": """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT coalesce(text, '')) AS n_distinct,
+       round(1 - count(DISTINCT coalesce(text, '')) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM documents GROUP BY 1""",
+        "dedup_cluster_sizes": f"""
+WITH c AS ({_clusters_sql(threshold=0.6, bucket_cap=50)}),
+s AS (SELECT cluster_id, count(*) AS size FROM c GROUP BY 1)
+SELECT size, count(*) AS n_clusters FROM s GROUP BY 1""",
         "regr_price_qty": """
 SELECT l_returnflag,
        round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
@@ -4906,6 +5003,33 @@ SELECT doc_id,
        round(avg(abs(y)), 6) AS mean_abs,
        CAST(max(abs(y)) AS BIGINT) AS peak
 FROM dec GROUP BY doc_id""",
+        # resize: resized pixel p (row-major over the 4×3 grid) averages
+        # the 2×2 source box at (y0, x0) = ((p//4)*2, (p%4)*2); channel c
+        # of source pixel (y, x) is (doc_id*7 + (y*8+x)*3 + c*11) % 256
+        "multimodal_resize": """
+WITH g AS (SELECT UNNEST(range(12)) AS p),
+px AS (SELECT doc_id, p,
+              (p // 4) * 2 AS y0, (p % 4) * 2 AS x0
+       FROM documents CROSS JOIN g),
+v AS (SELECT doc_id, p,
+  ((doc_id*7 + (y0*8 + x0)*3) % 256
+   + (doc_id*7 + (y0*8 + x0 + 1)*3) % 256
+   + (doc_id*7 + ((y0+1)*8 + x0)*3) % 256
+   + (doc_id*7 + ((y0+1)*8 + x0 + 1)*3) % 256) / 4.0 AS rv_r,
+  ((doc_id*7 + (y0*8 + x0)*3 + 11) % 256
+   + (doc_id*7 + (y0*8 + x0 + 1)*3 + 11) % 256
+   + (doc_id*7 + ((y0+1)*8 + x0)*3 + 11) % 256
+   + (doc_id*7 + ((y0+1)*8 + x0 + 1)*3 + 11) % 256) / 4.0 AS rv_g,
+  ((doc_id*7 + (y0*8 + x0)*3 + 22) % 256
+   + (doc_id*7 + (y0*8 + x0 + 1)*3 + 22) % 256
+   + (doc_id*7 + ((y0+1)*8 + x0)*3 + 22) % 256
+   + (doc_id*7 + ((y0+1)*8 + x0 + 1)*3 + 22) % 256) / 4.0 AS rv_b
+  FROM px)
+SELECT doc_id, CAST(4 AS BIGINT) AS rw, CAST(3 AS BIGINT) AS rh,
+       round(avg(rv_r), 6) AS mean_r, round(sum(rv_r * (p + 1)), 6) AS wsum_r,
+       round(avg(rv_g), 6) AS mean_g, round(sum(rv_g * (p + 1)), 6) AS wsum_g,
+       round(avg(rv_b), 6) AS mean_b, round(sum(rv_b * (p + 1)), 6) AS wsum_b
+FROM v GROUP BY doc_id""",
         "multimodal_bmp": """
 SELECT doc_id,
        CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,

@@ -2547,3 +2547,45 @@ class AlawFeatureExtractor:
         out = out.append_column("mean_abs", pa.array(means, pa.float64()))
         out = out.append_column("peak", pa.array(peaks, pa.int64()))
         return out
+
+
+class BmpResizeFeatures:
+    """Actor-pool RESIZE stage: real BMP decode → exact 2×2 box-filter
+    downsample (area average — the resize kernel production image
+    pipelines use for thumbnailing) → per-image features of the RESIZED
+    grid: dims, channel means, and a position-weighted checksum that
+    proves the spatial layout (a mean alone cannot distinguish a resize
+    from a shuffle). Downsample is one numpy reshape-mean, no loops over
+    pixels."""
+
+    def __init__(self, payload_col: str = "payload", factor: int = 2):
+        self.payload_col = payload_col
+        self.factor = factor
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        f = self.factor
+        rws, rhs = [], []
+        means = [[], [], []]
+        wsums = [[], [], []]
+        for blob in t[self.payload_col].to_pylist():
+            w, h, px = decode_bmp(blob)
+            rh, rw = h // f, w // f
+            small = (
+                px[: rh * f, : rw * f, :]
+                .astype(np.float64)
+                .reshape(rh, f, rw, f, 3)
+                .mean(axis=(1, 3))
+            )
+            rws.append(rw)
+            rhs.append(rh)
+            pos = np.arange(1, rh * rw + 1, dtype=np.float64).reshape(rh, rw)
+            for c in range(3):
+                means[c].append(round(float(small[:, :, c].mean()), 6))
+                wsums[c].append(round(float((small[:, :, c] * pos).sum()), 6))
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("rw", pa.array(rws, pa.int64()))
+        out = out.append_column("rh", pa.array(rhs, pa.int64()))
+        for name, c in (("r", 0), ("g", 1), ("b", 2)):
+            out = out.append_column(f"mean_{name}", pa.array(means[c], pa.float64()))
+            out = out.append_column(f"wsum_{name}", pa.array(wsums[c], pa.float64()))
+        return out

@@ -384,10 +384,10 @@ def superseded_counts(ds: ray.data.Dataset, num_partitions: int = 16) -> ray.dat
             schema=out_schema,
         )
 
-    from ..stages.merge import lww_reduce_counted as _partial
-
     return (
-        ds.map_batches(_partial, batch_format="pyarrow", batch_size=REDUCE_BATCH_SIZE)
+        ds.map_batches(
+            lww_reduce_counted, batch_format="pyarrow", batch_size=REDUCE_BATCH_SIZE
+        )
         .repartition(join_partitions(num_partitions), keys=["conv_id", "turn_idx"])
         .map_batches(per_block, batch_format="pyarrow", batch_size=None)
         .repartition(1)

@@ -2260,8 +2260,6 @@ def type_jaccard(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
         nb = p["tb"].map(sizes).to_numpy(np.float64)
         nab = p["n"].to_numpy(np.float64)
         jac = nab / (na + nb - nab)
-        import numpy as _np
-
         return pa.table(
             {
                 "ta": pa.array(p["ta"], pa.string()),
@@ -2728,5 +2726,114 @@ def part_type_counts(sf_dir: str) -> ray.data.Dataset:
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .repartition(join_partitions(8), keys=["family"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def dup_rate_by_source(
+    sf_dir: str, n_parts: int = 32, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-source exact-duplicate rate over the documents corpus: doc
+    count, distinct text count, and dup_rate = 1 − distinct/n — the
+    corpus-health metric an LLM-data pipeline reports per provenance.
+    Distinct texts use the two-level skew-proof pattern keyed
+    (source, md5(text) % B): a boilerplate-heavy source spreads over B
+    buckets, per-bucket distinct counts, then a tiny per-source sum."""
+    import hashlib
+
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    pair_schema = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("th", pa.int64()),
+            pa.field("bucket", pa.int64()),
+            pa.field("n_docs", pa.int64()),
+        ]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        df = t.to_pandas()
+        df["text"] = df["text"].fillna("")
+        th = df["text"].map(
+            lambda s: int.from_bytes(
+                hashlib.md5(s.encode()).digest()[:8], "big", signed=False
+            ) >> 1
+        ).to_numpy(np.int64)
+        df = df.assign(th=th)
+        g = df.groupby(["source", "th"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "th": pa.array(g["th"].to_numpy(np.int64)),
+                "bucket": pa.array(g["th"].to_numpy(np.int64) % n_buckets),
+                "n_docs": pa.array(g["size"].to_numpy(np.int64)),
+            },
+            schema=pair_schema,
+        )
+
+    bucket_schema = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("n_docs", pa.int64()),
+            pa.field("n_distinct", pa.int64()),
+        ]
+    )
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return bucket_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_distinct=("th", "nunique")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                "n_distinct": pa.array(g["n_distinct"].to_numpy(np.int64)),
+            },
+            schema=bucket_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("n_docs", pa.int64()),
+            pa.field("n_distinct", pa.int64()),
+            pa.field("dup_rate", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("source", as_index=False).sum()
+        n = df["n_docs"].to_numpy(np.float64)
+        d = df["n_distinct"].to_numpy(np.float64)
+        return pa.table(
+            {
+                "source": pa.array(df["source"], pa.string()),
+                "n_docs": pa.array(df["n_docs"].to_numpy(np.int64)),
+                "n_distinct": pa.array(df["n_distinct"].to_numpy(np.int64)),
+                "dup_rate": sql_round(pa.array(1.0 - d / n), 6),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .repartition(join_partitions(n_parts), keys=["source", "bucket"])
+        .map_batches(bucket_counts, batch_format="pyarrow", batch_size=None)
+        .repartition(join_partitions(8), keys=["source"])
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
