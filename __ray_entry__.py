@@ -2774,6 +2774,40 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     ).dup_rate_by_source(sf),
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "multimodal_resize": q_multimodal_resize,
+    # --- round-4 session-3 additions -------------------------------------
+    "cdc_out_of_order": lambda sf: __import__(
+        "grate_ray.pipelines.cdc", fromlist=["x"]
+    ).out_of_order_counts(_binlog(sf), num_partitions=16),
+    "cdc_key_skew": lambda sf: __import__(
+        "grate_ray.pipelines.cdc", fromlist=["x"]
+    ).key_skew(_binlog(sf), k=10, num_partitions=16),
+    "cdc_first_op": lambda sf: __import__(
+        "grate_ray.pipelines.cdc", fromlist=["x"]
+    ).first_op_violations(_binlog(sf), num_partitions=16),
+    "cdc_interarrival_hist": lambda sf: __import__(
+        "grate_ray.pipelines.cdc", fromlist=["x"]
+    ).interarrival_hist(_binlog(sf), num_partitions=16),
+    "ship_priority": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).ship_priority(sf),
+    "late_orders": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).late_orders_by_priority(sf),
+    "customer_order_counts": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).customer_order_counts(sf),
+    "promo_share": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).promo_share(sf),
+    "value_outliers": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).value_outliers(sf),
+    "value_minmax_scaled": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).value_minmax_scaled(sf),
+    "embedding_quantize": lambda sf: __import__(
+        "grate_ray.functions.embed", fromlist=["x"]
+    ).embedding_quantize(sf),
 }
 
 
@@ -3878,6 +3912,96 @@ SELECT label, count(*) AS n,
        round(avg(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS mean_norm
 FROM embeddings GROUP BY 1""",
+        # --- round-4 session-3 additions ---------------------------------
+        "cdc_out_of_order": f"""
+WITH b AS ({BINLOG_SQL}),
+m AS (SELECT conv_id, ts,
+        max(ts) OVER (PARTITION BY conv_id ORDER BY lsn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM b)
+SELECT conv_id, count(*) AS n_events,
+       count(*) FILTER (ts < prev_max) AS n_late
+FROM m GROUP BY conv_id""",
+        "cdc_key_skew": f"""
+WITH b AS ({BINLOG_SQL}),
+c AS (SELECT conv_id, count(*) AS n FROM b GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT conv_id, n AS n_events, round(n * 1.0 / total, 6) AS share
+FROM c, t ORDER BY n DESC, conv_id LIMIT 10""",
+        "cdc_first_op": f"""
+WITH b AS ({BINLOG_SQL}),
+f AS (SELECT op, row_number() OVER (PARTITION BY conv_id, turn_idx
+          ORDER BY lsn) AS rn FROM b)
+SELECT op AS first_op, count(*) AS n_keys
+FROM f WHERE rn = 1 AND op <> 'I' GROUP BY 1""",
+        "cdc_interarrival_hist": f"""
+WITH b AS ({BINLOG_SQL}),
+l AS (SELECT conv_id, ts,
+        lag(ts) OVER (PARTITION BY conv_id ORDER BY lsn) AS pts FROM b),
+g AS (SELECT date_diff('second', pts, ts) AS s FROM l
+      WHERE pts IS NOT NULL AND date_diff('second', pts, ts) > 0)
+SELECT CAST(floor(log2(s)) AS BIGINT) AS bucket, count(*) AS n
+FROM g GROUP BY 1""",
+        "ship_priority": """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10""",
+        "late_orders": """
+WITH m AS (SELECT l_orderkey, max(l_shipdate) AS mx
+           FROM lineitem GROUP BY 1)
+SELECT o_orderpriority, count(*) AS n_late
+FROM orders JOIN m ON o_orderkey = l_orderkey
+WHERE mx > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1""",
+        "customer_order_counts": """
+WITH c AS (SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1)
+SELECT c_count, count(*) AS custdist FROM c GROUP BY 1""",
+        "promo_share": """
+SELECT date_trunc('month', l_shipdate) AS month,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1""",
+        "value_outliers": """
+WITH s AS (SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT e.event_type, count(*) AS n_outliers
+FROM events e JOIN s USING (event_type)
+WHERE e.value IS NOT NULL AND abs(e.value - m) > 3 * sd
+GROUP BY 1""",
+        "value_minmax_scaled": """
+WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT e.event_id,
+       CASE WHEN e.value IS NULL OR mx = mn THEN NULL
+            ELSE (e.value - mn) / (mx - mn) END AS scaled
+FROM events e JOIN s USING (event_type)""",
+        "embedding_quantize": """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings)
+SELECT vec_id,
+  round(CASE WHEN mx = 0 THEN 0 ELSE
+    list_sum(list_transform(emb,
+      x -> (x - round(x*127/mx)*mx/127) * (x - round(x*127/mx)*mx/127)))
+    / len(emb) END, 12) AS mse
+FROM b""",
         "scan_lenient": (
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
             "FROM customer"

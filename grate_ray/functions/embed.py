@@ -163,3 +163,48 @@ def embedding_norms(sf_dir: str, n_parts: int = 8) -> ray.data.Dataset:
         .repartition(join_partitions(n_parts), keys=["label"])
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
+    """INT8 symmetric-quantization error audit per vector: scale each
+    embedding by max|x|/127, round to int8 codes, dequantize, and report
+    the per-vector MSE — the fidelity check run before shipping a corpus
+    to a quantized ANN index. Entirely shuffle-free and embarrassingly
+    parallel: every stage is flat-buffer numpy over the Arrow list
+    column (reduceat segments), one output row per vector."""
+    from ..context import configure_shuffle
+    from .num import sql_round
+
+    configure_shuffle(8)
+
+    out_schema = pa.schema(
+        [pa.field("vec_id", pa.int64()), pa.field("mse", pa.float64())]
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        mx = np.maximum.reduceat(np.abs(flat), offsets[:-1])
+        mx = np.where(lens > 0, mx, 0.0)
+        mx_f = np.repeat(mx, lens)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = flat * 127.0 / mx_f
+            # DuckDB round(): half away from zero (numpy rounds half even)
+            q = np.trunc(v + np.copysign(0.5, v))
+            err = flat - q * mx_f / 127.0
+        err = np.where(mx_f == 0, 0.0, err)
+        sq = err * err
+        mse = np.add.reduceat(sq, offsets[:-1]) / np.maximum(lens, 1)
+        mse = np.where(lens > 0, mse, 0.0)
+        return pa.table(
+            {"vec_id": t["vec_id"], "mse": sql_round(pa.array(mse), 12)},
+            schema=out_schema,
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize, batch_format="pyarrow")

@@ -527,3 +527,293 @@ def resurrected_keys(ds: ray.data.Dataset, num_partitions: int = 16) -> ray.data
         .repartition(join_partitions(8), keys=["conv_id"])
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def out_of_order_counts(
+    ds: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Per-conversation out-of-order-arrival audit: how many events carry
+    a ts strictly OLDER than the running max ts of their conversation in
+    LSN (arrival) order — the late-data signal that sizes watermark slack
+    for the windowed consumers. One conv-keyed hop co-locates each
+    conversation's history; inside the block the prefix max is a single
+    vectorized ``np.maximum.accumulate`` over lsn-sorted segments (no
+    per-row Python). Same bounded-conversation partitioning assumption as
+    ``conv_role_path``."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    out_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("n_events", pa.int64()),
+            pa.field("n_late", pa.int64()),
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        lsn = t["lsn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((lsn, conv))
+        conv, ts = conv[order], ts[order]
+        seg_start = np.empty(len(conv), dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = conv[1:] != conv[:-1]
+        # prefix max of ts within each conversation segment: subtract the
+        # segment's running baseline trick — reset accumulate at segment
+        # starts by lifting each segment far above the previous one
+        seg_id = np.cumsum(seg_start) - 1
+        lift = (ts.max() - ts.min() + 1) if len(ts) else 1
+        lifted = ts + seg_id * lift
+        run_max = np.maximum.accumulate(lifted) - seg_id * lift
+        # late ⇔ ts < max over the STRICT prefix: compare to the running
+        # max shifted by one within the segment
+        prev_max = np.empty_like(run_max)
+        prev_max[1:] = run_max[:-1]
+        late = np.zeros(len(ts), dtype=bool)
+        inner = ~seg_start
+        late[inner] = ts[inner] < prev_max[inner]
+        starts = np.flatnonzero(seg_start)
+        n_ev = np.diff(np.append(starts, len(conv)))
+        n_late = np.add.reduceat(late.astype(np.int64), starts)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "n_events": pa.array(n_ev.astype(np.int64)),
+                "n_late": pa.array(n_late),
+            },
+            schema=out_schema,
+        )
+
+    return ds.repartition(
+        join_partitions(num_partitions), keys=["conv_id"]
+    ).map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def key_skew(ds: ray.data.Dataset, k: int = 10, num_partitions: int = 16) -> ray.data.Dataset:
+    """Hot-key diagnostics: the k hottest conversations by event count
+    with their share of the whole log — the report that feeds the salted
+    repartition path's threshold choice. Per-batch partial counts bound
+    the exchange by distinct convs per block; the final share/rank pass
+    sees one row per conversation (tiny)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    part_schema = pa.schema(
+        [pa.field("conv_id", pa.string()), pa.field("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        keys, n = np.unique(conv, return_counts=True)
+        return pa.table(
+            {"conv_id": pa.array(keys, pa.string()),
+             "n": pa.array(n.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("n_events", pa.int64()),
+            pa.field("share", pa.float64()),
+        ]
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = t.to_pandas().groupby("conv_id", as_index=False)["n"].sum()
+        return pa.table(
+            {"conv_id": pa.array(df["conv_id"], pa.string()),
+             "n": pa.array(df["n"].to_numpy("int64"))},
+            schema=part_schema,
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        from ..functions.num import sql_round
+
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = n.sum()
+        order = np.lexsort((conv, -n))[:k]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[order], pa.string()),
+                "n_events": pa.array(n[order]),
+                "share": sql_round(pa.array(n[order] / total), 6),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(num_partitions), keys=["conv_id"])
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def first_op_violations(
+    ds: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Orphan-op audit: keys whose FIRST event in LSN order is not an
+    insert (an update/delete arriving for a key the lake has never seen
+    — the upstream-snapshot-gap signal). Distributed argmin: block-local
+    first-op candidates (one row per key per batch), one keyed hop
+    re-runs the same reduction, then a tiny rollup by the violating op."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    cand_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("lsn", pa.int64()),
+            pa.field("op", pa.string()),
+        ]
+    )
+
+    def reduce_first(conv, turn, lsn, op) -> pa.Table:
+        order = np.lexsort((lsn, turn, conv))
+        c, tn = conv[order], turn[order]
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        first[1:] = (c[1:] != c[:-1]) | (tn[1:] != tn[:-1])
+        sel = order[np.flatnonzero(first)]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[sel], pa.string()),
+                "turn_idx": pa.array(turn[sel].astype(np.int32)),
+                "lsn": pa.array(lsn[sel]),
+                "op": pa.array(op[sel], pa.string()),
+            },
+            schema=cand_schema,
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        return reduce_first(
+            t["conv_id"].to_numpy(zero_copy_only=False),
+            t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["lsn"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["op"].to_numpy(zero_copy_only=False),
+        )
+
+    out_schema = pa.schema(
+        [pa.field("first_op", pa.string()), pa.field("n_keys", pa.int64())]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cand = reduce_first(
+            t["conv_id"].to_numpy(zero_copy_only=False),
+            t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["lsn"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["op"].to_numpy(zero_copy_only=False),
+        )
+        op = cand["op"].to_numpy(zero_copy_only=False)
+        bad = op[op != "I"]
+        if len(bad) == 0:
+            return out_schema.empty_table()
+        keys, n = np.unique(bad, return_counts=True)
+        return pa.table(
+            {"first_op": pa.array(keys, pa.string()),
+             "n_keys": pa.array(n.astype(np.int64))},
+            schema=out_schema,
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("first_op", as_index=False)["n_keys"].sum()
+        return pa.table(
+            {"first_op": pa.array(df["first_op"], pa.string()),
+             "n_keys": pa.array(df["n_keys"].to_numpy("int64"))},
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(num_partitions), keys=["conv_id", "turn_idx"])
+        .map_batches(per_part, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def interarrival_hist(
+    ds: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Log2-bucketed inter-arrival-gap histogram per conversation stream
+    (whole-second gaps > 0 between consecutive events in LSN order) —
+    the burstiness profile that sizes the follow-mode poll interval.
+    Conv-keyed hop, vectorized segment diffs, then the histogram
+    combiner: the final exchange moves O(blocks × buckets) rows."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    hist_schema = pa.schema(
+        [pa.field("bucket", pa.int64()), pa.field("n", pa.int64())]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        lsn = t["lsn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # normalize the unit before integer math — ns-unit sources would
+        # otherwise floor to milliseconds
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((lsn, conv))
+        conv, ts = conv[order], ts[order]
+        same = np.zeros(len(conv), dtype=bool)
+        same[1:] = conv[1:] == conv[:-1]
+        # date_diff('second', a, b) counts second-BOUNDARY crossings, so
+        # floor each timestamp to whole seconds first, then difference
+        sec = ts // 1_000_000
+        gap_s = np.zeros(len(sec), dtype=np.int64)
+        gap_s[1:] = sec[1:] - sec[:-1]
+        gap_s = np.where(same, gap_s, 0)
+        pos = gap_s[gap_s > 0]
+        if len(pos) == 0:
+            return hist_schema.empty_table()
+        b = np.floor(np.log2(pos.astype(np.float64))).astype(np.int64)
+        keys, n = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(keys), "n": pa.array(n.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    return (
+        ds.repartition(join_partitions(num_partitions), keys=["conv_id"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -2837,3 +2837,532 @@ def dup_rate_by_source(
         .repartition(join_partitions(8), keys=["source"])
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def ship_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """TPC-H Q3 shape (shipping-priority top-k): revenue of not-yet-
+    shipped lineitems for one market segment's orders. Both fact-sized
+    edges run as DISTRIBUTED hash joins (customer⋈orders on custkey,
+    then ⋈lineitem on orderkey); filters are pushed into the reads so
+    only surviving rows enter either exchange. The top-k finish is the
+    usual block-local prune → single-block rank — no global sort."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    import pyarrow.dataset as pads
+
+    configure_shuffle(32)
+    cut = np.datetime64("1998-07-01").astype("datetime64[us]")
+
+    # row-group-prunable predicates pushed INTO the reads: filtered rows
+    # never leave storage, let alone reach a join exchange
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < pa.scalar(cut),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > pa.scalar(cut),
+    )
+
+    j1 = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=join_partitions(32),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    j2 = li.join(
+        j1,
+        join_type="inner",
+        num_partitions=join_partitions(32),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("o_orderdate", pa.timestamp("us")),
+            pa.field("o_orderpriority", pa.string()),
+            pa.field("revenue", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        uniq, inv = np.unique(ok, return_inverse=True)
+        firsts = np.full(len(uniq), -1, dtype=np.int64)
+        firsts[inv[::-1]] = np.arange(len(ok) - 1, -1, -1)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq),
+                "o_orderdate": t["o_orderdate"].take(firsts),
+                "o_orderpriority": t["o_orderpriority"].take(firsts),
+                "revenue": pa.array(np.bincount(inv, weights=rev)),
+            },
+            schema=part_schema,
+        )
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            o_orderdate=("o_orderdate", "first"),
+            o_orderpriority=("o_orderpriority", "first"),
+            revenue=("revenue", "sum"),
+        )
+        rev = g["revenue"].to_numpy(np.float64)
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        order = np.lexsort((ok, -rev))[:k]
+        g = g.iloc[order]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+                "o_orderdate": pa.array(
+                    g["o_orderdate"].to_numpy("datetime64[us]")
+                ),
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "revenue": pa.array(g["revenue"].to_numpy(np.float64)),
+            },
+            schema=part_schema,
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = merge_topk(t)
+        return t.set_column(
+            t.column_names.index("revenue"), "revenue", sql_round(t["revenue"], 2)
+        )
+
+    return (
+        j2.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(16), keys=["l_orderkey"])
+        .map_batches(merge_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def late_orders_by_priority(sf_dir: str, days: int = 90) -> ray.data.Dataset:
+    """TPC-H Q4 shape: orders whose slowest lineitem shipped more than
+    ``days`` after the order date, counted per priority. The EXISTS
+    subquery becomes a per-orderkey max-shipdate COMBINER (each lineitem
+    batch collapses to one candidate row per orderkey before the
+    exchange) joined distributed against orders, then a tiny rollup."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+
+    mx_schema = pa.schema(
+        [pa.field("l_orderkey", pa.int64()), pa.field("max_ship", pa.int64())]
+    )
+
+    def max_ship_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mx_schema.empty_table()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, sd)
+        return pa.table(
+            {"l_orderkey": pa.array(uniq), "max_ship": pa.array(mx)},
+            schema=mx_schema,
+        )
+
+    def max_ship_merge(t: pa.Table) -> pa.Table:
+        return max_ship_partial(
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_shipdate": t["max_ship"].cast(pa.timestamp("us")),
+                }
+            )
+        )
+
+    mx = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+        .map_batches(max_ship_partial, batch_format="pyarrow")
+        .repartition(join_partitions(32), keys=["l_orderkey"])
+        .map_batches(max_ship_merge, batch_format="pyarrow", batch_size=None)
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = orders.join(
+        mx,
+        join_type="inner",
+        num_partitions=join_partitions(32),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    out_schema = pa.schema(
+        [pa.field("o_orderpriority", pa.string()), pa.field("n_late", pa.int64())]
+    )
+    lag_us = days * 86_400_000_000
+
+    def count_late(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ms = t["max_ship"].to_numpy(zero_copy_only=False).astype(np.int64)
+        late = ms > od + lag_us
+        if not late.any():
+            return out_schema.empty_table()
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)[late]
+        keys, n = np.unique(pri, return_counts=True)
+        return pa.table(
+            {"o_orderpriority": pa.array(keys, pa.string()),
+             "n_late": pa.array(n.astype(np.int64))},
+            schema=out_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(count_late, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late", alias_name="n_late"))
+    )
+
+
+def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q13 shape: the distribution of orders-per-customer INCLUDING
+    zero-order customers. Orders collapse combiner-first to per-customer
+    counts; the zero bucket is total customers minus customers seen in
+    orders — a metadata-cheap ``count()``, not a join. The histogram
+    exchange moves O(blocks × distinct counts)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(16)
+    n_customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+
+    cnt_schema = pa.schema(
+        [pa.field("o_custkey", pa.int64()), pa.field("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, n = np.unique(ck, return_counts=True)
+        return pa.table(
+            {"o_custkey": pa.array(uniq), "n": pa.array(n.astype(np.int64))},
+            schema=cnt_schema,
+        )
+
+    hist_schema = pa.schema(
+        [pa.field("c_count", pa.int64()), pa.field("custdist", pa.int64())]
+    )
+
+    def to_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        df = t.to_pandas().groupby("o_custkey", as_index=False)["n"].sum()
+        keys, n = np.unique(df["n"].to_numpy(np.int64), return_counts=True)
+        return pa.table(
+            {"c_count": pa.array(keys), "custdist": pa.array(n.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    def add_zero_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        seen = int(t["custdist"].to_numpy(zero_copy_only=False).sum())
+        zeros = n_customers - seen
+        if zeros > 0:
+            t = pa.concat_tables(
+                [
+                    t,
+                    pa.table(
+                        {"c_count": pa.array([0], pa.int64()),
+                         "custdist": pa.array([zeros], pa.int64())},
+                        schema=hist_schema,
+                    ),
+                ]
+            )
+        return t
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(16), keys=["o_custkey"])
+        .map_batches(to_hist, batch_format="pyarrow", batch_size=None)
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .repartition(1)
+        .map_batches(add_zero_bucket, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def promo_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q14 shape: per ship-month share of revenue from PROMO-type
+    parts. The partkey→is_promo flag broadcasts once (mid-size dimension,
+    same regime as brand_revenue); each lineitem batch collapses to TWO
+    sums per month before the exchange, so the shuffle moves
+    O(blocks × months) rows."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(16)
+    parts = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in ray.data.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+            ).to_arrow_refs()
+        ]
+    )
+    ref = ray.put(
+        (
+            parts["p_partkey"].combine_chunks(),
+            pc.equal(parts["p_type"].combine_chunks(), "PROMO")
+            .to_numpy(zero_copy_only=False),
+        )
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("month", pa.timestamp("us")),
+            pa.field("promo_rev", pa.float64()),
+            pa.field("total_rev", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        keys, is_promo = ray.get(ref)
+        idx = pc.index_in(t["l_partkey"].combine_chunks(), value_set=keys)
+        promo = is_promo[idx.to_numpy(zero_copy_only=False)]
+        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        month = sd.astype("datetime64[M]").astype("datetime64[us]")
+        uniq, inv = np.unique(month, return_inverse=True)
+        total = np.bincount(inv, weights=rev, minlength=len(uniq))
+        prom = np.bincount(
+            inv, weights=np.where(promo, rev, 0.0), minlength=len(uniq)
+        )
+        return pa.table(
+            {
+                "month": pa.array(uniq),
+                "promo_rev": pa.array(prom),
+                "total_rev": pa.array(total),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("month", pa.timestamp("us")),
+            pa.field("promo_share", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("month", as_index=False).sum()
+        return pa.table(
+            {
+                "month": pa.array(df["month"].to_numpy("datetime64[us]")),
+                "promo_share": sql_round(
+                    pa.array(
+                        df["promo_rev"].to_numpy(np.float64)
+                        / df["total_rev"].to_numpy(np.float64)
+                    ),
+                    6,
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(16), keys=["month"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def value_outliers(sf_dir: str, z: float = 3.0) -> ray.data.Dataset:
+    """Two-pass broadcast z-score outlier count per event type: pass 1
+    reduces the stream to per-type moments (tiny — one row per type),
+    which broadcast back for pass 2's vectorized |value-μ| > zσ probe.
+    The canonical normalize-then-filter shape where the statistics table
+    never touches a shuffle."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(16)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    mom_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("s1", pa.float64()),
+            pa.field("s2", pa.float64()),
+        ]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mom_schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        et, v = et[ok], v[ok]
+        if len(v) == 0:
+            return mom_schema.empty_table()
+        uniq, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq, pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "s1": pa.array(np.bincount(inv, weights=v)),
+                "s2": pa.array(np.bincount(inv, weights=v * v)),
+            },
+            schema=mom_schema,
+        )
+
+    stats = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+        .take_all()  # one row per event type — tiny by construction
+    )
+    types = pa.array([r["event_type"] for r in stats], pa.string())
+    n = np.array([r["n"] for r in stats], dtype=np.float64)
+    mu = np.array([r["s1"] for r in stats]) / n
+    sd = np.sqrt(np.maximum(np.array([r["s2"] for r in stats]) / n - mu * mu, 0.0))
+    ref = ray.put((types, mu, sd))
+
+    out_schema = pa.schema(
+        [pa.field("event_type", pa.string()), pa.field("n_outliers", pa.int64())]
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tys, mus, sds = ray.get(ref)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = pc.index_in(t["event_type"].combine_chunks(), value_set=tys)
+        idxn = idx.to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        out = ok & (np.abs(v - mus[idxn]) > z * sds[idxn])
+        if not out.any():
+            return out_schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)[out]
+        keys, cnt = np.unique(et, return_counts=True)
+        return pa.table(
+            {"event_type": pa.array(keys, pa.string()),
+             "n_outliers": pa.array(cnt.astype(np.int64))},
+            schema=out_schema,
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        ds.map_batches(probe, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(_Sum("n_outliers", alias_name="n_outliers"))
+    )
+
+
+def value_minmax_scaled(sf_dir: str) -> ray.data.Dataset:
+    """Per-type min-max normalization of event values — the shuffle-free
+    feature-scaling shape: per-type extrema reduce to one tiny table
+    (pass 1), broadcast back, and pass 2 rewrites every row in place with
+    a vectorized (v-min)/(max-min). Deterministic bit-for-bit (no
+    summation), so the oracle compare is exact."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(16)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    ext = (
+        ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .aggregate(Min("value", alias_name="mn"), Max("value", alias_name="mx"))
+        .take_all()
+    )
+    types = pa.array([r["event_type"] for r in ext], pa.string())
+    mn = np.array([r["mn"] for r in ext], dtype=np.float64)
+    mx = np.array([r["mx"] for r in ext], dtype=np.float64)
+    ref = ray.put((types, mn, mx))
+
+    out_schema = pa.schema(
+        [pa.field("event_id", pa.int64()), pa.field("scaled", pa.float64())]
+    )
+
+    def scale(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tys, mns, mxs = ray.get(ref)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = pc.index_in(t["event_type"].combine_chunks(), value_set=tys)
+        idxn = idx.to_numpy(zero_copy_only=False)
+        rng = mxs[idxn] - mns[idxn]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (v - mns[idxn]) / rng
+        s = np.where(np.isnan(v) | (rng == 0), np.nan, s)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "scaled": pa.array(s, pa.float64(), from_pandas=True),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow")
