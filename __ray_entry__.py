@@ -2808,6 +2808,28 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_quantize": lambda sf: __import__(
         "grate_ray.functions.embed", fromlist=["x"]
     ).embedding_quantize(sf),
+    "label_cohesion": lambda sf: __import__(
+        "grate_ray.functions.embed", fromlist=["x"]
+    ).label_cohesion(sf),
+    "text_readability": lambda sf: __import__(
+        "grate_ray.functions.text", fromlist=["x"]
+    ).readability(_docs(sf, cols=("doc_id", "text"))),
+    "doc_length_hist": lambda sf: __import__(
+        "grate_ray.functions.text", fromlist=["x"]
+    ).doc_length_hist(_docs(sf, cols=("text",))),
+    "cdc_conv_text_stats": lambda sf: (
+        lambda cdc: cdc.conv_text_stats(
+            cdc.apply_binlog(_binlog(sf), num_partitions=16)
+        )
+    )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
+    "cdc_role_transitions": lambda sf: (
+        lambda cdc: cdc.role_transitions(
+            cdc.apply_binlog(_binlog(sf), num_partitions=16)
+        )
+    )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
+    "supplier_pct_rank": lambda sf: __import__(
+        "grate_ray.pipelines.relational", fromlist=["x"]
+    ).supplier_pct_rank(sf),
 }
 
 
@@ -3871,6 +3893,23 @@ WHERE w.op <> 'D' GROUP BY 1""",
         "conv_role_path": f"""
 SELECT conv_id, string_agg(role, '>' ORDER BY turn_idx) AS role_path
 FROM ({lww}) s GROUP BY conv_id""",
+        "cdc_conv_text_stats": f"""
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+       round(sum(length(coalesce(text, ''))) * 1.0 / count(*), 6) AS mean_chars
+FROM ({lww}) s GROUP BY conv_id""",
+        "cdc_role_transitions": f"""
+WITH l AS (
+  SELECT conv_id, role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM ({lww}) s)
+SELECT role, next_role, count(*) AS n
+FROM l WHERE next_role IS NOT NULL GROUP BY 1, 2""",
+        "supplier_pct_rank": """
+SELECT s_suppkey, s_nationkey,
+       percent_rank() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal) AS pct_rank
+FROM supplier""",
         "type_jaccard": """
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
 p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS nab
@@ -4002,6 +4041,50 @@ SELECT vec_id,
       x -> (x - round(x*127/mx)*mx/127) * (x - round(x*127/mx)*mx/127)))
     / len(emb) END, 12) AS mse
 FROM b""",
+        "label_cohesion": """
+WITH v AS (
+  SELECT label, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings),
+c AS (SELECT label, count(*) AS n FROM v GROUP BY 1),
+p AS (SELECT a.label,
+             avg(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) AS mc
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY 1)
+SELECT c.label, c.n, coalesce(round(p.mc, 6), 0) AS mean_cosine
+FROM c LEFT JOIN p USING (label)""",
+        "text_readability": """
+WITH f AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(regexp_replace(t, '[ \n\r\t]+', ' ', 'g'), ' ')) = 0
+         THEN 0
+         ELSE length(trim(regexp_replace(t, '[ \n\r\t]+', ' ', 'g'), ' '))
+              - length(replace(trim(regexp_replace(t, '[ \n\r\t]+', ' ', 'g'), ' '), ' ', ''))
+              + 1 END AS n_tokens,
+    len(regexp_split_to_array(t, '[.!?]+')) - 1 AS n_sentences,
+    len(regexp_split_to_array(lower(t), '[aeiou]+')) - 1 AS n_syllables
+  FROM f)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835
+             - 1.015 * (greatest(n_tokens, 1) * 1.0 / greatest(n_sentences, 1))
+             - 84.6 * (n_syllables * 1.0 / greatest(n_tokens, 1)), 6) AS flesch
+FROM g""",
+        "doc_length_hist": """
+WITH g AS (
+  SELECT CASE WHEN length(trim(regexp_replace(coalesce(text, ''), '[ \n\r\t]+', ' ', 'g'), ' ')) = 0
+              THEN 0
+              ELSE length(trim(regexp_replace(coalesce(text, ''), '[ \n\r\t]+', ' ', 'g'), ' '))
+                   - length(replace(trim(regexp_replace(coalesce(text, ''), '[ \n\r\t]+', ' ', 'g'), ' '), ' ', ''))
+                   + 1 END AS n_tokens
+  FROM documents)
+SELECT CAST(floor(log2(n_tokens)) AS BIGINT) AS bucket, count(*) AS n_docs
+FROM g WHERE n_tokens > 0 GROUP BY 1""",
         "scan_lenient": (
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
             "FROM customer"

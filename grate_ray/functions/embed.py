@@ -208,3 +208,92 @@ def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(quantize, batch_format="pyarrow")
+
+
+def label_cohesion(sf_dir: str, n_parts: int = 8) -> ray.data.Dataset:
+    """Per-label embedding cohesion: mean pairwise cosine similarity
+    within each label — the cluster-quality audit run before using
+    labels as dedup/retrieval strata. The quadratic pair sum collapses
+    algebraically: Σ_{i<j} x̂ᵢ·x̂ⱼ = (‖Σx̂‖² − n)/2, so each batch ships
+    only (label, count, Σx̂ vector) partials and NO pair is ever
+    materialized — O(labels × dim) exchange at any corpus size."""
+    from ..context import configure_shuffle, join_partitions
+    from .num import sql_round
+
+    configure_shuffle(8)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("label", pa.int32()),
+            pa.field("n", pa.int64()),
+            pa.field("svec", pa.list_(pa.float64())),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        dim = int(lens.max()) if len(lens) else 0
+        x = flat.reshape(-1, dim)  # fixed-dim corpus (validated by lens)
+        if not (lens == dim).all():
+            raise ValueError("label_cohesion requires fixed-dim embeddings")
+        norms = np.sqrt((x * x).sum(axis=1))
+        xhat = np.divide(
+            x, norms[:, None], out=np.zeros_like(x), where=norms[:, None] > 0
+        )
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(lab, return_inverse=True)
+        svec = np.zeros((len(keys), dim))
+        np.add.at(svec, inv, xhat)
+        return pa.table(
+            {
+                "label": pa.array(keys.astype(np.int32)),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "svec": pa.array(list(svec), pa.list_(pa.float64())),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("label", pa.int32()),
+            pa.field("n", pa.int64()),
+            pa.field("mean_cosine", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        rows = []
+        for lab, g in df.groupby("label"):
+            n = int(g["n"].sum())
+            s = np.sum(np.stack(g["svec"].to_numpy()), axis=0)
+            pairs = n * (n - 1) / 2
+            mean_cos = ((s @ s) - n) / 2 / pairs if pairs > 0 else 0.0
+            rows.append((lab, n, mean_cos))
+        rows.sort()
+        return pa.table(
+            {
+                "label": pa.array([r[0] for r in rows], pa.int32()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "mean_cosine": sql_round(
+                    pa.array([r[2] for r in rows], pa.float64()), 6
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(n_parts), keys=["label"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -243,3 +243,86 @@ def stratified_sample(
     bucket = pc.bit_wise_and(fp, pa.scalar(denom - 1, pa.uint64()))
     keep = pc.less(bucket, pa.array(k))
     return t.filter(keep)
+
+
+def readability(ds, n_parts: int = 8):
+    """Flesch-style reading-ease score per document from three exact
+    counts — whitespace tokens, sentence-terminator runs ([.!?]+) and
+    vowel runs as the syllable proxy — all RE2-vectorized Arrow kernels,
+    shuffle-free, one output row per doc. Deterministic bit-for-bit
+    (per-row arithmetic only, no aggregation)."""
+    from .num import sql_round
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("n_sentences", pa.int64()),
+            pa.field("n_syllables", pa.int64()),
+            pa.field("flesch", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        text = pc.coalesce(t["text"].combine_chunks(), pa.scalar("", pa.string()))
+        norm = normalize_text(text)
+        toks = token_count(norm).cast(pa.int64())
+        sents = pc.count_substring_regex(text, pattern="[.!?]+").cast(pa.int64())
+        syll = pc.count_substring_regex(
+            pc.utf8_lower(text), pattern="[aeiou]+"
+        ).cast(pa.int64())
+        w = np.maximum(toks.to_numpy(zero_copy_only=False), 1).astype(np.float64)
+        s = np.maximum(sents.to_numpy(zero_copy_only=False), 1).astype(np.float64)
+        y = syll.to_numpy(zero_copy_only=False).astype(np.float64)
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": toks,
+                "n_sentences": sents,
+                "n_syllables": syll,
+                "flesch": sql_round(pa.array(flesch), 6),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_length_hist(ds, n_parts: int = 8):
+    """Corpus length profile: log2-bucketed whitespace-token-count
+    histogram — the shape report an LLM-prep run uses to pick chunk and
+    pack sizes. Per-batch histogram combiner (O(buckets) rows leave each
+    block), one tiny keyed sum."""
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(8)
+
+    hist_schema = pa.schema(
+        [pa.field("bucket", pa.int64()), pa.field("n_docs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        text = pc.coalesce(t["text"].combine_chunks(), pa.scalar("", pa.string()))
+        toks = token_count(normalize_text(text)).to_numpy(zero_copy_only=False)
+        toks = toks[toks > 0]
+        if len(toks) == 0:
+            return hist_schema.empty_table()
+        b = np.floor(np.log2(toks.astype(np.float64))).astype(np.int64)
+        keys, n = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(keys), "n_docs": pa.array(n.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )

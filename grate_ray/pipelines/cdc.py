@@ -817,3 +817,139 @@ def interarrival_hist(
         .groupby("bucket")
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def conv_text_stats(state: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-conversation payload profile over the LWW final state: live
+    turns, total and mean text length — the table-health rollup a lake
+    operator watches after replay. Pure combiner: each block collapses
+    to one row per conversation before the tiny keyed hop."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+    from ..functions.num import sql_round
+
+    configure_shuffle(num_partitions)
+
+    part_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("n_turns", pa.int64()),
+            pa.field("total_chars", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        import pyarrow.compute as pc
+
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        ln = (
+            pc.utf8_length(
+                pc.coalesce(t["text"].combine_chunks(), pa.scalar("", pa.string()))
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keys, inv = np.unique(conv, return_inverse=True)
+        return pa.table(
+            {
+                "conv_id": pa.array(keys, pa.string()),
+                "n_turns": pa.array(np.bincount(inv).astype(np.int64)),
+                "total_chars": pa.array(
+                    np.bincount(inv, weights=ln).astype(np.int64)
+                ),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("n_turns", pa.int64()),
+            pa.field("total_chars", pa.int64()),
+            pa.field("mean_chars", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("conv_id", as_index=False).sum()
+        n = df["n_turns"].to_numpy(np.int64)
+        tc = df["total_chars"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(df["conv_id"], pa.string()),
+                "n_turns": pa.array(n),
+                "total_chars": pa.array(tc),
+                "mean_chars": sql_round(pa.array(tc / n), 6),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        state.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(num_partitions), keys=["conv_id"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def role_transitions(state: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Dataset:
+    """Role-transition bigram counts over the LWW final state: for each
+    conversation in turn order, count (role → next role) adjacencies —
+    the Markov dialog-structure profile. One conv-keyed hop, vectorized
+    segment-bounded adjacent pairs (no cross-conversation bigrams), then
+    a tiny pair-keyed sum."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    pair_schema = pa.schema(
+        [
+            pa.field("role", pa.string()),
+            pa.field("next_role", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, conv))
+        conv, role = conv[order], role[order]
+        same = np.zeros(len(conv), dtype=bool)
+        same[1:] = conv[1:] == conv[:-1]
+        idx = np.flatnonzero(same)
+        if len(idx) == 0:
+            return pair_schema.empty_table()
+        a, b = role[idx - 1], role[idx]
+        # pair counting via factorized codes (string concat with a numpy
+        # U dtype would strip separator/terminator characters)
+        ua, ia = np.unique(a, return_inverse=True)
+        ub, ib = np.unique(b, return_inverse=True)
+        code = ia.astype(np.int64) * len(ub) + ib
+        keys, n = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "role": pa.array(ua[keys // len(ub)], pa.string()),
+                "next_role": pa.array(ub[keys % len(ub)], pa.string()),
+                "n": pa.array(n.astype(np.int64)),
+            },
+            schema=pair_schema,
+        )
+
+    return (
+        state.repartition(join_partitions(num_partitions), keys=["conv_id"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .groupby(["role", "next_role"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -3366,3 +3366,70 @@ def value_minmax_scaled(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def supplier_pct_rank(sf_dir: str, n_parts: int = 8) -> ray.data.Dataset:
+    """Per-nation percent_rank of supplier account balances — the
+    window-rank shape with SQL tie semantics ((min_rank − 1)/(n − 1),
+    ties share a rank). One nation-keyed hop; ranks are a vectorized
+    double searchsorted per block, no per-row Python."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(8)
+
+    out_schema = pa.schema(
+        [
+            pa.field("s_suppkey", pa.int64()),
+            pa.field("s_nationkey", pa.int32()),
+            pa.field("pct_rank", pa.float64()),
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = t["s_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bal, nk))
+        nk_s, bal_s = nk[order], bal[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], nk_s[1:] != nk_s[:-1]))
+        )
+        seg_id = np.cumsum(np.concatenate(([True], nk_s[1:] != nk_s[:-1]))) - 1
+        lens = np.diff(np.append(starts, len(nk_s)))
+        pos = np.arange(len(nk_s)) - starts[seg_id]
+        # min-rank of ties: first index within the segment holding this
+        # value — searchsorted per segment done globally via (nation, bal)
+        # lexicographic positions
+        first_of_value = np.empty(len(bal_s), dtype=np.int64)
+        newv = np.concatenate(
+            ([True], (bal_s[1:] != bal_s[:-1]) | (nk_s[1:] != nk_s[:-1]))
+        )
+        first_idx = np.maximum.accumulate(np.where(newv, np.arange(len(bal_s)), 0))
+        first_of_value = first_idx - starts[seg_id]
+        n_seg = lens[seg_id]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pct = first_of_value / np.maximum(n_seg - 1, 1)
+        pct = np.where(n_seg == 1, 0.0, pct)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk),
+                "s_nationkey": pa.array(nk.astype(np.int32)),
+                "pct_rank": pa.array(pct[inv]),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+        )
+        .repartition(join_partitions(n_parts), keys=["s_nationkey"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+    )

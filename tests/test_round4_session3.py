@@ -350,3 +350,123 @@ def test_embedding_quantize_roundtrip(ray_session, tmp_path_factory):
     mse = np.where(mx == 0, 0.0, ((x - dq) ** 2).mean(axis=1))
     np.testing.assert_allclose(got["mse"].values, np.round(mse, 12), atol=1e-12)
     assert got["mse"].iloc[3] == 0.0
+
+
+def test_label_cohesion_algebraic_identity(ray_session, tmp_path_factory):
+    # the (‖Σx̂‖²−n)/2 collapse must equal the naive pairwise mean
+    from grate_ray.functions.embed import label_cohesion
+
+    d = tmp_path_factory.mktemp("r4s3coh")
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(0, 1, (30, 6)).astype(np.float32)
+    labels = (np.arange(30) % 3).astype(np.int32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labels),
+        }
+    )
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    got = label_cohesion(str(d)).to_pandas().sort_values("label")
+    x = vecs.astype(np.float64)
+    xh = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for lab in range(3):
+        g = xh[labels == lab]
+        sims = [
+            g[i] @ g[j] for i in range(len(g)) for j in range(i + 1, len(g))
+        ]
+        exp = np.mean(sims)
+        assert abs(got.set_index("label").loc[lab, "mean_cosine"] - exp) < 1e-6
+
+
+def test_readability_counts(ray_session):
+    import ray.data
+
+    from grate_ray.functions.text import readability
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["Hello there!! How are you? fine...", "", "aeiou xyz"],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        readability(ray.data.from_arrow(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_tokens"].tolist() == [6, 0, 2]
+    assert got["n_sentences"].tolist() == [3, 0, 0]
+    assert got["n_syllables"].tolist() == [10, 0, 1]
+    # doc 0: 206.835 - 1.015*(6/3) - 84.6*(10/6)
+    assert abs(got["flesch"][0] - round(206.835 - 1.015 * 2 - 84.6 * 10 / 6, 6)) < 1e-9
+
+
+def test_doc_length_hist(ray_session):
+    import ray.data
+
+    from grate_ray.functions.text import doc_length_hist
+
+    texts = ["w", "a b", "a b c d", "", "one two three four five six seven eight"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = doc_length_hist(ray.data.from_arrow(docs)).to_pandas()
+    # token counts 1,2,4,(0 dropped),8 → buckets 0,1,2,3
+    assert dict(zip(got["bucket"], got["n_docs"])) == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_role_transitions_segment_bounded(ray_session):
+    import ray.data
+
+    from grate_ray.context import configure_shuffle
+    from grate_ray.pipelines.cdc import role_transitions
+
+    configure_shuffle(8)
+    state = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 0, 1], pa.int32()),
+            "role": pa.array(
+                ["user", "assistant", "user", "user", "assistant"], pa.string()
+            ),
+            "text": pa.array(["x"] * 5, pa.string()),
+            "tool": pa.array([None] * 5, pa.string()),
+            "ts": pa.array([0] * 5, pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    got = role_transitions(ray.data.from_arrow(state)).to_pandas()
+    pairs = {
+        (r, n): c for r, n, c in zip(got["role"], got["next_role"], got["n"])
+    }
+    # a: user→assistant, assistant→user; b: user→assistant.
+    # NO a-last→b-first cross-conversation bigram.
+    assert pairs == {("user", "assistant"): 2, ("assistant", "user"): 1}
+
+
+def test_supplier_pct_rank_ties(ray_session, tmp_path_factory):
+    from grate_ray.pipelines.relational import supplier_pct_rank
+
+    d = tmp_path_factory.mktemp("r4s3sup")
+    t = pa.table(
+        {
+            "s_suppkey": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "s_name": pa.array([f"s{i}" for i in range(5)], pa.string()),
+            "s_nationkey": pa.array([0, 0, 0, 0, 1], pa.int32()),
+            "s_acctbal": pa.array([10.0, 20.0, 20.0, 30.0, 5.0]),
+        }
+    )
+    pq.write_table(t, str(d / "supplier.parquet"))
+    got = supplier_pct_rank(str(d)).to_pandas().sort_values("s_suppkey")
+    # nation 0: ranks 1,2,2,4 → pct (rank-1)/3 = 0, 1/3, 1/3, 1
+    np.testing.assert_allclose(
+        got["pct_rank"].tolist(), [0.0, 1 / 3, 1 / 3, 1.0, 0.0], atol=1e-12
+    )
