@@ -187,27 +187,21 @@ def q_cdc_multi_source(sf_dir: str):
     return apply_binlog(merged, num_partitions=16)
 
 
-def _ingest_lake(sf_dir: str) -> str:
-    """Run the REAL exactly-once ingest (delta commits, manifests,
-    empty-partition HW advance) over the derived binlog into a scratch
-    lake; returns the lake dir. Deterministic + idempotent: re-running on
-    an existing lake is a no-op (the driver may call several queries)."""
+def _scratch_binlog(sf_dir: str) -> tuple[str, str]:
+    """Stage the derived binlog as parquet chunk files under /tmp (the
+    ingest path reads FILES, not Datasets); returns (binlog_dir, tag).
+    Deterministic + crash-safe: staged into a temp dir and renamed into
+    place, so a killed writer never leaves a mixed file set."""
     import hashlib
     import os
 
-    from grate_ray.pipelines.ingest import ingest
     from grate_ray.sources.derive import BINLOG_SQL
 
     # tag includes the derivation contract so a changed derivation never
     # reuses a stale scratch binlog across sessions
     tag = hashlib.md5((sf_dir + BINLOG_SQL).encode()).hexdigest()[:8]
     binlog_dir = f"/tmp/graft_q/binlog_{tag}"
-    lake_dir = f"/tmp/graft_q/lake_{tag}"
     if not os.path.exists(os.path.join(binlog_dir, "_OK")):
-        # crash-safe: a prior process may have died after a partial
-        # write_parquet — stage into a fresh temp dir and rename into
-        # place so a retry never mixes two file sets (overlapping LSN
-        # ranges would permanently fail _chunk_lsn_ranges)
         import shutil
         import uuid
 
@@ -217,11 +211,48 @@ def _ingest_lake(sf_dir: str) -> str:
         _binlog(sf_dir).write_parquet(staging)
         open(os.path.join(staging, "_OK"), "w").write("ok")
         os.rename(staging, binlog_dir)
+    return binlog_dir, tag
+
+
+def _ingest_lake(sf_dir: str) -> str:
+    """Run the REAL exactly-once ingest (delta commits, manifests,
+    empty-partition HW advance) over the derived binlog into a scratch
+    lake; returns the lake dir. Deterministic + idempotent: re-running on
+    an existing lake is a no-op (the driver may call several queries)."""
+    from grate_ray.pipelines.ingest import ingest
+
+    binlog_dir, tag = _scratch_binlog(sf_dir)
+    lake_dir = f"/tmp/graft_q/lake_{tag}"
     # auto-size micro-batches (backlog-aware); resume metrics stay exact
     # regardless of sizing since the LSN windows are pinned in the lake's
     # batch plan on first run
     ingest(binlog_dir, lake_dir, num_partitions=16, files_per_microbatch=None)
     return lake_dir
+
+
+_SPLIT_GROUPS = {
+    "dialog": ("user", "assistant"),
+    "system": ("system", "tool"),
+}
+
+
+def q_cdc_split_tables(sf_dir: str):
+    """Multi-table routed ingest: ONE binlog tail fans into two lake
+    tables (dialog vs system turns), each exactly-once with its own
+    manifests; cross-table consistency is transactional by replay
+    (pipelines/ingest.py ingest_split). Returns the tagged union of both
+    tables' live views; the oracle applies LWW per routed sub-stream."""
+    from grate_ray.pipelines.ingest import ingest_split, read_split
+
+    binlog_dir, tag = _scratch_binlog(sf_dir)
+    # v2: deletes broadcast to every group (routing-semantics version is
+    # part of the scratch path so older lakes are never reused)
+    out_root = f"/tmp/graft_q/splitv2_{tag}"
+    ingest_split(
+        binlog_dir, out_root, _SPLIT_GROUPS,
+        num_partitions=8, files_per_microbatch=None,
+    )
+    return read_split(out_root, list(_SPLIT_GROUPS))
 
 
 def q_cdc_ingest_lake(sf_dir: str):
@@ -2830,6 +2861,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "supplier_pct_rank": lambda sf: __import__(
         "grate_ray.pipelines.relational", fromlist=["x"]
     ).supplier_pct_rank(sf),
+    "cdc_partition_balance": lambda sf: __import__(
+        "grate_ray.pipelines.cdc", fromlist=["x"]
+    ).partition_balance(_binlog(sf), num_buckets=64, num_partitions=16),
+    "cdc_split_tables": q_cdc_split_tables,
 }
 
 
@@ -3910,6 +3945,28 @@ SELECT s_suppkey, s_nationkey,
        percent_rank() OVER (PARTITION BY s_nationkey
                             ORDER BY s_acctbal) AS pct_rank
 FROM supplier""",
+        "cdc_partition_balance": f"""
+WITH b AS ({BINLOG_SQL}),
+k AS (SELECT conv_id, count(*) AS n FROM b GROUP BY 1)
+SELECT CAST(md5_number_lower(conv_id) % 64 AS BIGINT) AS part,
+       count(*) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM k GROUP BY 1""",
+        "cdc_split_tables": f"""
+WITH b AS ({BINLOG_SQL}),
+u AS (
+  SELECT 'dialog' AS table_name, * FROM b
+  WHERE role IN ('user', 'assistant') OR op = 'D'
+  UNION ALL
+  SELECT 'system' AS table_name, * FROM b
+  WHERE role IN ('system', 'tool') OR op = 'D'),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY table_name, conv_id, turn_idx
+      ORDER BY ts DESC, lsn DESC) AS rn
+  FROM u)
+SELECT table_name, conv_id, turn_idx, role, text, tool, ts
+FROM r WHERE rn = 1 AND op <> 'D'""",
         "type_jaccard": """
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
 p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS nab

@@ -953,3 +953,77 @@ def role_transitions(state: ray.data.Dataset, num_partitions: int = 16) -> ray.d
         .groupby(["role", "next_role"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def partition_balance(
+    ds: ray.data.Dataset, num_buckets: int = 64, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Partition-layout balance audit: distinct keys and event mass per
+    hash bucket under the md5-low64 sharding family (the reference's
+    output-sharding scheme and this engine's lookup-index partitioner) —
+    the report that validates a partition-count choice before a replay.
+    Per-batch per-conv partials, one conv-keyed hop for exact per-key
+    totals, then a bucket-keyed combiner: no stage ever sees more than
+    O(distinct convs) rows."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle, join_partitions
+    from ..functions.dedup import _md5_lower64
+
+    configure_shuffle(num_partitions)
+
+    key_schema = pa.schema(
+        [pa.field("conv_id", pa.string()), pa.field("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return key_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        keys, n = np.unique(conv, return_counts=True)
+        return pa.table(
+            {"conv_id": pa.array(keys, pa.string()),
+             "n": pa.array(n.astype(np.int64))},
+            schema=key_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("part", pa.int64()),
+            pa.field("n_keys", pa.int64()),
+            pa.field("n_events", pa.int64()),
+        ]
+    )
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("conv_id", as_index=False)["n"].sum()
+        conv = df["conv_id"].to_numpy()
+        part = (_md5_lower64(conv) % np.uint64(num_buckets)).astype(np.int64)
+        keys, inv = np.unique(part, return_inverse=True)
+        return pa.table(
+            {
+                "part": pa.array(keys),
+                "n_keys": pa.array(np.bincount(inv).astype(np.int64)),
+                "n_events": pa.array(
+                    np.bincount(inv, weights=df["n"].to_numpy(np.int64)).astype(
+                        np.int64
+                    )
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(num_partitions), keys=["conv_id"])
+        .map_batches(to_buckets, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .aggregate(
+            Sum("n_keys", alias_name="n_keys"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )

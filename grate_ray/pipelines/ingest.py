@@ -305,6 +305,7 @@ def _ingest_impl(
     renames: dict[str, str] | None = None,
     auto_salt: bool = False,
     auto_salt_threshold: float = 0.05,
+    row_filter=None,
 ) -> pa.Table:
     """Tail the binlog into the lake; returns the metrics table (one row per
     partition commit across all micro-batches run).
@@ -464,6 +465,11 @@ def _ingest_impl(
 
                 if rec is not None:
                     t = rec(t)
+                if row_filter is not None:
+                    # source-routing selector (multi-table split): rows
+                    # dropped here belong to a DIFFERENT table's stream
+                    # and appear in that table's lineage, not this one's
+                    t = row_filter(t)
                 valid, dead = split_valid(t)
                 if dead.num_rows:
                     _write_deadletter(lake_dir, dead)
@@ -1148,3 +1154,80 @@ def ingest_follow(
     if not out:
         return METRICS_SCHEMA.empty_table()
     return pa.concat_tables(out, promote_options="default")
+
+
+def ingest_split(
+    binlog_path: str,
+    out_root: str,
+    groups: dict[str, tuple[str, ...]],
+    split_col: str = "role",
+    **kwargs,
+) -> dict[str, pa.Table]:
+    """MULTI-TABLE routed ingest: one binlog tail fans out into one lake
+    table per group (e.g. dialog vs system turns), each applying LWW over
+    ONLY its routed events. Cross-table consistency is transactional BY
+    REPLAY, not by a global lock: every per-table ingest is exactly-once
+    idempotent over shared lsn windows, so a crash that lands between
+    table A's commit and table B's commit of the same window heals on the
+    next ``ingest_split`` run — A skips the committed window, B applies
+    it, and the pair converges to the same state as an uninterrupted run
+    (tests/test_ingest_exactly_once.py::test_split_* prove both orders).
+    Routing is a vectorized membership filter fused into each table's
+    reconcile pass; non-delete events never route to two groups (groups
+    must be disjoint). DELETES BROADCAST TO EVERY GROUP: a CDC delete
+    often can't carry the routing attribute (upstream emits key + op
+    only — this generator's deletes have a null role), and the tombstone
+    must land wherever its key lives; a delete for a key the table never
+    held is a semantic no-op under LWW."""
+    import pyarrow.compute as pc
+
+    seen: set[str] = set()
+    for name, vals in groups.items():
+        dup = seen & set(vals)
+        if dup:
+            raise ValueError(f"group values routed twice: {sorted(dup)}")
+        seen |= set(vals)
+
+    metrics: dict[str, pa.Table] = {}
+    for name, vals in groups.items():
+        metrics[name] = ingest(
+            binlog_path,
+            os.path.join(out_root, name),
+            row_filter=make_route_filter(vals, split_col),
+            **kwargs,
+        )
+    return metrics
+
+
+def make_route_filter(vals: tuple[str, ...], split_col: str = "role"):
+    """Routing predicate for one split table: group membership on
+    ``split_col`` OR a delete (tombstones broadcast — see ingest_split).
+    Defined at module level so the closure pickles into Ray workers."""
+    value_set = pa.array(list(vals), pa.string())
+
+    def route(t: pa.Table) -> pa.Table:
+        keep = pc.or_kleene(
+            pc.is_in(t[split_col], value_set=value_set),
+            pc.equal(t["op"], "D"),
+        )
+        return t.filter(pc.fill_null(keep, False))
+
+    return route
+
+
+def read_split(out_root: str, groups: list[str]) -> "ray.data.Dataset":
+    """Read a multi-table split lake back as ONE tagged relation
+    (table_name + lake columns) — the cross-table audit view."""
+    parts = []
+    for name in groups:
+        ds = read_lake(os.path.join(out_root, name))
+
+        def tag(t: pa.Table, _n=name) -> pa.Table:
+            col = pa.array([_n] * t.num_rows, pa.string())
+            return t.add_column(0, "table_name", col)
+
+        parts.append(ds.map_batches(tag, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -930,3 +930,120 @@ def test_lake_tags(tmp_path_factory):
     untag_lake(lake, "v1")
     with pytest.raises(ValueError, match="unknown tag"):
         read_lake(lake, asof_tag="v1").take_all()
+
+
+# --- multi-table routed ingest (ingest_split) --------------------------------
+
+_GROUPS = {"dialog": ("user", "assistant"), "system": ("system", "tool")}
+
+
+def _route(t, roles):
+    # the engine's own routing predicate (group membership, deletes
+    # broadcast) — also the in-memory reference filter here
+    from grate_ray.pipelines.ingest import make_route_filter
+
+    return make_route_filter(tuple(roles))(t)
+
+
+def _split_oracle(binlog_dir, roles):
+    tables = []
+    for f in sorted(os.listdir(binlog_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        tables.append(_route(pq.read_table(os.path.join(binlog_dir, f)), roles))
+    return oracle_final_state(tables)
+
+
+def _assert_split_matches(out_root, binlog_dir):
+    for name, roles in _GROUPS.items():
+        got = (
+            read_lake(os.path.join(out_root, name), num_partitions=P)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        want = _split_oracle(binlog_dir, roles).to_pandas()
+        assert len(got) == len(want), name
+        for col in want.columns:
+            assert got[col].tolist() == want[col].tolist(), (name, col)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_full_matches_reference(tmp_path_factory):
+    from grate_ray.pipelines.ingest import ingest_split
+
+    d = str(tmp_path_factory.mktemp("sbinlog"))
+    out = str(tmp_path_factory.mktemp("slakes"))
+    generate_binlog(d, GenSpec(num_events=8_000, num_convs=80, seed=91, chunk_rows=2_000))
+    metrics = ingest_split(d, out, _GROUPS, num_partitions=P, files_per_microbatch=2)
+    _assert_split_matches(out, d)
+    # every non-delete routed to exactly one table's lineage; deletes
+    # broadcast to all groups (tombstones must reach the key's table)
+    total = sum(m.to_pandas()["n_events"].sum() for m in metrics.values())
+    n_del = _count_ops(d, "D")
+    assert total == (8_000 - n_del) + len(_GROUPS) * n_del
+    # overlapping groups are rejected up front
+    with pytest.raises(ValueError):
+        ingest_split(d, out, {"a": ("user",), "b": ("user", "tool")})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_crash_between_tables_heals(tmp_path_factory):
+    """Crash landing BETWEEN table A's commit and table B's commit of the
+    same lsn window must heal on the next ingest_split run (transactional
+    by replay): A skips its committed windows, B catches up."""
+    from grate_ray.pipelines.ingest import ingest_split
+
+    d = str(tmp_path_factory.mktemp("cbinlog"))
+    out = str(tmp_path_factory.mktemp("clakes"))
+    generate_binlog(d, GenSpec(num_events=8_000, num_convs=80, seed=92, chunk_rows=1_000))
+
+    # simulated crash: dialog commits 2 of 8 windows, system none
+    m_partial = ingest(
+        d,
+        os.path.join(out, "dialog"),
+        num_partitions=P,
+        files_per_microbatch=1,
+        max_microbatches=2,
+        row_filter=__import__(
+            "grate_ray.pipelines.ingest", fromlist=["x"]
+        ).make_route_filter(_GROUPS["dialog"]),
+    )
+    applied_before = m_partial.to_pandas()
+    applied_before = applied_before[~applied_before["skipped"]]["n_events"].sum()
+    assert applied_before > 0
+
+    # heal: the full split run must converge both tables to the reference
+    metrics = ingest_split(d, out, _GROUPS, num_partitions=P, files_per_microbatch=1)
+    _assert_split_matches(out, d)
+    # exactly-once across crash+heal: dialog's healed run counts only the
+    # un-committed remainder, never re-counting the pre-crash windows
+    dialog_df = metrics["dialog"].to_pandas()
+    healed = dialog_df[~dialog_df["skipped"]]["n_events"].sum()
+    want_dialog = _split_oracle_count(d, _GROUPS["dialog"])
+    assert applied_before + healed == want_dialog
+
+    # a further rerun is a pure no-op on both tables
+    metrics2 = ingest_split(d, out, _GROUPS, num_partitions=P, files_per_microbatch=1)
+    for name in _GROUPS:
+        df = metrics2[name].to_pandas()
+        assert df[~df["skipped"]].empty
+
+
+def _split_oracle_count(binlog_dir, roles):
+    n = 0
+    for f in sorted(os.listdir(binlog_dir)):
+        if f.endswith(".parquet"):
+            n += _route(pq.read_table(os.path.join(binlog_dir, f)), roles).num_rows
+    return n
+
+
+def _count_ops(binlog_dir, op):
+    import pyarrow.compute as pc
+
+    n = 0
+    for f in sorted(os.listdir(binlog_dir)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(binlog_dir, f))
+            n += int(pc.sum(pc.cast(pc.equal(t["op"], op), pa.int64())).as_py() or 0)
+    return n
