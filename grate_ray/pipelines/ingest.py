@@ -323,6 +323,12 @@ def _ingest_impl(
     for source epochs that renamed a payload column (key/envelope columns
     are never renameable).
 
+    ``row_filter``: optional vectorized source-routing selector (Table →
+    Table), fused into the reconcile pass before validation — the
+    multi-table split (``ingest_split``) routes each table's sub-stream
+    with it. Rows it drops belong to a sibling table's lineage; this
+    lake's metrics count only routed events.
+
     ``auto_compact``: after the tail drains, run the distributed compaction
     pass iff a cheap footer-only check says it's needed — any partition's
     reconstruction chain longer than ``compact_max_chain`` (default: the
