@@ -1590,6 +1590,39 @@ def q_dedup_cluster_sizes(sf_dir: str):
     )
 
 
+def q_dedup_fuzzy(sf_dir: str):
+    """Edit-distance near-dup pairs over the planted-near-dup corpus:
+    shared-prefix candidate buckets (cap 20) verified by EXACT batched
+    Levenshtein over each doc's first 200 chars. Oracle mirrors the
+    bucketing, cap and DuckDB's levenshtein()."""
+    from grate_ray.functions.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(_with_truncated_copies(_docs(sf_dir)))
+
+
+def _minhash_pair_graph(sf_dir: str):
+    from grate_ray.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_with_truncated_copies(_docs(sf_dir)), threshold=0.6)
+
+
+def q_graph_degree_dist(sf_dir: str):
+    """Degree histogram of the verified near-dup pair graph — the dedup
+    audit's graph-shape view (how connected is the duplicate space)."""
+    from grate_ray.functions.graph import degree_distribution
+
+    return degree_distribution(_minhash_pair_graph(sf_dir))
+
+
+def q_graph_triangles(sf_dir: str):
+    """Exact triangle count of the near-dup pair graph (clustering
+    density audit); edge list is bucket-cap-bounded so it broadcasts,
+    adjacency is built once per actor."""
+    from grate_ray.functions.graph import triangle_count
+
+    return triangle_count(_minhash_pair_graph(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 13 == 0 act as the
     eval set; train = the rest ∪ planted truncated copies of eval docs
@@ -2865,6 +2898,39 @@ QUERIES: dict[str, Callable[[str], Any]] = {
         "grate_ray.pipelines.cdc", fromlist=["x"]
     ).partition_balance(_binlog(sf), num_buckets=64, num_partitions=16),
     "cdc_split_tables": q_cdc_split_tables,
+    "pricing_summary": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).pricing_summary(sf),
+    "revenue_band": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).revenue_band(sf),
+    "volume_shipping": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).volume_shipping(sf),
+    "top_supplier": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).top_supplier(sf),
+    "large_volume_customers": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).large_volume_customers(sf),
+    "value_skew_kurt": lambda sf: __import__(
+        "grate_ray.pipelines.stats", fromlist=["x"]
+    ).value_skew_kurt(sf),
+    "lang_source_chi2": lambda sf: __import__(
+        "grate_ray.pipelines.stats", fromlist=["x"]
+    ).lang_source_chi2(sf),
+    "embedding_covariance": lambda sf: __import__(
+        "grate_ray.pipelines.stats", fromlist=["x"]
+    ).embedding_covariance(sf),
+    "cume_dist_price": lambda sf: __import__(
+        "grate_ray.pipelines.stats", fromlist=["x"]
+    ).cume_dist_price(sf),
+    "linear_interp": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).linear_interp(sf),
+    "dedup_fuzzy": q_dedup_fuzzy,
+    "graph_degree_dist": q_graph_degree_dist,
+    "graph_triangles": q_graph_triangles,
 }
 
 
@@ -5595,6 +5661,153 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+       round(sum(l_discount) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY 1, 2""",
+        "revenue_band": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24""",
+        "volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3""",
+        "top_supplier": """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN r USING (s_suppkey)
+WHERE total_revenue = (SELECT max(total_revenue) FROM r)""",
+        "large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey""",
+        "value_skew_kurt": """
+WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS mu
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+m AS (SELECT e.event_type,
+             sum(pow(e.value - s.mu, 2)) AS m2,
+             sum(pow(e.value - s.mu, 3)) AS m3,
+             sum(pow(e.value - s.mu, 4)) AS m4
+      FROM events e JOIN s USING (event_type)
+      WHERE e.value IS NOT NULL GROUP BY 1)
+SELECT s.event_type, s.n,
+       round((m3 / s.n) / pow(m2 / s.n, 1.5), 6) AS skew_pop,
+       round((m4 / s.n) / pow(m2 / s.n, 2) - 3, 6) AS kurt_pop
+FROM s JOIN m USING (event_type)""",
+        "lang_source_chi2": """
+WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(n) AS rn FROM c GROUP BY 1),
+co AS (SELECT source, sum(n) AS cn FROM c GROUP BY 1),
+tt AS (SELECT sum(n) AS tot FROM c),
+f AS (SELECT r.lang, co.source,
+             CAST(rn AS DOUBLE) * cn / tot AS e,
+             coalesce(c.n, 0) AS o
+      FROM r CROSS JOIN co CROSS JOIN tt
+      LEFT JOIN c ON c.lang = r.lang AND c.source = co.source)
+SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       CAST(((SELECT count(*) FROM r) - 1)
+            * ((SELECT count(*) FROM co) - 1) AS BIGINT) AS dof
+FROM f""",
+        "embedding_covariance": """
+WITH dims AS (SELECT UNNEST(range((SELECT len(embedding)
+                                   FROM embeddings LIMIT 1))) AS i),
+u AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+             CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN dims)
+SELECT a.i AS i, b.i AS j, round(covar_pop(a.x, b.x), 6) AS cov
+FROM u a JOIN u b USING (vec_id)
+GROUP BY 1, 2""",
+        "cume_dist_price": """
+SELECT o_orderkey, o_orderpriority,
+       round(cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice), 6) AS cd
+FROM orders""",
+        "linear_interp": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+           FROM events),
+w AS (SELECT event_id, user_id, ts, v,
+        last_value(v IGNORE NULLS) OVER pw AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+          OVER pw AS pt,
+        first_value(v IGNORE NULLS) OVER fw AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+          OVER fw AS nt
+      FROM e
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             fw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT event_id, user_id,
+       round(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NULL OR nv IS NULL THEN NULL
+         WHEN epoch_us(nt) = epoch_us(pt) THEN pv
+         ELSE pv + (nv - pv)
+              * ((epoch_us(ts) - epoch_us(pt))
+                 / (epoch_us(nt) - epoch_us(pt)))
+       END, 6) AS v_filled
+FROM w""",
+        "dedup_fuzzy": f"""
+WITH corpus AS ({_CORPUS_SQL}),
+k AS (SELECT doc_id, substr(coalesce(text, ''), 1, 16) AS key,
+             substr(coalesce(text, ''), 1, 200) AS head
+      FROM corpus),
+bk AS (SELECT *, count(*) OVER (PARTITION BY key) AS bsz FROM k),
+c AS (SELECT * FROM bk WHERE bsz <= 20)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(levenshtein(x.head, y.head) AS BIGINT) AS dist
+FROM c x JOIN c y ON x.key = y.key AND x.doc_id < y.doc_id
+WHERE levenshtein(x.head, y.head) <= 50""",
+        "graph_degree_dist": f"""
+WITH pairs AS (SELECT a, b
+               FROM ({_minhash_sql(threshold=0.6, bucket_cap=50)})),
+deg AS (SELECT node, count(*) AS degree
+        FROM (SELECT a AS node FROM pairs
+              UNION ALL SELECT b AS node FROM pairs)
+        GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+FROM deg GROUP BY 1""",
+        "graph_triangles": f"""
+WITH p AS (SELECT a, b
+           FROM ({_minhash_sql(threshold=0.6, bucket_cap=50)}))
+SELECT count(*) AS n_triangles
+FROM p e1
+JOIN p e2 ON e1.b = e2.a
+JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b""",
     }
 
 

@@ -1414,3 +1414,132 @@ def chunk_dedup(
     return parts.repartition(npart, keys=["doc_id"]).map_batches(
         final_reduce, batch_format="pyarrow", batch_size=None
     )
+
+
+def _batched_levenshtein(
+    s1: "np.ndarray", s2: "np.ndarray", max_len: int
+) -> "np.ndarray":
+    """Exact unit-cost Levenshtein for P string pairs AT ONCE. The
+    classic row recurrence's sequential insertion term is replaced by
+    the prefix-min identity D[j] = j + min_{k≤j}(rowᵢₙₛ₋ₗₑₛₛ[k] − k),
+    so each of the ≤``max_len`` row steps is pure vector math across
+    all pairs — no per-cell Python. O(max_len²) vector ops total,
+    independent of P.
+
+    ``s1``/``s2``: uint32 char-code arrays shaped (P, max_len), zero
+    padded; actual lengths inferred from the padding sentinel 0."""
+    P = s1.shape[0]
+    len1 = (s1 != 0).sum(axis=1)
+    len2 = (s2 != 0).sum(axis=1)
+    cols = np.arange(max_len + 1)
+    D = np.broadcast_to(cols, (P, max_len + 1)).astype(np.int64).copy()
+    out = np.where(len1 == 0, len2, 0).astype(np.int64)
+    for i in range(1, max_len + 1):
+        sub_cost = (s2 != s1[:, i - 1 : i]).astype(np.int64)
+        wo_ins = np.empty_like(D)
+        wo_ins[:, 0] = i
+        wo_ins[:, 1:] = np.minimum(D[:, 1:] + 1, D[:, :-1] + sub_cost)
+        D = np.minimum.accumulate(wo_ins - cols, axis=1) + cols
+        done = len1 == i
+        if done.any():
+            out[done] = D[done, len2[done]]
+    return out
+
+
+def fuzzy_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_chars: int = 16,
+    head_chars: int = 200,
+    max_dist: int = 50,
+    bucket_cap: int = 20,
+) -> ray.data.Dataset:
+    """Edit-distance near-dup pairs: docs sharing their first
+    ``key_chars`` characters form candidate buckets (over-large buckets
+    are non-discriminative boilerplate and dropped, like the LSH
+    ``bucket_cap``); within a bucket every a<b pair is verified with
+    EXACT Levenshtein over the first ``head_chars`` characters, batched
+    across all pairs by ``_batched_levenshtein``. ONE keyed hop (bucket
+    key) co-locates buckets; the pair space is cap-bounded per bucket.
+    rows = (a, b, dist), dist ≤ ``max_dist``."""
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+
+    key_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("key", pa.string()),
+            pa.field("head", pa.string()),
+        ]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return key_schema.empty_table()
+        txt = pc.fill_null(t[text_col], "")
+        return pa.table(
+            {
+                "doc_id": t[id_col].cast(pa.int64()),
+                "key": pc.utf8_slice_codeunits(txt, 0, key_chars),
+                "head": pc.utf8_slice_codeunits(txt, 0, head_chars),
+            },
+            schema=key_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("a", pa.int64()),
+            pa.field("b", pa.int64()),
+            pa.field("dist", pa.int64()),
+        ]
+    )
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        head = t["head"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, key))
+        key, doc, head = key[order], doc[order], head[order]
+        new = np.concatenate(([True], key[1:] != key[:-1]))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(key)))
+        ia, ib = [], []
+        for s, ln in zip(starts, lens):
+            if ln < 2 or ln > bucket_cap:
+                continue
+            ii, jj = np.triu_indices(ln, k=1)
+            ia.append(s + ii)
+            ib.append(s + jj)
+        if not ia:
+            return out_schema.empty_table()
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        # char-code matrices, zero-padded (NUL never appears in text)
+        codes = np.zeros((len(doc), head_chars), dtype=np.uint32)
+        for r, h in enumerate(head):
+            arr = np.frombuffer(str(h).encode("utf-32-le"), dtype=np.uint32)[
+                :head_chars
+            ]
+            codes[r, : len(arr)] = arr
+        dist = _batched_levenshtein(codes[ia], codes[ib], head_chars)
+        keep = dist <= max_dist
+        a, b = doc[ia[keep]], doc[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "a": pa.array(lo),
+                "b": pa.array(hi),
+                "dist": pa.array(dist[keep]),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .repartition(join_partitions(32), keys=["key"])
+        .map_batches(pair_block, batch_format="pyarrow", batch_size=None)
+    )

@@ -202,3 +202,131 @@ def pagerank(
         )
         ranks = nonempty_blocks(ranks)
     return ranks
+
+
+def degree_distribution(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Degree histogram of an undirected pair graph (rows ``(a, b, …)``,
+    a < b): per-node degree via ONE keyed hop over the exploded endpoint
+    relation, then a combiner-first histogram (each block collapses to
+    its distinct degrees before the second, tiny hop). Exchange volume:
+    2·|edges| rows for the degree count, O(blocks × distinct degrees)
+    for the histogram."""
+    import numpy as np
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(16)
+
+    node_schema = pa.schema([pa.field("node", pa.int64())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return node_schema.empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(np.concatenate([a, b]))}, schema=node_schema)
+
+    from ray.data.aggregate import Count, Sum
+
+    deg = (
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="degree"))
+    )
+
+    part_schema = pa.schema(
+        [pa.field("degree", pa.int64()), pa.field("n_nodes", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"degree": pa.array(uniq), "n_nodes": pa.array(cnt.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    return (
+        deg.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "degree": t["degree"].cast(pa.int64()),
+                    "n_nodes": t["n_nodes"].cast(pa.int64()),
+                },
+                schema=part_schema,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+class _TriangleCounter:
+    """Actor-pool stage: builds the (bounded) edge set + adjacency ONCE
+    per actor from a broadcast ref, then counts, per edge batch, the
+    common neighbors that close a triangle. Each triangle a<b<c is
+    counted exactly once — at its (a, b) edge, scanning only c > b."""
+
+    def __init__(self, edges_ref):
+        import numpy as np
+
+        a, b = ray.get(edges_ref)
+        self.np = np
+        # adjacency as a dict of sorted neighbor arrays (nodes are the
+        # verified-pair survivors — bounded by the LSH bucket caps)
+        adj: dict[int, list[int]] = {}
+        for x, y in zip(a.tolist(), b.tolist()):
+            adj.setdefault(x, []).append(y)
+            adj.setdefault(y, []).append(x)
+        self.adj = {k: np.array(sorted(v), dtype=np.int64) for k, v in adj.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        np = self.np
+        total = 0
+        if t.num_rows:
+            a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for x, y in zip(a.tolist(), b.tolist()):
+                na = self.adj.get(x)
+                nb = self.adj.get(y)
+                if na is None or nb is None:
+                    continue
+                common = np.intersect1d(na, nb, assume_unique=False)
+                total += int((common > max(x, y)).sum())
+        return pa.table({"n": pa.array([total], pa.int64())})
+
+
+def triangle_count(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact triangle count of the near-dup pair graph. The verified
+    pair relation is bounded (LSH bucket caps), so the edge list
+    broadcasts once via ``ray.put`` and each actor builds adjacency in
+    ``__init__``; the edge Dataset itself streams through the pool and
+    each batch contributes a partial count — one scalar per batch."""
+    import numpy as np
+
+    edges = pa.concat_tables(
+        [ray.get(r) for r in pairs.select_columns(["a", "b"]).to_arrow_refs()]
+    ).combine_chunks()
+    a = edges["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edges["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    edges_ref = ray.put((a, b))
+
+    if len(a) == 0:
+        return ray.data.from_arrow(
+            pa.table({"n_triangles": pa.array([0], pa.int64())})
+        )
+
+    counts = ray.data.from_arrow(edges).map_batches(
+        _TriangleCounter,
+        fn_constructor_args=(edges_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    total = counts.sum("n")
+    return ray.data.from_arrow(
+        pa.table({"n_triangles": pa.array([int(total or 0)], pa.int64())})
+    )

@@ -1217,3 +1217,85 @@ def collapse_repeats(sf_dir: str, n_parts: int = 32) -> ray.data.Dataset:
     return ds.repartition(join_partitions(n_parts), keys=["user_id"]).map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def linear_interp(sf_dir: str) -> ray.data.Dataset:
+    """Per-user LINEAR INTERPOLATION of gaps in the value series — the
+    sensor-style gap-fill companion of cdc_fill_forward's LOCF. Nulls
+    are planted deterministically (event_id % 5 == 0, mirrored in the
+    oracle) since the synthetic events table is dense. Interior nulls
+    get prev + (next − prev) · (ts − prev_ts)/(next_ts − prev_ts);
+    leading/trailing nulls (no bracketing observation) stay NULL. ONE
+    user-keyed hop; prev/next non-null resolution is a pair of
+    segment-reset ``maximum.accumulate`` passes vectorized across every
+    user in the block — no per-row Python."""
+    import numpy as np
+
+    from ..functions.num import sql_round
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("user_id", pa.int64()),
+            pa.field("v_filled", pa.float64()),
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df, seg = _sorted_block(t, ["event_id", "user_id", "ts", "value"])
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        v = df["value"].to_numpy().astype(np.float64)
+        v = np.where(eid % 5 == 0, np.nan, v)  # planted gaps (oracle mirror)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        n = len(v)
+        ok = ~np.isnan(v)
+        idx = np.arange(n)
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = seg[1:] != seg[:-1]
+        sidx = np.flatnonzero(starts)
+        lens = np.diff(np.append(sidx, n))
+        seg_start = np.repeat(sidx, lens)
+        seg_end = np.repeat(sidx + lens - 1, lens)
+        # last valid index at/before i (a null row's is strictly before);
+        # plain accumulate leaks across users — mask lookbacks that land
+        # before this row's segment start
+        prev = np.maximum.accumulate(np.where(ok, idx, -1))
+        prev = np.where(prev >= seg_start, prev, -1)
+        # first valid index at/after i, same trick reversed
+        nxt = np.minimum.accumulate(np.where(ok, idx, n + 1)[::-1])[::-1]
+        nxt = np.where(nxt <= seg_end, nxt, -1)
+        filled = v.copy()
+        need = ~ok
+        p, q = prev[need], nxt[need]
+        can = (p >= 0) & (q >= 0)
+        pi, qi = p[can], q[can]
+        dt = (ts[qi] - ts[pi]).astype(np.float64)
+        # bracketing observations at the SAME timestamp (tie): take prev,
+        # mirrored by the oracle's CASE WHEN nt = pt THEN pv
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = (ts[need][can] - ts[pi]).astype(np.float64) / dt
+        interp = v[pi] + (v[qi] - v[pi]) * ratio
+        interp = np.where(dt == 0.0, v[pi], interp)
+        vals = np.full(need.sum(), np.nan)
+        vals[can] = interp
+        filled[need] = vals
+        rounded = sql_round(pa.array(filled, from_pandas=True), 6)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(df["user_id"].to_numpy().astype(np.int64)),
+                "v_filled": rounded,
+            },
+            schema=out_schema,
+        )
+
+    return _by_user(ds).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
