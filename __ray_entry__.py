@@ -1242,6 +1242,54 @@ def q_text_langid(sf_dir: str):
     return ds.groupby("pred_lang").aggregate(Count(alias_name="n"))
 
 
+def q_doc_lang_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion-matrix counts of the stopword-
+    marker predictor against the labeled lang column — the quality gate
+    for using the heuristic as a corpus filter. Per-batch (lang, pred)
+    partial counts; ONE tiny keyed hop."""
+    import ray.data
+    from ray.data.aggregate import Sum
+    from grate_ray.functions.text import lang_id, normalize_text
+
+    part_schema = pa.schema(
+        [
+            pa.field("lang", pa.string()),
+            pa.field("pred_lang", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype("U8")
+        pred = (
+            lang_id(normalize_text(t["text"]))
+            .to_numpy(zero_copy_only=False)
+            .astype("U8")
+        )
+        key = np.char.add(np.char.add(lang, "\x1f"), pred)
+        uniq, inv = np.unique(key, return_inverse=True)
+        parts = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "lang": pa.array(parts[:, 0], pa.string()),
+                "pred_lang": pa.array(parts[:, 2], pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            },
+            schema=part_schema,
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_sample_documents(sf_dir: str):
     """Deterministic content-hash sampling (§2.6's missing 'sampling'):
     keep docs whose md5-low-64 of text lands in a 1-in-8 bucket —
@@ -2931,6 +2979,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_fuzzy": q_dedup_fuzzy,
     "graph_degree_dist": q_graph_degree_dist,
     "graph_triangles": q_graph_triangles,
+    "doc_lang_confusion": q_doc_lang_confusion,
+    "json_props_rollup": lambda sf: __import__(
+        "grate_ray.functions.jsonx", fromlist=["x"]
+    ).props_rollup(sf),
+    "cdc_turn_holes": lambda sf: (
+        lambda cdc: cdc.turn_holes(cdc.apply_binlog(_binlog(sf), num_partitions=16))
+    )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
 }
 
 
@@ -5808,6 +5863,34 @@ SELECT count(*) AS n_triangles
 FROM p e1
 JOIN p e2 ON e1.b = e2.a
 JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        "doc_lang_confusion": """
+WITH padded AS (
+  SELECT doc_id, lang,
+         ' ' || trim(regexp_replace(text, '[ \n\r\t]+', ' ', 'g'), ' ') || ' ' AS p
+  FROM documents
+), pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN position(' 的 ' IN p) > 0 THEN 'zh'
+              WHEN position(' el ' IN p) > 0 THEN 'es'
+              WHEN position(' der ' IN p) > 0 THEN 'de'
+              WHEN position(' le ' IN p) > 0 THEN 'fr'
+              WHEN position(' the ' IN p) > 0 THEN 'en'
+              ELSE 'und' END AS pred_lang
+  FROM padded
+)
+SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2""",
+        "json_props_rollup": """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1""",
+        "cdc_turn_holes": f"""
+SELECT conv_id, count(*) AS n_turns,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn,
+       CAST(max(turn_idx) + 1 - count(*) AS BIGINT) AS holes
+FROM ({lww}) s GROUP BY conv_id""",
     }
 
 

@@ -1,0 +1,133 @@
+"""Semi-structured (JSON string) column operators.
+
+The events table carries ``props`` as a JSON text column — the usual
+shape of tracking payloads landed from a CDC feed. Extraction follows
+the simdjson-style two-tier pattern: a VECTORIZED regex fast path for
+the flat ``{"key": <int>}`` case (``pc.extract_regex``, no per-row
+Python), with a per-row ``json.loads`` fallback ONLY for rows the fast
+path misses (nested objects, whitespace variants, quoted numbers) — so
+the hot path stays Arrow-native and the slow path is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def json_extract_int(
+    col: pa.ChunkedArray | pa.Array, key: str
+) -> pa.Array:
+    """Extract an integer field from a JSON-text column; null when the
+    field is absent or not an integer. Regex fast path + loads fallback."""
+    import json
+    import re
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # anchored to the FIRST top-level key with a clean integer + delimiter:
+    # floats ("3.5"), quoted numbers, and objects where the key appears
+    # later (or nested first) all fail the match and take the exact
+    # json.loads fallback — the fast path can never return a wrong value
+    pat = rf'^\s*\{{\s*"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)\s*[,}}]'
+    hit = pc.extract_regex(pc.fill_null(col, ""), pattern=pat)
+    v = pc.struct_field(hit, "v")
+    out = pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False)
+    missing = np.flatnonzero(~pc.is_valid(v).to_numpy(zero_copy_only=False))
+    if len(missing):
+        raw = col.to_numpy(zero_copy_only=False)
+        for i in missing.tolist():
+            s = raw[i]
+            if s is None:
+                continue
+            try:
+                got = json.loads(s).get(key)
+            except (ValueError, AttributeError):
+                continue
+            if isinstance(got, int) and not isinstance(got, bool):
+                out[i] = got
+    return pa.array(out, pa.int64(), from_pandas=True)
+
+
+def props_rollup(sf_dir: str, key: str = "k") -> ray.data.Dataset:
+    """Per-event-type rollup of a JSON payload field: count, mean and
+    max of ``props[key]``. Combiner-first (per-batch partial sums); the
+    JSON decode never leaves the batch."""
+    from ..context import configure_shuffle
+    from .num import sql_round
+
+    configure_shuffle(16)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("s", pa.float64()),
+            pa.field("mx", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        k = json_extract_int(t["props"], key).to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(k.astype(np.float64))
+        et, kv = et[ok], k[ok].astype(np.int64)
+        if len(et) == 0:
+            return part_schema.empty_table()
+        uniq, inv = np.unique(et, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, kv)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq, pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "s": pa.array(np.bincount(inv, weights=kv.astype(np.float64))),
+                "mx": pa.array(mx),
+            },
+            schema=part_schema,
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Max("mx", alias_name="mx"),
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("avg_k", pa.float64()),
+            pa.field("max_k", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"].cast(pa.int64()),
+                "avg_k": sql_round(pa.array(s / n), 6),
+                "max_k": t["mx"].cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

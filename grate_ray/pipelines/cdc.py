@@ -1027,3 +1027,76 @@ def partition_balance(
             Sum("n_events", alias_name="n_events"),
         )
     )
+
+
+def turn_holes(state: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Dataset:
+    """Turn-continuity audit over the LWW final state: per conversation,
+    live turns, the highest turn index, and the number of HOLES
+    (max_turn + 1 − n_turns) — deletes and never-arrived turns punch
+    holes that a downstream transcript assembler must handle. Pure
+    combiner: each block collapses to (conv, count, max) before the tiny
+    keyed hop; holes are derived after the exchange."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    part_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("n_turns", pa.int64()),
+            pa.field("max_turn", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(conv, return_inverse=True)
+        mx = np.full(len(keys), -1, dtype=np.int64)
+        np.maximum.at(mx, inv, turn)
+        return pa.table(
+            {
+                "conv_id": pa.array(keys, pa.string()),
+                "n_turns": pa.array(np.bincount(inv).astype(np.int64)),
+                "max_turn": pa.array(mx),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("n_turns", pa.int64()),
+            pa.field("max_turn", pa.int64()),
+            pa.field("holes", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"), max_turn=("max_turn", "max")
+        )
+        n = df["n_turns"].to_numpy(np.int64)
+        mx = df["max_turn"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(df["conv_id"], pa.string()),
+                "n_turns": pa.array(n),
+                "max_turn": pa.array(mx),
+                "holes": pa.array(mx + 1 - n),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        state.select_columns(["conv_id", "turn_idx"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(num_partitions), keys=["conv_id"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

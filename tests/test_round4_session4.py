@@ -262,3 +262,52 @@ def test_fuzzy_pairs_buckets_cap_and_distance(ray_session):
     assert out[["a", "b"]].values.tolist() == [[1, 2]]
     d = int(out["dist"].iloc[0])
     assert d == _naive_lev(docs[1][:200], docs[2][:200])
+
+
+# --- JSON extraction fast path + fallback ------------------------------------
+
+
+def test_json_extract_int_fastpath_and_fallback():
+    from grate_ray.functions.jsonx import json_extract_int
+
+    col = pa.array(
+        [
+            '{"k": 42}',          # fast path
+            '{"k":-7}',           # fast path, negative
+            '{ "k" : 5 }',        # fast path (whitespace)
+            '{"other": 1}',       # missing key → null
+            '{"k": "9"}',         # quoted number → fallback → not int → null
+            '{"k": 3.5}',         # float → null
+            '{"nested": {"k": 8}, "k": 11}',  # top-level k wins either way
+            None,                 # null in → null out
+            "not json",           # unparseable → null
+        ]
+    )
+    got = json_extract_int(col, "k").to_pylist()
+    assert got == [42, -7, 5, None, None, None, 11, None, None]
+
+
+# --- turn-holes audit --------------------------------------------------------
+
+
+def test_turn_holes_counts_deleted_turns(ray_session):
+    import ray.data
+
+    from grate_ray.pipelines.cdc import turn_holes
+
+    # live state: conv a has turns 0,2,5 (holes 3), conv b dense 0..2
+    state = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+            "turn_idx": pa.array([0, 2, 5, 0, 1, 2], pa.int32()),
+        }
+    )
+    df = (
+        turn_holes(ray.data.from_arrow(state))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert df["n_turns"].tolist() == [3, 3]
+    assert df["max_turn"].tolist() == [5, 2]
+    assert df["holes"].tolist() == [3, 0]
