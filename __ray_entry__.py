@@ -2986,6 +2986,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_turn_holes": lambda sf: (
         lambda cdc: cdc.turn_holes(cdc.apply_binlog(_binlog(sf), num_partitions=16))
     )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
+    "cdc_state_checksum": lambda sf: (
+        lambda cdc: cdc.state_checksum(
+            cdc.apply_binlog(_binlog(sf), num_partitions=16)
+        )
+    )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
 }
 
 
@@ -5891,6 +5896,18 @@ SELECT conv_id, count(*) AS n_turns,
        CAST(max(turn_idx) AS BIGINT) AS max_turn,
        CAST(max(turn_idx) + 1 - count(*) AS BIGINT) AS holes
 FROM ({lww}) s GROUP BY conv_id""",
+        "cdc_state_checksum": f"""
+WITH s AS ({lww}),
+h AS (SELECT CAST(md5_number_lower(conv_id) % 16 AS BIGINT) AS bucket,
+             md5_number_lower(
+               conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|'
+               || coalesce(role, '') || '|' || coalesce(text, '') || '|'
+               || coalesce(tool, '') || '|'
+               || CAST(epoch_us(ts) AS VARCHAR)) AS hv
+      FROM s)
+SELECT bucket, count(*) AS n_keys,
+       lower(lpad(to_hex(bit_xor(hv)), 16, '0')) AS checksum
+FROM h GROUP BY bucket""",
     }
 
 

@@ -1100,3 +1100,113 @@ def turn_holes(state: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Da
         .repartition(join_partitions(num_partitions), keys=["conv_id"])
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def state_checksum(
+    state: ray.data.Dataset, num_buckets: int = 16, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Replication-audit checksums of the LWW final state: every live
+    row hashes to md5-low64 of its canonical rendering, rows XOR-fold
+    into ``num_buckets`` conv-keyed buckets, and the result is
+    (bucket, n_keys, checksum-hex) — the constant-size relation two
+    replicas exchange to prove state equality without moving data
+    (order-independent by XOR; null payloads render as ''). Per-batch
+    partial (bucket, count, xor) rows; one tiny keyed hop folds them.
+    Hashing is md5 per row — the one per-row loop in the engine's audit
+    tier, bounded by the live-state size and embarrassingly parallel."""
+    import hashlib
+
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+    nb = np.uint64(num_buckets)
+
+    part_schema = pa.schema(
+        [
+            pa.field("bucket", pa.int64()),
+            pa.field("n_keys", pa.int64()),
+            pa.field("xr", pa.uint64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        text = t["text"].to_numpy(zero_copy_only=False)
+        tool = t["tool"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(conv)
+        hv = np.empty(n, dtype=np.uint64)
+        bk = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            row = "%s|%d|%s|%s|%s|%d" % (
+                conv[i],
+                turn[i],
+                role[i] if role[i] is not None else "",
+                text[i] if text[i] is not None else "",
+                tool[i] if tool[i] is not None else "",
+                ts[i],
+            )
+            hv[i] = int.from_bytes(
+                hashlib.md5(row.encode("utf-8")).digest()[8:16], "little"
+            )
+            bk[i] = int.from_bytes(
+                hashlib.md5(str(conv[i]).encode("utf-8")).digest()[8:16],
+                "little",
+            )
+        bk = bk % nb
+        order = np.argsort(bk, kind="stable")
+        bs, hs = bk[order], hv[order]
+        new = np.concatenate(([True], bs[1:] != bs[:-1]))
+        starts = np.flatnonzero(new)
+        xr = np.bitwise_xor.reduceat(hs, starts)
+        cnt = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "bucket": pa.array(bs[starts].astype(np.int64)),
+                "n_keys": pa.array(cnt.astype(np.int64)),
+                "xr": pa.array(xr),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("bucket", pa.int64()),
+            pa.field("n_keys", pa.int64()),
+            pa.field("checksum", pa.string()),
+        ]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["n_keys"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xr = t["xr"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(bk, kind="stable")
+        bs, cs, xs = bk[order], cnt[order], xr[order]
+        new = np.concatenate(([True], bs[1:] != bs[:-1]))
+        starts = np.flatnonzero(new)
+        folded = np.bitwise_xor.reduceat(xs, starts)
+        return pa.table(
+            {
+                "bucket": pa.array(bs[starts]),
+                "n_keys": pa.array(np.add.reduceat(cs, starts)),
+                "checksum": pa.array(
+                    [format(int(x), "016x") for x in folded], pa.string()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        state.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["bucket"])
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )

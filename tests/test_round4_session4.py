@@ -311,3 +311,54 @@ def test_turn_holes_counts_deleted_turns(ray_session):
     assert df["n_turns"].tolist() == [3, 3]
     assert df["max_turn"].tolist() == [5, 2]
     assert df["holes"].tolist() == [3, 0]
+
+
+# --- state checksum ----------------------------------------------------------
+
+
+def test_state_checksum_order_independent_and_sensitive(ray_session):
+    import ray.data
+
+    from grate_ray.pipelines.cdc import state_checksum
+
+    def mk(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "tool": pa.array([r[4] for r in rows], pa.string()),
+                "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+            }
+        )
+
+    rows = [
+        ("a", 0, "user", "hi", None, 1000),
+        ("a", 1, "assistant", "yo", "search", 2000),
+        ("b", 0, "user", "x", None, 1500),
+    ]
+    base = (
+        state_checksum(ray.data.from_arrow(mk(rows)))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # row order must not matter (XOR fold)
+    perm = (
+        state_checksum(ray.data.from_arrow(mk(rows[::-1])))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert base.equals(perm)
+    # a single-character payload drift must flip its bucket's checksum
+    drift = [rows[0], (rows[1][0], 1, "assistant", "yo!", "search", 2000), rows[2]]
+    changed = (
+        state_checksum(ray.data.from_arrow(mk(drift)))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert (base["n_keys"] == changed["n_keys"]).all()
+    assert not base["checksum"].equals(changed["checksum"])
