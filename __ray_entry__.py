@@ -1290,6 +1290,60 @@ def q_doc_lang_confusion(sf_dir: str):
     )
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment (md5(doc_id) % 100 →
+    80/10/10) audited per (split, lang) — the split-integrity report a
+    training pipeline checks before packing shards. Content-addressed
+    assignment means any worker, any round, any scale reproduces the
+    same split with zero coordination; per-batch partial counts, one
+    tiny keyed hop."""
+    import ray.data
+    from ray.data.aggregate import Sum
+    from grate_ray.functions.dedup import _md5_lower64
+
+    part_schema = pa.schema(
+        [
+            pa.field("split", pa.string()),
+            pa.field("lang", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+    names = np.array(["train", "val", "test"], dtype=object)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        h = _md5_lower64(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ) % np.uint64(100)
+        split = np.where(h < 80, 0, np.where(h < 90, 1, 2))
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype("U8")
+        key = np.char.add(
+            np.char.add(split.astype("U1"), "\x1f"), lang
+        )
+        uniq, inv = np.unique(key, return_inverse=True)
+        parts = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "split": pa.array(
+                    names[parts[:, 0].astype(np.int64)], pa.string()
+                ),
+                "lang": pa.array(parts[:, 2], pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            },
+            schema=part_schema,
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_sample_documents(sf_dir: str):
     """Deterministic content-hash sampling (§2.6's missing 'sampling'):
     keep docs whose md5-low-64 of text lands in a 1-in-8 bucket —
@@ -2983,6 +3037,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "json_props_rollup": lambda sf: __import__(
         "grate_ray.functions.jsonx", fromlist=["x"]
     ).props_rollup(sf),
+    "dataset_split": q_dataset_split,
     "cdc_turn_holes": lambda sf: (
         lambda cdc: cdc.turn_holes(cdc.apply_binlog(_binlog(sf), num_partitions=16))
     )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
@@ -5891,6 +5946,16 @@ SELECT event_type, count(*) AS n,
 FROM events
 WHERE json_extract(props, '$.k') IS NOT NULL
 GROUP BY 1""",
+        "dataset_split": """
+WITH a AS (
+  SELECT lang,
+         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80
+              THEN 'train'
+              WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, count(*) AS n FROM a GROUP BY 1, 2""",
         "cdc_turn_holes": f"""
 SELECT conv_id, count(*) AS n_turns,
        CAST(max(turn_idx) AS BIGINT) AS max_turn,
