@@ -3038,6 +3038,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
         "grate_ray.functions.jsonx", fromlist=["x"]
     ).props_rollup(sf),
     "dataset_split": q_dataset_split,
+    "above_mean_runs": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).above_mean_runs(sf),
+    "props_value_corr": lambda sf: __import__(
+        "grate_ray.functions.jsonx", fromlist=["x"]
+    ).props_value_corr(sf),
     "cdc_turn_holes": lambda sf: (
         lambda cdc: cdc.turn_holes(cdc.apply_binlog(_binlog(sf), num_partitions=16))
     )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
@@ -5956,6 +5962,39 @@ WITH a AS (
               ELSE 'test' END AS split
   FROM documents)
 SELECT split, lang, count(*) AS n FROM a GROUP BY 1, 2""",
+        "above_mean_runs": """
+WITH m AS (SELECT round(avg(value), 6) AS mu
+           FROM events WHERE value IS NOT NULL),
+f AS (SELECT user_id, ts, event_id,
+             (value > (SELECT mu FROM m)) AS hot
+      FROM events WHERE value IS NOT NULL),
+r AS (SELECT user_id, hot,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, hot
+                                  ORDER BY ts, event_id) AS grp
+      FROM f),
+runs AS (SELECT user_id, count(*) AS len
+         FROM r WHERE hot GROUP BY user_id, grp)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_hot_run,
+       count(*) AS n_hot_runs
+FROM runs GROUP BY user_id""",
+        "props_value_corr": """
+WITH f AS (
+  SELECT event_type,
+         CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE) AS k,
+         value
+  FROM events
+  WHERE value IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+s AS (SELECT event_type, count(*) AS n,
+             sum(k) AS sx, sum(value) AS sy,
+             sum(k * k) AS sxx, sum(value * value) AS syy,
+             sum(k * value) AS sxy
+      FROM f GROUP BY 1)
+SELECT event_type, n,
+       round((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_kv
+FROM s""",
         "cdc_turn_holes": f"""
 SELECT conv_id, count(*) AS n_turns,
        CAST(max(turn_idx) AS BIGINT) AS max_turn,

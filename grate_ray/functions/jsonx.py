@@ -131,3 +131,105 @@ def props_rollup(sf_dir: str, key: str = "k") -> ray.data.Dataset:
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def props_value_corr(sf_dir: str, key: str = "k") -> ray.data.Dataset:
+    """Correlation between the extracted JSON payload field and the
+    value column, per event type — the JSON-extraction × statistics
+    composition. One pass of raw cross-moment sums per batch (sample ≡
+    population correlation, the n's cancel), one tiny keyed hop; the
+    oracle mirrors the identical sum formula."""
+    from ..context import configure_shuffle
+    from .num import sql_round
+
+    configure_shuffle(16)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props", "value"]
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("sx", pa.float64()),
+            pa.field("sy", pa.float64()),
+            pa.field("sxx", pa.float64()),
+            pa.field("syy", pa.float64()),
+            pa.field("sxy", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        k = (
+            json_extract_int(t["props"], key)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ok = ~(np.isnan(k) | np.isnan(v))
+        et, k, v = et[ok], k[ok], v[ok]
+        if len(et) == 0:
+            return part_schema.empty_table()
+        uniq, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq, pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sx": pa.array(np.bincount(inv, weights=k)),
+                "sy": pa.array(np.bincount(inv, weights=v)),
+                "sxx": pa.array(np.bincount(inv, weights=k * k)),
+                "syy": pa.array(np.bincount(inv, weights=v * v)),
+                "sxy": pa.array(np.bincount(inv, weights=k * v)),
+            },
+            schema=part_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("corr_kv", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = (sxy - sx * sy / n) / np.sqrt(
+                (sxx - sx * sx / n) * (syy - sy * sy / n)
+            )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"].cast(pa.int64()),
+                "corr_kv": sql_round(pa.array(corr), 6),
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

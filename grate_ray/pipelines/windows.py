@@ -1299,3 +1299,76 @@ def linear_interp(sf_dir: str) -> ray.data.Dataset:
     return _by_user(ds).map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def above_mean_runs(sf_dir: str) -> ray.data.Dataset:
+    """Gaps-and-islands at fact scale: per user, the LONGEST consecutive
+    run (in (ts, event_id) order) of events whose value exceeds the
+    global mean, plus the run count. Two passes: a scalar mean
+    aggregate (rounded to 6dp in BOTH engines so an exact-boundary
+    value can't flip between them), then ONE user-keyed hop with the
+    run-length structure computed by shifted comparisons vectorized
+    across all users in the block. Users with no hot runs are omitted
+    (mirroring the SQL islands' GROUP BY)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    # pass 1: global mean (two scalars leave the cluster)
+    def mean_partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        return pa.table(
+            {
+                "s": pa.array([float(v.sum())], pa.float64()),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(mean_partial, batch_format="pyarrow").sum(["s", "n"])
+    mu = round(float(agg["sum(s)"]) / float(agg["sum(n)"]), 6)
+
+    out_schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("longest_hot_run", pa.int64()),
+            pa.field("n_hot_runs", pa.int64()),
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df, seg = _sorted_block(t, ["event_id", "user_id", "ts", "value"])
+        v = df["value"].to_numpy().astype(np.float64)
+        keep = ~np.isnan(v)
+        user = df["user_id"].to_numpy().astype(np.int64)[keep]
+        hot = v[keep] > mu
+        if len(user) == 0 or not hot.any():
+            return out_schema.empty_table()
+        # run id: increments at user boundary or hot-flag change
+        change = np.ones(len(user), dtype=bool)
+        change[1:] = (user[1:] != user[:-1]) | (hot[1:] != hot[:-1])
+        run_id = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        run_len = np.diff(np.append(starts, len(user)))
+        run_user = user[starts]
+        run_hot = hot[starts]
+        hu, hl = run_user[run_hot], run_len[run_hot]
+        uniq, inv = np.unique(hu, return_inverse=True)
+        longest = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(longest, inv, hl)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq),
+                "longest_hot_run": pa.array(longest),
+                "n_hot_runs": pa.array(np.bincount(inv).astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return _by_user(ds).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )

@@ -362,3 +362,27 @@ def test_state_checksum_order_independent_and_sensitive(ray_session):
     )
     assert (base["n_keys"] == changed["n_keys"]).all()
     assert not base["checksum"].equals(changed["checksum"])
+
+
+# --- gaps-and-islands runs ---------------------------------------------------
+
+
+def test_run_length_islands_math():
+    # per-user longest run of "hot" flags with resets at user boundaries
+    user = np.array([1, 1, 1, 1, 2, 2, 2])
+    hot = np.array([True, True, False, True, True, True, True])
+    change = np.ones(len(user), dtype=bool)
+    change[1:] = (user[1:] != user[:-1]) | (hot[1:] != hot[:-1])
+    starts = np.flatnonzero(change)
+    run_len = np.diff(np.append(starts, len(user)))
+    run_user = user[starts]
+    run_hot = hot[starts]
+    hu, hl = run_user[run_hot], run_len[run_hot]
+    uniq, inv = np.unique(hu, return_inverse=True)
+    longest = np.zeros(len(uniq), dtype=np.int64)
+    np.maximum.at(longest, inv, hl)
+    n_runs = np.bincount(inv)
+    # user 1: runs [2,1] → longest 2, count 2; user 2: one run of 3
+    assert uniq.tolist() == [1, 2]
+    assert longest.tolist() == [2, 3]
+    assert n_runs.tolist() == [2, 1]
