@@ -3044,6 +3044,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "props_value_corr": lambda sf: __import__(
         "grate_ray.functions.jsonx", fromlist=["x"]
     ).props_value_corr(sf),
+    "value_autocorr": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).value_autocorr(sf),
+    "shipping_delay_stats": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).shipping_delay_stats(sf),
     "cdc_turn_holes": lambda sf: (
         lambda cdc: cdc.turn_holes(cdc.apply_binlog(_binlog(sf), num_partitions=16))
     )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
@@ -5994,6 +6000,33 @@ s AS (SELECT event_type, count(*) AS n,
 SELECT event_type, n,
        round((sxy - sx * sy / n)
              / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_kv
+FROM s""",
+        "value_autocorr": """
+WITH o AS (SELECT user_id, value,
+                  lead(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+           FROM events),
+p AS (SELECT user_id, value AS x, nxt AS y
+      FROM o WHERE value IS NOT NULL AND nxt IS NOT NULL),
+s AS (SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p GROUP BY 1 HAVING count(*) >= 2)
+SELECT user_id, n AS n_pairs,
+       round((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS autocorr
+FROM s
+WHERE (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0""",
+        "shipping_delay_stats": """
+WITH j AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+s AS (SELECT o_orderpriority, count(*) AS n, sum(d) AS s, sum(d * d) AS ss
+      FROM j GROUP BY 1)
+SELECT o_orderpriority, n,
+       round(s / n, 6) AS mean_days,
+       round(sqrt(greatest(ss / n - (s / n) * (s / n), 0)), 6) AS sd_days
 FROM s""",
         "cdc_turn_holes": f"""
 SELECT conv_id, count(*) AS n_turns,

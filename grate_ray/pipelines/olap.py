@@ -594,3 +594,101 @@ def large_volume_customers(sf_dir: str, threshold: float = 300.0) -> ray.data.Da
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
     return orders.map_batches(probe, batch_format="pyarrow")
+
+
+def shipping_delay_stats(sf_dir: str) -> ray.data.Dataset:
+    """Order-to-ship latency profile per order priority: mean and
+    population stddev of (l_shipdate − o_orderdate) in days. The
+    orders⋈lineitem edge is a DISTRIBUTED hash join (both are facts);
+    each joined batch collapses to per-priority moment partials before
+    the tiny final groupby."""
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(32),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("o_orderpriority", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("s", pa.float64()),
+            pa.field("ss", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        days = (
+            (ship.astype("datetime64[D]") - od.astype("datetime64[D]"))
+            .astype(np.int64)
+            .astype(np.float64)
+        )
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(prio, return_inverse=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(uniq, pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "s": pa.array(np.bincount(inv, weights=days)),
+                "ss": pa.array(np.bincount(inv, weights=days * days)),
+            },
+            schema=part_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("o_orderpriority", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("mean_days", pa.float64()),
+            pa.field("sd_days", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        ss = t["ss"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = ss / n - mean * mean
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n": t["n"].cast(pa.int64()),
+                "mean_days": sql_round(pa.array(mean), 6),
+                "sd_days": sql_round(pa.array(np.sqrt(np.maximum(var, 0.0))), 6),
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -1372,3 +1372,69 @@ def above_mean_runs(sf_dir: str) -> ray.data.Dataset:
     return _by_user(ds).map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def value_autocorr(sf_dir: str, min_pairs: int = 2) -> ray.data.Dataset:
+    """Per-user LAG-1 AUTOCORRELATION of the value series under
+    (ts, event_id) order — the sequence-stationarity probe. ONE
+    user-keyed hop; consecutive (vₜ, vₜ₊₁) pairs come from a segment-
+    masked shift (pairs never cross users or a NULL), and each user's
+    correlation is the standard cross-moment ratio over its pairs.
+    Users with < ``min_pairs`` valid pairs (or zero variance on either
+    side) are omitted, mirroring the oracle's HAVING + NaN filter."""
+    import numpy as np
+
+    from ..functions.num import sql_round
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("n_pairs", pa.int64()),
+            pa.field("autocorr", pa.float64()),
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df, seg = _sorted_block(t, ["event_id", "user_id", "ts", "value"])
+        v = df["value"].to_numpy().astype(np.float64)
+        user = df["user_id"].to_numpy().astype(np.int64)
+        n = len(v)
+        if n < 2:
+            return out_schema.empty_table()
+        same = seg[1:] == seg[:-1]
+        x, y = v[:-1], v[1:]
+        okp = same & ~np.isnan(x) & ~np.isnan(y)
+        if not okp.any():
+            return out_schema.empty_table()
+        pu = user[:-1][okp]
+        xs, ys = x[okp], y[okp]
+        uniq, inv = np.unique(pu, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.float64)
+        sx = np.bincount(inv, weights=xs)
+        sy = np.bincount(inv, weights=ys)
+        sxx = np.bincount(inv, weights=xs * xs)
+        syy = np.bincount(inv, weights=ys * ys)
+        sxy = np.bincount(inv, weights=xs * ys)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = (sxy - sx * sy / cnt) / np.sqrt(
+                (sxx - sx * sx / cnt) * (syy - sy * sy / cnt)
+            )
+        keep = (cnt >= min_pairs) & np.isfinite(corr)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[keep]),
+                "n_pairs": pa.array(cnt[keep].astype(np.int64)),
+                "autocorr": sql_round(pa.array(corr[keep]), 6),
+            },
+            schema=out_schema,
+        )
+
+    return _by_user(ds).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
