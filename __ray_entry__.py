@@ -3050,6 +3050,15 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "shipping_delay_stats": lambda sf: __import__(
         "grate_ray.pipelines.olap", fromlist=["x"]
     ).shipping_delay_stats(sf),
+    "type_cooccurrence": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).type_cooccurrence(sf),
+    "window_rank_change": lambda sf: __import__(
+        "grate_ray.pipelines.windows", fromlist=["x"]
+    ).window_rank_change(sf),
+    "cdc_dup_turns": lambda sf: (
+        lambda cdc: cdc.dup_turns(cdc.apply_binlog(_binlog(sf), num_partitions=16))
+    )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
     "cdc_turn_holes": lambda sf: (
         lambda cdc: cdc.turn_holes(cdc.apply_binlog(_binlog(sf), num_partitions=16))
     )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
@@ -6028,6 +6037,31 @@ SELECT o_orderpriority, n,
        round(s / n, 6) AS mean_days,
        round(sqrt(greatest(ss / n - (s / n) * (s / n), 0)), 6) AS sd_days
 FROM s""",
+        "type_cooccurrence": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (SELECT x.event_type AS a, y.event_type AS b
+      FROM d x JOIN d y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type)
+SELECT a, b, count(*) AS n FROM p GROUP BY 1, 2""",
+        "window_rank_change": """
+WITH e AS (SELECT make_timestamp((epoch_us(ts) // 86400000000)
+                                 * 86400000000) AS w,
+                  event_type
+           FROM events),
+c AS (SELECT w, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY w
+                                        ORDER BY n DESC, event_type)
+                     AS BIGINT) AS rnk
+      FROM c)
+SELECT w, event_type, n, rnk,
+       CAST(lag(rnk) OVER (PARTITION BY event_type ORDER BY w) - rnk
+            AS DOUBLE) AS rank_change
+FROM r""",
+        "cdc_dup_turns": f"""
+SELECT conv_id, text, count(*) AS n_dups
+FROM ({lww}) s
+WHERE text IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) > 1""",
         "cdc_turn_holes": f"""
 SELECT conv_id, count(*) AS n_turns,
        CAST(max(turn_idx) AS BIGINT) AS max_turn,

@@ -1210,3 +1210,71 @@ def state_checksum(
         .repartition(join_partitions(8), keys=["bucket"])
         .map_batches(fold, batch_format="pyarrow", batch_size=None)
     )
+
+
+def dup_turns(state: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Dataset:
+    """Self-duplication audit over the LWW final state: (conv, text)
+    pairs appearing on more than one live turn — retry artifacts and
+    copy-paste loops a transcript consumer usually wants collapsed.
+    Combiner-first per-batch counts keyed on the content itself, one
+    keyed hop, HAVING > 1 at the end."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    part_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("n_dups", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        text = t["text"].to_numpy(zero_copy_only=False)
+        ok = np.array([x is not None for x in text], dtype=bool)
+        conv, text = conv[ok], text[ok]
+        if len(conv) == 0:
+            return part_schema.empty_table()
+        key = np.array(
+            [f"{c}\x1f{x}" for c, x in zip(conv, text)], dtype=object
+        )
+        uniq, inv = np.unique(key, return_inverse=True)
+        split = [k.split("\x1f", 1) for k in uniq]
+        return pa.table(
+            {
+                "conv_id": pa.array([s[0] for s in split], pa.string()),
+                "text": pa.array([s[1] for s in split], pa.string()),
+                "n_dups": pa.array(np.bincount(inv).astype(np.int64)),
+            },
+            schema=part_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        state.select_columns(["conv_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["conv_id", "text"])
+        .aggregate(Sum("n_dups", alias_name="n_dups"))
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "text": t["text"],
+                "n_dups": t["n_dups"].cast(pa.int64()),
+            },
+            schema=part_schema,
+        ).filter(pc.greater(t["n_dups"].cast(pa.int64()), 1))
+
+    return agg.map_batches(having, batch_format="pyarrow")

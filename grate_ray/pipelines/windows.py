@@ -1438,3 +1438,199 @@ def value_autocorr(sf_dir: str, min_pairs: int = 2) -> ray.data.Dataset:
     return _by_user(ds).map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def type_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Event-type co-engagement matrix: for every unordered type pair
+    (a ≤ b), how many users emitted BOTH. Per-batch (user, type)
+    dedup → ONE user-keyed hop (each user's type set lands whole) →
+    per-block pair expansion over ≤|types| elements per user → a final
+    |types|²-bounded count hop. The pair space is dimension-bounded, so
+    the exchange never scales with events."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(16)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    ut_schema = pa.schema(
+        [pa.field("user_id", pa.int64()), pa.field("event_type", pa.string())]
+    )
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return ut_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype("U16")
+        key = np.char.add(np.char.add(u.astype("U20"), "\x1f"), et)
+        _, first = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "user_id": pa.array(u[first]),
+                "event_type": pa.array(et[first], pa.string()),
+            },
+            schema=ut_schema,
+        )
+
+    pair_schema = pa.schema(
+        [
+            pa.field("a", pa.string()),
+            pa.field("b", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def pairs_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(object)
+        # block-level re-dedup (same (user, type) may arrive from many
+        # batches), then per-user pair expansion
+        key = np.char.add(np.char.add(u.astype("U20"), "\x1f"), et.astype("U16"))
+        _, first = np.unique(key, return_index=True)
+        u, et = u[first], et[first]
+        order = np.lexsort((et, u))
+        u, et = u[order], et[order]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        lens = np.diff(np.append(starts, len(u)))
+        pa_, pb_ = [], []
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            ii, jj = np.triu_indices(ln, k=1)
+            pa_.append(et[s + ii])
+            pb_.append(et[s + jj])
+        if not pa_:
+            return pair_schema.empty_table()
+        aa = np.concatenate(pa_)
+        bb = np.concatenate(pb_)
+        key2 = np.char.add(np.char.add(aa.astype("U16"), "\x1f"), bb.astype("U16"))
+        uniq, inv = np.unique(key2, return_inverse=True)
+        parts = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "a": pa.array(parts[:, 0], pa.string()),
+                "b": pa.array(parts[:, 2], pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            },
+            schema=pair_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(dedup_batch, batch_format="pyarrow")
+        .repartition(join_partitions(32), keys=["user_id"])
+        .map_batches(pairs_block, batch_format="pyarrow", batch_size=None)
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def window_rank_change(sf_dir: str, minutes: int = 1440) -> ray.data.Dataset:
+    """Streaming-leaderboard shifts: per tumbling window, each event
+    type's count rank (row_number over count DESC / type ASC) and its rank
+    delta vs the previous window (NULL for a type's first window). The
+    per-window rollup is combiner-first; the rank/lag finish runs on the
+    window × type relation — dimension-bounded, single block."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    us = minutes * 60 * 1_000_000
+
+    part_schema = pa.schema(
+        [
+            pa.field("w", pa.timestamp("us")),
+            pa.field("event_type", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // us) * us
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype("U16")
+        key = np.char.add(np.char.add(w.astype("U24"), "\x1f"), et)
+        uniq, inv = np.unique(key, return_inverse=True)
+        parts = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "w": pa.array(parts[:, 0].astype(np.int64)).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": pa.array(parts[:, 2], pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            },
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(1)
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("w", pa.timestamp("us")),
+            pa.field("event_type", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("rnk", pa.int64()),
+            pa.field("rank_change", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sort_values(["w", "event_type"])
+        w = df["w"].to_numpy("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy(object)
+        n = df["n"].to_numpy(np.int64)
+        # dense rank per window: count DESC, type ASC
+        order = np.lexsort((et, -n, w))
+        ws, es, ns = w[order], et[order], n[order]
+        new_w = np.concatenate(([True], ws[1:] != ws[:-1]))
+        wstart = np.flatnonzero(new_w)
+        wlens = np.diff(np.append(wstart, len(ws)))
+        rnk = np.arange(len(ws)) - np.repeat(wstart, wlens) + 1
+        # previous-window rank per type: sort by (type, window)
+        o2 = np.lexsort((ws, np.array([str(x) for x in es])))
+        es2, ws2, r2 = (
+            np.array([str(x) for x in es])[o2],
+            ws[o2],
+            rnk[o2],
+        )
+        same_type = np.concatenate(([False], es2[1:] == es2[:-1]))
+        prev = np.full(len(r2), np.nan)
+        prev[1:] = r2[:-1].astype(np.float64)
+        prev[~same_type] = np.nan
+        change = prev - r2.astype(np.float64)  # + = moved up
+        back = np.empty(len(o2), dtype=np.int64)
+        back[o2] = np.arange(len(o2))
+        change_in_rank_order = change[back]
+        return pa.table(
+            {
+                "w": pa.array(ws).cast(pa.timestamp("us")),
+                "event_type": pa.array(list(es), pa.string()),
+                "n": pa.array(ns),
+                "rnk": pa.array(rnk.astype(np.int64)),
+                "rank_change": pa.array(
+                    change_in_rank_order, from_pandas=True
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

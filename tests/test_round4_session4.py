@@ -386,3 +386,62 @@ def test_run_length_islands_math():
     assert uniq.tolist() == [1, 2]
     assert longest.tolist() == [2, 3]
     assert n_runs.tolist() == [2, 1]
+
+
+# --- leaderboard rank change -------------------------------------------------
+
+
+def test_window_rank_change_lag_semantics(ray_session):
+    # verify through the real pipeline on a tiny crafted events frame is
+    # overkill (it reads parquet); check the rank/lag math directly
+    w = np.array([0, 0, 1, 1, 2], dtype=np.int64)
+    et = np.array(["a", "b", "a", "b", "b"], dtype=object)
+    n = np.array([5, 9, 9, 5, 5], dtype=np.int64)
+    order = np.lexsort((et, -n, w))
+    ws, es, ns = w[order], et[order], n[order]
+    new_w = np.concatenate(([True], ws[1:] != ws[:-1]))
+    wstart = np.flatnonzero(new_w)
+    wlens = np.diff(np.append(wstart, len(ws)))
+    rnk = np.arange(len(ws)) - np.repeat(wstart, wlens) + 1
+    o2 = np.lexsort((ws, np.array([str(x) for x in es])))
+    es2, r2 = np.array([str(x) for x in es])[o2], rnk[o2]
+    same = np.concatenate(([False], es2[1:] == es2[:-1]))
+    prev = np.full(len(r2), np.nan)
+    prev[1:] = r2[:-1].astype(np.float64)
+    prev[~same] = np.nan
+    change = prev - r2.astype(np.float64)
+    back = np.empty(len(o2), dtype=np.int64)
+    back[o2] = np.arange(len(o2))
+    ch = change[back]
+    # window 0: b(9)=rank1, a(5)=rank2 — both first windows → NaN
+    # window 1: a(9)=rank1 (+1 up), b(5)=rank2 (-1 down)
+    # window 2: b(5)=rank1 (+1 up)
+    by_key = {(int(wv), str(ev)): (int(rv), cv) for wv, ev, rv, cv in zip(ws, es, rnk, ch)}
+    assert by_key[(0, "b")][0] == 1 and np.isnan(by_key[(0, "b")][1])
+    assert by_key[(1, "a")] == (1, 1.0)
+    assert by_key[(1, "b")] == (2, -1.0)
+    assert by_key[(2, "b")] == (1, 1.0)
+
+
+def test_type_cooccurrence_counts_users_once(ray_session):
+    import ray.data
+
+    from grate_ray.pipelines.windows import type_cooccurrence  # noqa: F401
+
+    # kernel-level check of the pair expansion: duplicate (user, type)
+    # rows must not inflate counts — covered end-to-end by the oracle;
+    # here assert the dedup → pair math on a crafted block
+    u = np.array([1, 1, 1, 2, 2], dtype=np.int64)
+    et = np.array(["x", "x", "y", "x", "y"], dtype=object)
+    key = np.char.add(np.char.add(u.astype("U20"), "\x1f"), et.astype("U16"))
+    _, first = np.unique(key, return_index=True)
+    u2, e2 = u[first], et[first]
+    order = np.lexsort((e2, u2))
+    u2, e2 = u2[order], e2[order]
+    starts = np.flatnonzero(np.concatenate(([True], u2[1:] != u2[:-1])))
+    lens = np.diff(np.append(starts, len(u2)))
+    pairs = []
+    for s, ln in zip(starts, lens):
+        ii, jj = np.triu_indices(ln, k=1)
+        pairs += [(e2[s + i], e2[s + j]) for i, j in zip(ii, jj)]
+    assert pairs == [("x", "y"), ("x", "y")]
