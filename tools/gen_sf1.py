@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
-VERSION = "gen_sf1-v1"
+VERSION = "gen_sf1-v2"
 
 
 def gen_documents(out_dir: str) -> None:
@@ -130,6 +130,61 @@ def gen_events(out_dir: str) -> None:
     pq.write_table(pa.concat_tables(parts), f"{out_dir}/events.parquet")
 
 
+def gen_order_facts(out_dir: str) -> None:
+    """Tile orders AND lineitem 10x with ALIGNED o_orderkey/l_orderkey
+    offsets (the join key must stay consistent across copies) and
+    per-copy o_custkey rotation so customer fan-out grows honestly.
+    Dates/prices/quantities repeat verbatim — per-copy aggregates are
+    identical by construction, which also makes 10x results
+    spot-checkable. part/supp keys are left as-is (the dimensions are
+    not tiled)."""
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    max_ok = pa.compute.max(orders["o_orderkey"]).as_py() + 1
+    max_ck = pa.compute.max(orders["o_custkey"]).as_py() + 1
+    o_parts, l_parts = [], []
+    for c in range(COPIES):
+        ck = orders["o_custkey"]
+        if c:
+            # rotate custkeys so each copy redistributes orders over the
+            # SAME customer set (cardinality fixed, fan-out x10)
+            rot = (
+                orders["o_custkey"].to_numpy(zero_copy_only=False) + 137 * c
+            ) % max_ck
+            ck = pa.array(rot.astype(np.int64))
+        o_parts.append(
+            pa.table(
+                {
+                    "o_orderkey": pa.compute.add(orders["o_orderkey"], c * max_ok),
+                    "o_custkey": ck,
+                    "o_orderstatus": orders["o_orderstatus"],
+                    "o_totalprice": orders["o_totalprice"],
+                    "o_orderdate": orders["o_orderdate"],
+                    "o_orderpriority": orders["o_orderpriority"],
+                }
+            )
+        )
+        l_parts.append(
+            pa.table(
+                {
+                    "l_orderkey": pa.compute.add(li["l_orderkey"], c * max_ok),
+                    "l_partkey": li["l_partkey"],
+                    "l_suppkey": li["l_suppkey"],
+                    "l_linenumber": li["l_linenumber"],
+                    "l_quantity": li["l_quantity"],
+                    "l_extendedprice": li["l_extendedprice"],
+                    "l_discount": li["l_discount"],
+                    "l_tax": li["l_tax"],
+                    "l_returnflag": li["l_returnflag"],
+                    "l_linestatus": li["l_linestatus"],
+                    "l_shipdate": li["l_shipdate"],
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(o_parts), f"{out_dir}/orders.parquet")
+    pq.write_table(pa.concat_tables(l_parts), f"{out_dir}/lineitem.parquet")
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     sentinel = os.path.join(out_dir, "_GEN")
@@ -144,14 +199,13 @@ def main() -> None:
     # complete dir lets any query run at sf1 if needed
     import shutil
 
+    gen_order_facts(out_dir)
     for name in (
         "region",
         "nation",
         "customer",
         "supplier",
         "part",
-        "orders",
-        "lineitem",
     ):
         shutil.copyfile(
             f"{SRC}/{name}.parquet", f"{out_dir}/{name}.parquet"
