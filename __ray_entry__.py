@@ -1692,6 +1692,19 @@ def q_dedup_cluster_sizes(sf_dir: str):
     )
 
 
+def q_dedup_containment(sf_dir: str):
+    """Asymmetric near-dup pairs by gram CONTAINMENT
+    |A∩B|/min(|A|,|B|) ≥ 0.9 — catches truncated / quoted-in-full
+    copies whose symmetric Jaccard falls below any sane threshold
+    (the planted 4/5-truncations score ~1.0 here). Same inverted-index
+    pipeline as dedup_ngram_jaccard; only the verify formula differs."""
+    from grate_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _with_truncated_copies(_docs(sf_dir)), threshold=0.9, metric="containment"
+    )
+
+
 def q_dedup_fuzzy(sf_dir: str):
     """Edit-distance near-dup pairs over the planted-near-dup corpus:
     shared-prefix candidate buckets (cap 20) verified by EXACT batched
@@ -3059,6 +3072,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_dup_turns": lambda sf: (
         lambda cdc: cdc.dup_turns(cdc.apply_binlog(_binlog(sf), num_partitions=16))
     )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
+    "dedup_containment": q_dedup_containment,
     "cdc_turn_holes": lambda sf: (
         lambda cdc: cdc.turn_holes(cdc.apply_binlog(_binlog(sf), num_partitions=16))
     )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
@@ -6062,6 +6076,16 @@ SELECT conv_id, text, count(*) AS n_dups
 FROM ({lww}) s
 WHERE text IS NOT NULL
 GROUP BY 1, 2 HAVING count(*) > 1""",
+        "dedup_containment": _NGRAM_JACCARD_SQL.replace(
+            """SELECT i.a, i.b,
+       CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= 0.6""",
+            """SELECT i.a, i.b,
+       CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+WHERE CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.9""",
+        ),
         "cdc_turn_holes": f"""
 SELECT conv_id, count(*) AS n_turns,
        CAST(max(turn_idx) AS BIGINT) AS max_turn,

@@ -267,6 +267,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int = 25,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """Near-dup pairs by EXACT word-3-gram Jaccard
     |A∩B| / (|A|+|B|-|A∩B|), candidates via a key-colocated inverted
@@ -348,7 +349,7 @@ def ngram_jaccard_pairs(
         unified.map_batches(only(1, ["doc_id", "n_part"]), batch_format="pyarrow"),
         ["doc_id"], npart, val_col="n_part", out_col="n",
     )
-    return _jaccard_from_counts(inter, sizes, threshold, npart)
+    return _jaccard_from_counts(inter, sizes, threshold, npart, metric=metric)
 
 
 def _jaccard_from_counts(
@@ -356,8 +357,12 @@ def _jaccard_from_counts(
     sizes: ray.data.Dataset,
     threshold: float,
     npart: int,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
-    """(a, b, n_shared) ⋈ sizes(a) ⋈ sizes(b) → exact Jaccard ≥ threshold.
+    """(a, b, n_shared) ⋈ sizes(a) ⋈ sizes(b) → exact similarity ≥
+    threshold. ``metric``: "jaccard" (|A∩B|/|A∪B|) or "containment"
+    (|A∩B|/min(|A|,|B|) — the asymmetric-overlap detector: a truncated
+    or quoted-in-full copy scores ~1.0 where its Jaccard collapses).
     Sizes are attached by distributed hash JOIN — at 100 TB the per-doc
     size relation has billions of rows and must never become a driver
     dict."""
@@ -384,21 +389,24 @@ def _jaccard_from_counts(
                 {
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
+                    metric: pa.array([], pa.float64()),
                 }
             )
         inter_n = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
         na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
         nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        jac = inter_n / np.maximum(na + nb - inter_n, 1)
+        if metric == "containment":
+            sim = inter_n / np.maximum(np.minimum(na, nb), 1)
+        else:
+            sim = inter_n / np.maximum(na + nb - inter_n, 1)
         out = pa.table(
             {
                 "a": t["a"],
                 "b": t["b"],
-                "jaccard": pa.array(jac.astype(np.float64)),
+                metric: pa.array(sim.astype(np.float64)),
             }
         )
-        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+        return out.filter(pc.greater_equal(out[metric], threshold))
 
     return j.map_batches(verify, batch_format="pyarrow")
 

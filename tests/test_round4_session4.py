@@ -445,3 +445,29 @@ def test_type_cooccurrence_counts_users_once(ray_session):
         ii, jj = np.triu_indices(ln, k=1)
         pairs += [(e2[s + i], e2[s + j]) for i, j in zip(ii, jj)]
     assert pairs == [("x", "y"), ("x", "y")]
+
+
+# --- containment metric ------------------------------------------------------
+
+
+def test_containment_detects_truncation(ray_session):
+    import ray.data
+
+    from grate_ray.functions.dedup import ngram_jaccard_pairs
+
+    base = " ".join(f"w{i}" for i in range(40))
+    trunc = " ".join(f"w{i}" for i in range(30))  # 3/4 prefix
+    other = " ".join(f"z{i}" for i in range(40))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, trunc, other], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    cont = ngram_jaccard_pairs(ds, threshold=0.9, metric="containment").to_pandas()
+    jac = ngram_jaccard_pairs(ds, threshold=0.9).to_pandas()
+    # grams(trunc) ⊂ grams(base) → containment 1.0; Jaccard only 28/38
+    assert cont[["a", "b"]].values.tolist() == [[1, 2]]
+    assert abs(cont["containment"].iloc[0] - 1.0) < 1e-12
+    assert len(jac) == 0
