@@ -2170,7 +2170,10 @@ def q_dedup_embedding_lsh(sf_dir: str):
     from grate_ray.functions.ann import cosine_neardup_pairs_lsh
 
     return cosine_neardup_pairs_lsh(
-        _embeddings_with_perturbed(sf_dir), threshold=0.9, nbits=8
+        # nbits=None → corpus-size-derived code width (ann.auto_nbits):
+        # the scale-safe config; the fixed-width nbits=8 config measured
+        # 21.3x wall at 10x data (BASELINE.md sf1 ladder).
+        _embeddings_with_perturbed(sf_dir), threshold=0.9, nbits=None
     )
 
 
@@ -4025,6 +4028,58 @@ SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def _embedding_lsh_auto_sql(
+    threshold: float = 0.9, seed: int = 5, bucket_cap: int = 500
+) -> str:
+    """Exact SQL mirror of ann.cosine_neardup_pairs_lsh with the
+    corpus-size-DERIVED code width (ann.auto_nbits): the SQL computes
+    nbits from count(*) with the same integer-exact formula, embeds the
+    PLANE_PREFIX_WIDTH-column plane literals (engine widths are column
+    prefixes of these — ann.hyperplanes), and gates bit j on j < nbits.
+    Probe coverage (Hamming ≤ 1), the either-endpoint bucket-cap rule
+    and float64 cosine are unchanged from the fixed-width mirror."""
+    from grate_ray.functions.ann import PLANE_PREFIX_WIDTH, hyperplanes
+
+    w = PLANE_PREFIX_WIDTH
+    planes = hyperplanes(64, w, seed)
+    plane_lists = [
+        "[" + ", ".join(repr(float(v)) for v in planes[:, j]) + "]"
+        for j in range(w)
+    ]
+    code_expr = " + ".join(
+        f"(CASE WHEN {j} < nb.nbits AND "
+        f"list_dot_product(emb, {plane_lists[j]}) > 0 THEN {1 << j} "
+        f"ELSE 0 END)"
+        for j in range(w)
+    )
+    return f"""
+WITH u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         CAST(embedding[1:63] || [CAST(0 AS FLOAT)] AS DOUBLE[])
+  FROM embeddings
+), nb AS (
+  SELECT least(greatest(
+           length(bin(greatest((count(*) + 23) // 24, 2) - 1)), 8), {w})
+         AS nbits
+  FROM u
+), codes AS (
+  SELECT vec_id, emb, {code_expr} AS code FROM u CROSS JOIN nb
+), hot AS (
+  SELECT code FROM codes GROUP BY code HAVING count(*) > {bucket_cap}
+), cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, x.emb AS ea, y.emb AS eb
+  FROM codes x JOIN codes y
+    ON x.vec_id < y.vec_id
+   AND bit_count(xor(CAST(x.code AS BIGINT), CAST(y.code AS BIGINT))) <= 1
+  WHERE x.code NOT IN (SELECT code FROM hot)
+     OR y.code NOT IN (SELECT code FROM hot)
+)
+SELECT a, b, round(list_cosine_similarity(ea, eb), 6) AS sim
+FROM cand WHERE round(list_cosine_similarity(ea, eb), 6) >= {threshold}"""
+
+
 def _embedding_lsh_sql(
     threshold: float = 0.9, nbits: int = 8, seed: int = 5, bucket_cap: int = 500
 ) -> str:
@@ -5421,7 +5476,7 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""",
-        "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.9, nbits=8),
+        "dedup_embedding_lsh": _embedding_lsh_auto_sql(threshold=0.9),
         "multimodal_features": """
 SELECT doc_id,
        octet_length(CAST(text AS BLOB)) + 4 AS n_bytes,

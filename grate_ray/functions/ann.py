@@ -390,12 +390,35 @@ def pq_topk(
     )
 
 
+#: widths up to this share a prefix: hyperplanes(d, a, s)[:, :b] ==
+#: hyperplanes(d, b, s) for b <= a <= PLANE_PREFIX_WIDTH.  Lets a SQL
+#: oracle embed the max-width literals once and select the first
+#: ``nbits`` columns with a runtime-derived width.
+PLANE_PREFIX_WIDTH = 24
+
+
 def hyperplanes(d: int, nbits: int, seed: int) -> np.ndarray:
     """Seeded (d, nbits) hyperplane matrix — derived deterministically
     from (seed, d, nbits), so every task regenerates it locally (nothing
-    to broadcast) and the SQL oracle embeds the identical literals."""
+    to broadcast) and the SQL oracle embeds the identical literals.
+    Widths ≤ PLANE_PREFIX_WIDTH are column-prefixes of each other, so a
+    corpus-size-derived width can share one set of oracle literals."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((d, nbits))
+    width = max(nbits, PLANE_PREFIX_WIDTH)
+    return rng.standard_normal((d, width))[:, :nbits]
+
+
+def auto_nbits(n: int) -> int:
+    """Corpus-size-derived LSH code width: target ~24 exact vectors per
+    bucket, clamp to [8, PLANE_PREFIX_WIDTH].  Integer-exact (no float
+    log2) so a SQL oracle reproduces it bit-for-bit:
+    ``least(greatest(length(bin(greatest((n+23)//24, 2) - 1)), 8), 24)``.
+
+    With a FIXED nbits the per-bucket population grows linearly in the
+    corpus and candidate pairs grow QUADRATICALLY (measured: 10x the
+    vectors at nbits=8 cost 21x the wall — BASELINE.md sf1 ladder)."""
+    m = max(-(-n // 24), 2)
+    return min(max((m - 1).bit_length(), 8), PLANE_PREFIX_WIDTH)
 
 
 def cosine_neardup_pairs_lsh(
@@ -432,13 +455,9 @@ def cosine_neardup_pairs_lsh(
     # the object store once instead of re-scanning the source three times
     ds = ds.materialize()
     if nbits is None:
-        # code width MUST track corpus size: with fixed nbits the buckets
-        # hold n/2^nbits vectors and candidate pairs grow QUADRATICALLY
-        # with n (measured: 10x the vectors at nbits=8 cost 21x the wall
-        # — BASELINE.md "sf1 query ladder"). Target ~24 exact vectors per
-        # bucket; clamp to [8, 24] (24 bits = 16M buckets).
-        n = ds.count()
-        nbits = int(np.clip(np.ceil(np.log2(max(n, 2) / 24)), 8, 24))
+        # code width MUST track corpus size (see auto_nbits: fixed nbits
+        # goes quadratic in candidate pairs — BASELINE.md sf1 ladder).
+        nbits = auto_nbits(ds.count())
 
     def code_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -641,8 +660,7 @@ def lsh_topk(
     import pandas as pd
 
     d = np.asarray(query_mat).shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((d, nbits))
+    planes = hyperplanes(d, nbits, seed)
     q_ref = ray.put((np.asarray(query_ids), np.asarray(query_mat, dtype=np.float64)))
     p_ref = ray.put(planes)
 

@@ -266,63 +266,102 @@ def degree_distribution(pairs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 class _TriangleCounter:
-    """Actor-pool stage: builds the (bounded) edge set + adjacency ONCE
-    per actor from a broadcast ref, then counts, per edge batch, the
-    common neighbors that close a triangle. Each triangle a<b<c is
-    counted exactly once — at its (a, b) edge, scanning only c > b."""
+    """Actor-pool stage: builds a CSR adjacency ONCE per actor from the
+    broadcast per-block refs (the driver never concatenates the edge
+    relation), then counts, per edge batch, the common neighbors that
+    close a triangle — fully vectorized, no per-edge Python loop. Each
+    triangle a<b<c is counted exactly once, at its (a, b) edge,
+    admitting only common neighbors c > b."""
 
-    def __init__(self, edges_ref):
+    def __init__(self, block_refs):
         import numpy as np
 
-        a, b = ray.get(edges_ref)
         self.np = np
-        # adjacency as a dict of sorted neighbor arrays (nodes are the
-        # verified-pair survivors — bounded by the LSH bucket caps)
-        adj: dict[int, list[int]] = {}
-        for x, y in zip(a.tolist(), b.tolist()):
-            adj.setdefault(x, []).append(y)
-            adj.setdefault(y, []).append(x)
-        self.adj = {k: np.array(sorted(v), dtype=np.int64) for k, v in adj.items()}
+        blocks = [ray.get(r) for r in block_refs]
+        blocks = [t for t in blocks if t.num_rows]
+        if blocks:
+            edges = pa.concat_tables(blocks).combine_chunks()
+            a = edges["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = edges["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            a = b = np.empty(0, dtype=np.int64)
+        # node ids -> dense indices (nodes are the verified-pair
+        # survivors — bounded by the LSH bucket caps)
+        self.nodes = np.unique(np.concatenate([a, b]))
+        n = len(self.nodes)
+        src = np.concatenate([np.searchsorted(self.nodes, a),
+                              np.searchsorted(self.nodes, b)])
+        dst = np.concatenate([np.searchsorted(self.nodes, b),
+                              np.searchsorted(self.nodes, a)])
+        # CSR over dense indices: unique composite (src*n + dst) keys
+        # give deduped directed edges, sorted by (src, dst) — segment
+        # boundaries come from per-src counts
+        m = max(n, 1)
+        self.comp = np.unique(src * m + dst)
+        src_d = self.comp // m
+        self.indices = (self.comp % m).astype(np.int64)
+        self.indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(src_d, minlength=n), out=self.indptr[1:])
+        self.n = n
 
     def __call__(self, t: pa.Table) -> pa.Table:
         np = self.np
         total = 0
-        if t.num_rows:
+        if t.num_rows and self.n:
             a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
             b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-            for x, y in zip(a.tolist(), b.tolist()):
-                na = self.adj.get(x)
-                nb = self.adj.get(y)
-                if na is None or nb is None:
-                    continue
-                common = np.intersect1d(na, nb, assume_unique=False)
-                total += int((common > max(x, y)).sum())
+            xi = np.searchsorted(self.nodes, a)
+            yi = np.searchsorted(self.nodes, b)
+            # flatten every edge's x-neighbor list into ONE candidate
+            # array (batched slice gather), then test membership in the
+            # y-adjacency with a single searchsorted on the sorted
+            # composite (src*n + dst) relation
+            lens = self.indptr[xi + 1] - self.indptr[xi]
+            tot = int(lens.sum())
+            if tot:
+                starts = np.repeat(self.indptr[xi], lens)
+                seg0 = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+                cand = self.indices[starts + np.arange(tot) - seg0]
+                q = np.repeat(yi, lens) * self.n + cand
+                pos = np.searchsorted(self.comp, q)
+                hit = (pos < len(self.comp)) & (
+                    self.comp[np.minimum(pos, len(self.comp) - 1)] == q
+                )
+                closes = self.nodes[cand] > np.repeat(np.maximum(a, b), lens)
+                total = int((hit & closes).sum())
         return pa.table({"n": pa.array([total], pa.int64())})
 
 
-def triangle_count(pairs: ray.data.Dataset) -> ray.data.Dataset:
+def triangle_count(
+    pairs: ray.data.Dataset, max_edges: int = 50_000_000
+) -> ray.data.Dataset:
     """Exact triangle count of the near-dup pair graph. The verified
-    pair relation is bounded (LSH bucket caps), so the edge list
-    broadcasts once via ``ray.put`` and each actor builds adjacency in
-    ``__init__``; the edge Dataset itself streams through the pool and
-    each batch contributes a partial count — one scalar per batch."""
-    import numpy as np
+    pair relation is bounded (LSH bucket caps), so the per-block refs
+    broadcast once (no driver-side concat — blocks stay in the object
+    store) and each actor assembles CSR adjacency in ``__init__``; the
+    edge Dataset itself streams through the pool and each batch
+    contributes a partial count — one scalar per batch.
 
-    edges = pa.concat_tables(
-        [ray.get(r) for r in pairs.select_columns(["a", "b"]).to_arrow_refs()]
-    ).combine_chunks()
-    a = edges["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = edges["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    edges_ref = ray.put((a, b))
-
-    if len(a) == 0:
+    ``max_edges`` makes the documented bucket-cap bound explicit: the
+    adjacency must fit one actor's heap, so a pair relation past the
+    bound fails fast instead of OOMing the pool."""
+    mat = pairs.select_columns(["a", "b"]).materialize()
+    n_edges = mat.count()
+    if n_edges == 0:
         return ray.data.from_arrow(
             pa.table({"n_triangles": pa.array([0], pa.int64())})
         )
+    if n_edges > max_edges:
+        raise ValueError(
+            f"pair relation has {n_edges} edges > max_edges={max_edges}; "
+            "triangle adjacency is per-actor state — tighten the LSH "
+            "bucket caps or raise max_edges deliberately"
+        )
+    block_refs = list(mat.to_arrow_refs())
 
-    counts = ray.data.from_arrow(edges).map_batches(
+    counts = mat.map_batches(
         _TriangleCounter,
-        fn_constructor_args=(edges_ref,),
+        fn_constructor_args=(block_refs,),
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
