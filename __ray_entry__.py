@@ -1262,19 +1262,22 @@ def q_doc_lang_confusion(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return part_schema.empty_table()
-        lang = t["lang"].to_numpy(zero_copy_only=False).astype("U8")
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(object)
         pred = (
             lang_id(normalize_text(t["text"]))
             .to_numpy(zero_copy_only=False)
-            .astype("U8")
+            .astype(object)
         )
-        key = np.char.add(np.char.add(lang, "\x1f"), pred)
-        uniq, inv = np.unique(key, return_inverse=True)
-        parts = np.char.partition(uniq, "\x1f")
+        # factorize both axes (no fixed-width unicode cast: long labels
+        # would truncate and merge distinct confusion cells)
+        ls, li = np.unique(lang, return_inverse=True)
+        ps, pi = np.unique(pred, return_inverse=True)
+        npred = len(ps)
+        uniq, inv = np.unique(li * npred + pi, return_inverse=True)
         return pa.table(
             {
-                "lang": pa.array(parts[:, 0], pa.string()),
-                "pred_lang": pa.array(parts[:, 2], pa.string()),
+                "lang": pa.array(ls[uniq // npred], pa.string()),
+                "pred_lang": pa.array(ps[uniq % npred], pa.string()),
                 "n": pa.array(np.bincount(inv).astype(np.int64)),
             },
             schema=part_schema,
@@ -6034,7 +6037,9 @@ SELECT event_type, count(*) AS n,
        round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
        CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events
-WHERE json_extract(props, '$.k') IS NOT NULL
+WHERE (CASE WHEN json_valid(props)
+            THEN json_type(props, '$.k') ELSE NULL END)
+      IN ('BIGINT', 'UBIGINT')
 GROUP BY 1""",
         "dataset_split": """
 WITH a AS (
@@ -6069,7 +6074,10 @@ WITH f AS (
          CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE) AS k,
          value
   FROM events
-  WHERE value IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+  WHERE value IS NOT NULL
+    AND (CASE WHEN json_valid(props)
+              THEN json_type(props, '$.k') ELSE NULL END)
+        IN ('BIGINT', 'UBIGINT')),
 s AS (SELECT event_type, count(*) AS n,
              sum(k) AS sx, sum(value) AS sy,
              sum(k * k) AS sxx, sum(value * value) AS syy,

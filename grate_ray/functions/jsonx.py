@@ -17,11 +17,19 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def json_extract_int(
+def json_extract_int_np(
     col: pa.ChunkedArray | pa.Array, key: str
-) -> pa.Array:
-    """Extract an integer field from a JSON-text column; null when the
-    field is absent or not an integer. Regex fast path + loads fallback."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Extract an integer field from a JSON-text column as an
+    ``(int64 values, bool validity)`` pair — never a NaN-in-float
+    representation, so payloads beyond 2^53 keep full precision.
+    Invalid positions hold 0 in the values array.
+
+    Semantics (deliberately stricter than ``CAST(json_extract(...) AS
+    BIGINT)``): quoted numbers (``"3"``) and floats (``3.5``) are NULL
+    here — only JSON *integers* count; the SQL mirrors in the oracle
+    registry apply the same integer-only predicate rather than the
+    coercing CAST."""
     import json
     import re
 
@@ -34,8 +42,13 @@ def json_extract_int(
     pat = rf'^\s*\{{\s*"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)\s*[,}}]'
     hit = pc.extract_regex(pc.fill_null(col, ""), pattern=pat)
     v = pc.struct_field(hit, "v")
-    out = pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False)
-    missing = np.flatnonzero(~pc.is_valid(v).to_numpy(zero_copy_only=False))
+    valid = pc.is_valid(v).to_numpy(zero_copy_only=False).copy()
+    vals = (
+        pc.fill_null(pc.cast(v, pa.int64()), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64, copy=True)
+    )
+    missing = np.flatnonzero(~valid)
     if len(missing):
         raw = col.to_numpy(zero_copy_only=False)
         for i in missing.tolist():
@@ -46,9 +59,23 @@ def json_extract_int(
                 got = json.loads(s).get(key)
             except (ValueError, AttributeError):
                 continue
-            if isinstance(got, int) and not isinstance(got, bool):
-                out[i] = got
-    return pa.array(out, pa.int64(), from_pandas=True)
+            if (
+                isinstance(got, int)
+                and not isinstance(got, bool)
+                and -(2**63) <= got < 2**63
+            ):
+                vals[i] = got
+                valid[i] = True
+    return vals, valid
+
+
+def json_extract_int(
+    col: pa.ChunkedArray | pa.Array, key: str
+) -> pa.Array:
+    """Arrow-array wrapper over :func:`json_extract_int_np`: int64 with
+    a real null bitmap (not NaN-in-float), so > 2^53 payloads survive."""
+    vals, valid = json_extract_int_np(col, key)
+    return pa.array(vals, pa.int64(), mask=~valid)
 
 
 def props_rollup(sf_dir: str, key: str = "k") -> ray.data.Dataset:
@@ -75,10 +102,9 @@ def props_rollup(sf_dir: str, key: str = "k") -> ray.data.Dataset:
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return part_schema.empty_table()
-        k = json_extract_int(t["props"], key).to_numpy(zero_copy_only=False)
+        k, ok = json_extract_int_np(t["props"], key)
         et = t["event_type"].to_numpy(zero_copy_only=False)
-        ok = ~np.isnan(k.astype(np.float64))
-        et, kv = et[ok], k[ok].astype(np.int64)
+        et, kv = et[ok], k[ok]
         if len(et) == 0:
             return part_schema.empty_table()
         uniq, inv = np.unique(et, return_inverse=True)
@@ -162,14 +188,11 @@ def props_value_corr(sf_dir: str, key: str = "k") -> ray.data.Dataset:
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return part_schema.empty_table()
-        k = (
-            json_extract_int(t["props"], key)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-        )
+        ki, kok = json_extract_int_np(t["props"], key)
+        k = ki.astype(np.float64)
         v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
         et = t["event_type"].to_numpy(zero_copy_only=False)
-        ok = ~(np.isnan(k) | np.isnan(v))
+        ok = kok & ~np.isnan(v)
         et, k, v = et[ok], k[ok], v[ok]
         if len(et) == 0:
             return part_schema.empty_table()

@@ -569,9 +569,19 @@ def out_of_order_counts(
         # segment's running baseline trick — reset accumulate at segment
         # starts by lifting each segment far above the previous one
         seg_id = np.cumsum(seg_start) - 1
-        lift = (ts.max() - ts.min() + 1) if len(ts) else 1
-        lifted = ts + seg_id * lift
-        run_max = np.maximum.accumulate(lifted) - seg_id * lift
+        # rebase to the block minimum BEFORE lifting: raw epoch-us values
+        # times n_segments would overflow int64 with many conversations
+        # per block; rebased values stay bounded by n_segments * range
+        base = ts.min() if len(ts) else 0
+        ts0 = ts - base
+        lift = (int(ts0.max()) + 1) if len(ts0) else 1
+        if len(ts0) and int(seg_id[-1]) * lift >= np.iinfo(np.int64).max - lift:
+            raise OverflowError(
+                "out_of_order_counts: segment lift would overflow int64 "
+                f"(segments={int(seg_id[-1]) + 1}, range={lift})"
+            )
+        lifted = ts0 + seg_id * lift
+        run_max = np.maximum.accumulate(lifted) - seg_id * lift + base
         # late ⇔ ts < max over the STRICT prefix: compare to the running
         # max shifted by one within the segment
         prev_max = np.empty_like(run_max)

@@ -347,6 +347,13 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_1", nation_b: str = "NA
         s_nat, c_nat = s_nat[keep], c_nat[keep]
         vol = t["volume"].to_numpy(zero_copy_only=False)[keep]
         year = t["l_year"].to_numpy(zero_copy_only=False)[keep]
+        # radix packing decodes c_nat with % 100 and year with % 10000 —
+        # a key outside those ranges would silently mis-attribute revenue
+        if int(max(s_nat.max(), c_nat.max())) >= 100 or int(year.max()) >= 10_000:
+            raise ValueError(
+                "volume_shipping radix packing requires nationkey < 100 "
+                "and year < 10000; widen the radices for this input"
+            )
         combo = (
             s_nat.astype(np.int64) * 1_000_000
             + c_nat.astype(np.int64) * 10_000

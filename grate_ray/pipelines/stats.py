@@ -143,15 +143,18 @@ def lang_source_chi2(sf_dir: str) -> ray.data.Dataset:
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return part_schema.empty_table()
-        lg = t["lang"].to_numpy(zero_copy_only=False).astype("U16")
-        sc = t["source"].to_numpy(zero_copy_only=False).astype("U16")
-        key = np.char.add(np.char.add(lg, "\x1f"), sc)
-        uniq, inv = np.unique(key, return_inverse=True)
-        parts = np.char.partition(uniq, "\x1f")
+        lg = t["lang"].to_numpy(zero_copy_only=False).astype(object)
+        sc = t["source"].to_numpy(zero_copy_only=False).astype(object)
+        # factorize both axes (no fixed-width unicode cast: long
+        # categories would truncate and merge distinct cells)
+        langs, li = np.unique(lg, return_inverse=True)
+        srcs, si = np.unique(sc, return_inverse=True)
+        ns = len(srcs)
+        uniq, inv = np.unique(li * ns + si, return_inverse=True)
         return pa.table(
             {
-                "lang": pa.array(parts[:, 0], pa.string()),
-                "source": pa.array(parts[:, 2], pa.string()),
+                "lang": pa.array(langs[uniq // ns], pa.string()),
+                "source": pa.array(srcs[uniq % ns], pa.string()),
                 "n": pa.array(np.bincount(inv).astype(np.int64)),
             },
             schema=part_schema,

@@ -1464,9 +1464,11 @@ def type_cooccurrence(sf_dir: str) -> ray.data.Dataset:
         if t.num_rows == 0:
             return ut_schema.empty_table()
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        et = t["event_type"].to_numpy(zero_copy_only=False).astype("U16")
-        key = np.char.add(np.char.add(u.astype("U20"), "\x1f"), et)
-        _, first = np.unique(key, return_index=True)
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(object)
+        # factorize (no fixed-width unicode cast: long categories would
+        # truncate and silently merge distinct keys)
+        types, code = np.unique(et, return_inverse=True)
+        _, first = np.unique(u * len(types) + code, return_index=True)
         return pa.table(
             {
                 "user_id": pa.array(u[first]),
@@ -1489,12 +1491,13 @@ def type_cooccurrence(sf_dir: str) -> ray.data.Dataset:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         et = t["event_type"].to_numpy(zero_copy_only=False).astype(object)
         # block-level re-dedup (same (user, type) may arrive from many
-        # batches), then per-user pair expansion
-        key = np.char.add(np.char.add(u.astype("U20"), "\x1f"), et.astype("U16"))
-        _, first = np.unique(key, return_index=True)
-        u, et = u[first], et[first]
-        order = np.lexsort((et, u))
-        u, et = u[order], et[order]
+        # batches) via factorized integer keys, then per-user expansion
+        types, code = np.unique(et, return_inverse=True)
+        nt = len(types)
+        _, first = np.unique(u * nt + code, return_index=True)
+        u, code = u[first], code[first]
+        order = np.lexsort((code, u))
+        u, code = u[order], code[order]
         starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
         lens = np.diff(np.append(starts, len(u)))
         pa_, pb_ = [], []
@@ -1502,19 +1505,17 @@ def type_cooccurrence(sf_dir: str) -> ray.data.Dataset:
             if ln < 2:
                 continue
             ii, jj = np.triu_indices(ln, k=1)
-            pa_.append(et[s + ii])
-            pb_.append(et[s + jj])
+            pa_.append(code[s + ii])
+            pb_.append(code[s + jj])
         if not pa_:
             return pair_schema.empty_table()
         aa = np.concatenate(pa_)
         bb = np.concatenate(pb_)
-        key2 = np.char.add(np.char.add(aa.astype("U16"), "\x1f"), bb.astype("U16"))
-        uniq, inv = np.unique(key2, return_inverse=True)
-        parts = np.char.partition(uniq, "\x1f")
+        uniq, inv = np.unique(aa * nt + bb, return_inverse=True)
         return pa.table(
             {
-                "a": pa.array(parts[:, 0], pa.string()),
-                "b": pa.array(parts[:, 2], pa.string()),
+                "a": pa.array(types[uniq // nt], pa.string()),
+                "b": pa.array(types[uniq % nt], pa.string()),
                 "n": pa.array(np.bincount(inv).astype(np.int64)),
             },
             schema=pair_schema,
@@ -1559,16 +1560,17 @@ def window_rank_change(sf_dir: str, minutes: int = 1440) -> ray.data.Dataset:
             return part_schema.empty_table()
         ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         w = (ts // us) * us
-        et = t["event_type"].to_numpy(zero_copy_only=False).astype("U16")
-        key = np.char.add(np.char.add(w.astype("U24"), "\x1f"), et)
-        uniq, inv = np.unique(key, return_inverse=True)
-        parts = np.char.partition(uniq, "\x1f")
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(object)
+        # factorize both key parts (no fixed-width unicode cast: long
+        # categories would truncate and merge distinct keys)
+        types, code = np.unique(et, return_inverse=True)
+        wu, winv = np.unique(w, return_inverse=True)
+        nt = len(types)
+        uniq, inv = np.unique(winv * nt + code, return_inverse=True)
         return pa.table(
             {
-                "w": pa.array(parts[:, 0].astype(np.int64)).cast(
-                    pa.timestamp("us")
-                ),
-                "event_type": pa.array(parts[:, 2], pa.string()),
+                "w": pa.array(wu[uniq // nt]).cast(pa.timestamp("us")),
+                "event_type": pa.array(types[uniq % nt], pa.string()),
                 "n": pa.array(np.bincount(inv).astype(np.int64)),
             },
             schema=part_schema,
