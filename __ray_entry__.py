@@ -961,6 +961,16 @@ def q_cfb_container(sf_dir: str):
     return cfb_roundtrip(sf_dir, encrypt=False)
 
 
+def q_cfb_container_v4(sf_dir: str):
+    """S8, MajorVersion 4: the same customer round trip through CFB v4
+    containers (4096-byte sectors, version-switched shift, header padded
+    to one full sector, directory-sector count recorded) — parity with
+    the reference's v3-and-v4 reader (cfb.go:125-158,254)."""
+    from grate_ray.pipelines.container import cfb_roundtrip
+
+    return cfb_roundtrip(sf_dir, encrypt=False, version=4)
+
+
 def q_rc4_decrypt(sf_dir: str):
     """S10 basic-RC4 decryption: orders packed into ENCRYPTED CFB
     containers (FilePass stream + MS-OFFCRYPTO std97 key derivation +
@@ -2769,6 +2779,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decode_roundtrip_customer": q_decode_roundtrip_customer,
     "decode_sniff_counts": q_decode_sniff_counts,
     "cfb_container": q_cfb_container,
+    "cfb_container_v4": q_cfb_container_v4,
     "rc4_decrypt": q_rc4_decrypt,
     "workbook_get": q_workbook_get,
     "workbook_list": q_workbook_list,
@@ -5207,6 +5218,9 @@ FROM ({lww}) lake GROUP BY conv_id, role""",
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
         ),
         "cfb_container": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+        ),
+        "cfb_container_v4": (
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
         ),
         "rc4_decrypt": (

@@ -112,6 +112,7 @@ def synthesize_container_dir(
     group_mod: int = 8,
     encrypt: bool = False,
     password: str | None = None,
+    version: int = 3,
 ) -> str:
     """Deterministically pack a testdata table into ``group_mod`` CFB
     containers under /tmp scratch (crash-safe staging + ``_OK`` marker,
@@ -133,7 +134,7 @@ def synthesize_container_dir(
     pw = password or DEFAULT_PASSWORD
     tag = hashlib.md5(
         f"{sf_dir}|{table}|{','.join(cols)}|{key_col}|{name_col}|"
-        f"{group_mod}|{encrypt}|{pw}|v1".encode()
+        f"{group_mod}|{encrypt}|{pw}|cfbv{version}|v1".encode()
     ).hexdigest()[:8]
     out_dir = f"/tmp/graft_q/cfb_{table}_{tag}"
     if os.path.exists(os.path.join(out_dir, "_OK")):
@@ -162,7 +163,7 @@ def synthesize_container_dir(
             streams[str(name)] = data
         if filepass is not None:
             streams[FILEPASS] = filepass
-        blob = write_cfb(streams)
+        blob = write_cfb(streams, version=version)
         path = os.path.join(staging, f"c{grp:04d}.cfb")
         with open(path, "wb") as f:
             f.write(blob)
@@ -214,7 +215,10 @@ def read_containers(
 
 
 def cfb_roundtrip(
-    sf_dir: str, encrypt: bool = False, password: str | None = None
+    sf_dir: str,
+    encrypt: bool = False,
+    password: str | None = None,
+    version: int = 3,
 ) -> ray.data.Dataset:
     """Full-table round trip through CFB containers: customer packed into
     8 containers (one stream per market segment), extracted, decoded and
@@ -227,7 +231,7 @@ def cfb_roundtrip(
     d = synthesize_container_dir(
         sf_dir, "customer", cols, key_col="c_custkey",
         name_col="c_mktsegment", group_mod=8, encrypt=encrypt,
-        password=password,
+        password=password, version=version,
     )
     decoded = read_containers(d, ncols=len(cols), password=password)
     return scan_typed(

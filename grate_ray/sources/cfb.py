@@ -237,8 +237,8 @@ def parse(data: bytes) -> CFBDocument:
 # -- writer (fixtures / round-trip tests; the reference only reads) ------
 
 
-def _pad_sector(b: bytes) -> bytes:
-    return b + b"\x00" * (-len(b) % SECTOR)
+def _pad_sector(b: bytes, ssize: int = SECTOR) -> bytes:
+    return b + b"\x00" * (-len(b) % ssize)
 
 
 def _dirent(
@@ -264,14 +264,23 @@ def _dirent(
     )
 
 
-def write_cfb(streams: dict[str, bytes]) -> bytes:
-    """Serialize named streams into a valid CFB v3 container.
+def write_cfb(streams: dict[str, bytes], version: int = 3) -> bytes:
+    """Serialize named streams into a valid CFB v3 or v4 container.
 
     Deterministic for a given input dict (names are sorted): streams
     < 4096 bytes go to the mini stream (64-byte mini sectors), larger
-    ones get regular 512-byte FAT chains. Sector layout:
+    ones get regular FAT chains (512-byte sectors for v3, 4096-byte for
+    v4 — MajorVersion-switched shift like the reference reader,
+    /root/reference/xls/cfb/cfb.go:125-158). Sector layout:
     [FAT][DIFAT?][directory][miniFAT][mini stream][big streams].
+    v4 headers carry the directory-sector count and pad the 512-byte
+    header block out to one full 4096-byte sector.
     """
+    if version not in (3, 4):
+        raise ValueError(f"unsupported CFB version {version}")
+    shift = SECTOR_SHIFT if version == 3 else 12
+    ssize = 1 << shift
+    fat_per = ssize // 4
     names = sorted(streams)
     if not names:
         raise ValueError("empty container")
@@ -295,14 +304,14 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
         minifat.append(ENDOFCHAIN)
         mini_blob += b + b"\x00" * (-len(b) % MINI_SECTOR)
 
-    n_mini_sectors = -(-len(mini_blob) // SECTOR) if mini_blob else 0
-    n_minifat_sectors = -(-len(minifat) // _FAT_PER_SECTOR) if minifat else 0
-    big_sectors_of = {n: -(-len(streams[n]) // SECTOR) for n in big_names}
+    n_mini_sectors = -(-len(mini_blob) // ssize) if mini_blob else 0
+    n_minifat_sectors = -(-len(minifat) // fat_per) if minifat else 0
+    big_sectors_of = {n: -(-len(streams[n]) // ssize) for n in big_names}
 
     # directory: root + one entry per stream, right-sibling chain off
     # the root's child (valid single-path red-black tree, all black)
     n_dirents = 1 + len(names)
-    n_dir_sectors = -(-n_dirents // (SECTOR // _DIR_ENTRY))
+    n_dir_sectors = -(-n_dirents // (ssize // _DIR_ENTRY))
 
     n_data = (
         n_dir_sectors + n_minifat_sectors + n_mini_sectors
@@ -314,8 +323,8 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
     n_fat, n_difat = 1, 0
     while True:
         total = n_data + n_fat + n_difat
-        need_fat = -(-total // _FAT_PER_SECTOR)
-        need_difat = 0 if need_fat <= 109 else -(-(need_fat - 109) // (_FAT_PER_SECTOR - 1))
+        need_fat = -(-total // fat_per)
+        need_difat = 0 if need_fat <= 109 else -(-(need_fat - 109) // (fat_per - 1))
         if (need_fat, need_difat) == (n_fat, n_difat):
             break
         n_fat, n_difat = need_fat, need_difat
@@ -337,7 +346,7 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
     total_sectors = cursor
 
     # -- FAT
-    fat = [FREESECT] * (n_fat * _FAT_PER_SECTOR)
+    fat = [FREESECT] * (n_fat * fat_per)
     for s in fat_sids:
         fat[s] = FATSECT
     for s in difat_sids:
@@ -368,7 +377,7 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
         _dirent(
             "Root Entry", TYPE_ROOT,
             mini_first if n_mini_sectors else ENDOFCHAIN,
-            n_mini_sectors * SECTOR if n_mini_sectors else 0,
+            n_mini_sectors * ssize if n_mini_sectors else 0,
             child=1,
         )
     ]
@@ -381,41 +390,43 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
         struct.pack("<III", NOSTREAM, NOSTREAM, NOSTREAM)
         + b"\x00" * 36 + struct.pack("<IQ", 0, 0)
     )
-    while len(dirents) % (SECTOR // _DIR_ENTRY):
+    while len(dirents) % (ssize // _DIR_ENTRY):
         dirents.append(free)
 
     # -- header + DIFAT
     header = _HEADER.pack(
-        SIGNATURE, b"\x00" * 16, 0x3E, 3, 0xFFFE, SECTOR_SHIFT, MINI_SHIFT,
-        b"\x00" * 6, 0, n_fat, dir_first, 0, MINI_CUTOFF,
-        minifat_first, n_minifat_sectors,
+        SIGNATURE, b"\x00" * 16, 0x3E, version, 0xFFFE, shift, MINI_SHIFT,
+        b"\x00" * 6, n_dir_sectors if version == 4 else 0, n_fat,
+        dir_first, 0, MINI_CUTOFF, minifat_first, n_minifat_sectors,
         difat_sids[0] if difat_sids else ENDOFCHAIN, n_difat,
     )
     head_slots = fat_sids[:109] + [FREESECT] * (109 - min(len(fat_sids), 109))
     header += struct.pack("<109I", *head_slots)
-    assert len(header) == SECTOR
+    assert len(header) == SECTOR  # the header struct is 512 bytes in BOTH
+    # versions; v4 zero-pads the rest of its 4096-byte first block
+    header = header.ljust(ssize, b"\x00")
 
     out = bytearray(header)
     for fs in range(n_fat):
         out += struct.pack(
-            f"<{_FAT_PER_SECTOR}I",
-            *fat[fs * _FAT_PER_SECTOR : (fs + 1) * _FAT_PER_SECTOR],
+            f"<{fat_per}I",
+            *fat[fs * fat_per : (fs + 1) * fat_per],
         )
     spill = fat_sids[109:]
     for ds in range(n_difat):
-        slots = spill[ds * (_FAT_PER_SECTOR - 1) : (ds + 1) * (_FAT_PER_SECTOR - 1)]
-        slots += [FREESECT] * (_FAT_PER_SECTOR - 1 - len(slots))
+        slots = spill[ds * (fat_per - 1) : (ds + 1) * (fat_per - 1)]
+        slots += [FREESECT] * (fat_per - 1 - len(slots))
         nxt = difat_sids[ds + 1] if ds + 1 < n_difat else ENDOFCHAIN
-        out += struct.pack(f"<{_FAT_PER_SECTOR}I", *slots, nxt)
+        out += struct.pack(f"<{fat_per}I", *slots, nxt)
     out += b"".join(dirents)
     if n_minifat_sectors:
         mf = minifat + [FREESECT] * (
-            n_minifat_sectors * _FAT_PER_SECTOR - len(minifat)
+            n_minifat_sectors * fat_per - len(minifat)
         )
         out += struct.pack(f"<{len(mf)}I", *mf)
     if n_mini_sectors:
-        out += _pad_sector(bytes(mini_blob))
+        out += _pad_sector(bytes(mini_blob), ssize)
     for n in big_names:
-        out += _pad_sector(streams[n])
-    assert len(out) == (1 + total_sectors) * SECTOR
+        out += _pad_sector(streams[n], ssize)
+    assert len(out) == (1 + total_sectors) * ssize
     return bytes(out)

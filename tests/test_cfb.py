@@ -40,6 +40,59 @@ def test_cfb_writer_deterministic():
     assert cfb.write_cfb(streams) == cfb.write_cfb(dict(reversed(streams.items())))
 
 
+def test_cfb_v4_roundtrip_mixed_streams():
+    # MajorVersion 4: 4096-byte sectors, version-switched shift
+    # (reference accepts both, cfb.go:125-158,254)
+    streams = {
+        "tiny": b"hello world",
+        "empty": b"",
+        "mini_edge": _rand_bytes(4095, 11),  # last mini-stream size
+        "big_edge": _rand_bytes(4096, 12),  # exactly one v4 payload sector
+        "big": _rand_bytes(200_000, 13),  # multi-sector regular chain
+        "Workbook": b"A\t1\nB\t2\n" * 300,
+    }
+    blob = cfb.write_cfb(streams, version=4)
+    # header struct says major=4 / shift=12 and the first block is one
+    # full 4096-byte sector
+    assert blob[26:28] == (4).to_bytes(2, "little")
+    assert blob[30:32] == (12).to_bytes(2, "little")
+    assert len(blob) % 4096 == 0
+    doc = cfb.parse(blob)
+    assert doc.list_streams() == sorted(
+        (n, len(b)) for n, b in streams.items()
+    )
+    for n, b in streams.items():
+        assert doc.read_stream(n) == b
+
+
+def test_cfb_v4_multi_directory_sector():
+    # >32 entries per 4096-byte dir sector: force a chained directory
+    # and a populated v4 directory-sector count header field
+    streams = {f"s{i:03d}": _rand_bytes(100 + i, i) for i in range(70)}
+    blob = cfb.write_cfb(streams, version=4)
+    ndirsect = int.from_bytes(blob[40:44], "little")
+    assert ndirsect >= 3  # 71 entries / 32 per sector
+    doc = cfb.parse(blob)
+    for n, b in streams.items():
+        assert doc.read_stream(n) == b
+
+
+def test_cfb_v4_rejects_wrong_shift():
+    blob = bytearray(cfb.write_cfb({"a": b"x"}, version=4))
+    blob[30:32] = (9).to_bytes(2, "little")  # v4 must use shift 12
+    with pytest.raises(cfb.CorruptCFB):
+        cfb.parse(bytes(blob))
+
+
+def test_cfb_same_streams_both_versions_equal_content():
+    streams = {"a": _rand_bytes(3000, 21), "b": _rand_bytes(50_000, 22)}
+    d3 = cfb.parse(cfb.write_cfb(streams, version=3))
+    d4 = cfb.parse(cfb.write_cfb(streams, version=4))
+    assert d3.list_streams() == d4.list_streams()
+    for n in streams:
+        assert d3.read_stream(n) == d4.read_stream(n) == streams[n]
+
+
 def test_cfb_difat_spill_chain():
     # >109 FAT sectors (~7 MB) forces chained DIFAT sectors — the
     # reference's cfb.go:183-212 path
