@@ -1430,6 +1430,53 @@ def q_extract_links(sf_dir: str):
     ).map_batches(fn, batch_format="pyarrow")
 
 
+def q_hyperlink_range_fill(sf_dir: str):
+    """T15 FULL parity: real HLINK binary payloads (classid, version,
+    flag-gated display + moniker blocks per hyperlinks.go:11-146) are
+    synthesized per document across all three moniker kinds (URL moniker
+    with GUID tail / saved-as-string / location), decoded back to
+    (display, link), and the covered row range is filled with the
+    reference's merge sentinels (sheets.go:324-372): anchor row
+    'display <url>', covered rows ContinueRowMerged, last row
+    EndRowMerged. Oracle reproduces composition and fill from the raw
+    table."""
+    import ray.data
+    from grate_ray.functions.text import decode_hyperlink, encode_hyperlink
+    from grate_ray.stages.expand import expand_hyperlink_range
+
+    kinds = ["url_moniker", "moniker_str", "location"]
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = pc.utf8_slice_codeunits(
+            pc.fill_null(t["text"], ""), 0, 10
+        ).to_pylist()
+        disp, urls = [], []
+        for i, h in zip(ids.tolist(), heads):
+            payload = encode_hyperlink(
+                h, f"https://ex.example/d{i}", kinds[i % 3]
+            )
+            d, u = decode_hyperlink(payload)
+            disp.append(d)
+            urls.append(u)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "span": pa.array(ids % 3 + 1),
+                "display": pa.array(disp, pa.string()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(build, batch_format="pyarrow")
+        .map_batches(expand_hyperlink_range, batch_format="pyarrow")
+    )
+
+
 def q_window_hopping(sf_dir: str):
     """Hopping (overlapping) event-time windows: 60-min windows every
     15 min — the 1→N flat-map applied to windowed aggregation."""
@@ -2798,6 +2845,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sample_documents": q_sample_documents,
     "token_counts": q_token_counts,
     "extract_links": q_extract_links,
+    "hyperlink_range_fill": q_hyperlink_range_fill,
     "window_hopping": q_window_hopping,
     "doc_fingerprint": q_doc_fingerprint,
     "pipeline_llm_prep": q_pipeline_llm_prep,
@@ -5349,6 +5397,20 @@ SELECT doc_id,
        substr(t0, 1, 10) || ' <' || regexp_extract(p, 'https?://[^ ]+') || '>'
          AS display
 FROM planted""",
+        "hyperlink_range_fill": """
+WITH base AS (
+  SELECT doc_id,
+         trim(substr(coalesce(text, ''), 1, 10),
+              ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))
+           AS display,
+         'https://ex.example/d' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id % 3 + 1 AS span
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS row_off,
+       CASE WHEN i = 0 THEN display || ' <' || url || '>'
+            WHEN i = span - 1 THEN '⤓' ELSE '↓' END AS cell
+FROM base, UNNEST(range(span)) AS o(i)""",
         "window_hopping": """
 SELECT event_type,
        make_timestamp((epoch_us(ts) // 900000000) * 900000000

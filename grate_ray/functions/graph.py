@@ -268,12 +268,19 @@ def degree_distribution(pairs: ray.data.Dataset) -> ray.data.Dataset:
 class _TriangleCounter:
     """Actor-pool stage: builds a CSR adjacency ONCE per actor from the
     broadcast per-block refs (the driver never concatenates the edge
-    relation), then counts, per edge batch, the common neighbors that
-    close a triangle — fully vectorized, no per-edge Python loop. Each
-    triangle a<b<c is counted exactly once, at its (a, b) edge,
-    admitting only common neighbors c > b."""
+    relation), then counts, per CHUNK of the deduped directed-edge
+    array, the common neighbors that close a triangle — fully
+    vectorized, no per-edge Python loop. Each triangle a<b<c is counted
+    exactly once, at its (a, b) edge, admitting only common neighbors
+    c > b. Counting over index chunks of the actor's own deduped edge
+    array (not over streamed edge rows) makes the result exact even if
+    the input relation carries duplicate pairs."""
 
-    def __init__(self, block_refs):
+    def __init__(self, block_refs, nchunks):
+        self.nchunks = nchunks
+        self._build(block_refs)
+
+    def _build(self, block_refs):
         import numpy as np
 
         self.np = np
@@ -304,31 +311,42 @@ class _TriangleCounter:
         np.cumsum(np.bincount(src_d, minlength=n), out=self.indptr[1:])
         self.n = n
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def _count_chunk(self, chunk: int) -> int:
         np = self.np
-        total = 0
-        if t.num_rows and self.n:
-            a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-            xi = np.searchsorted(self.nodes, a)
-            yi = np.searchsorted(self.nodes, b)
-            # flatten every edge's x-neighbor list into ONE candidate
-            # array (batched slice gather), then test membership in the
-            # y-adjacency with a single searchsorted on the sorted
-            # composite (src*n + dst) relation
-            lens = self.indptr[xi + 1] - self.indptr[xi]
-            tot = int(lens.sum())
-            if tot:
-                starts = np.repeat(self.indptr[xi], lens)
-                seg0 = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
-                cand = self.indices[starts + np.arange(tot) - seg0]
-                q = np.repeat(yi, lens) * self.n + cand
-                pos = np.searchsorted(self.comp, q)
-                hit = (pos < len(self.comp)) & (
-                    self.comp[np.minimum(pos, len(self.comp) - 1)] == q
-                )
-                closes = self.nodes[cand] > np.repeat(np.maximum(a, b), lens)
-                total = int((hit & closes).sum())
+        if not self.n:
+            return 0
+        # this actor's slice of the deduped directed edges, keeping only
+        # the src < dst orientation so each undirected edge counts once
+        # (nodes are sorted, so index order == value order)
+        sl = self.comp[chunk :: self.nchunks]
+        xi = (sl // self.n).astype(np.int64)
+        yi = (sl % self.n).astype(np.int64)
+        keep = xi < yi
+        xi, yi = xi[keep], yi[keep]
+        if not len(xi):
+            return 0
+        # flatten every edge's x-neighbor list into ONE candidate array
+        # (batched slice gather), then test membership in the
+        # y-adjacency with a single searchsorted on the sorted composite
+        # (src*n + dst) relation
+        lens = self.indptr[xi + 1] - self.indptr[xi]
+        tot = int(lens.sum())
+        if not tot:
+            return 0
+        starts = np.repeat(self.indptr[xi], lens)
+        seg0 = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        cand = self.indices[starts + np.arange(tot) - seg0]
+        q = np.repeat(yi, lens) * self.n + cand
+        pos = np.searchsorted(self.comp, q)
+        hit = (pos < len(self.comp)) & (
+            self.comp[np.minimum(pos, len(self.comp) - 1)] == q
+        )
+        closes = cand > np.repeat(yi, lens)  # c > b in dense-index order
+        return int((hit & closes).sum())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        total = sum(self._count_chunk(int(c)) for c in ids)
         return pa.table({"n": pa.array([total], pa.int64())})
 
 
@@ -359,9 +377,13 @@ def triangle_count(
         )
     block_refs = list(mat.to_arrow_refs())
 
-    counts = mat.map_batches(
+    # work units are index chunks of the (deduped) directed-edge array,
+    # not streamed edge rows — exact under duplicate input pairs and
+    # evenly splittable regardless of the block layout
+    nchunks = 64
+    counts = ray.data.range(nchunks, override_num_blocks=16).map_batches(
         _TriangleCounter,
-        fn_constructor_args=(block_refs,),
+        fn_constructor_args=(block_refs, nchunks),
         batch_format="pyarrow",
         concurrency=(1, 4),
     )

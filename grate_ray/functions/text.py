@@ -134,6 +134,136 @@ def extract_first_link(col: pa.ChunkedArray | pa.Array) -> pa.Array | pa.Chunked
     return pc.struct_field(hit, "url")
 
 
+# --- HLINK binary decode (T15 full parity) -----------------------------------
+#
+# Field-for-field mirror of the reference's hyperlink archaeology
+# (/root/reference/xls/hyperlinks.go:11-146): classid skip, version==2,
+# flag-gated display/frame/moniker/location blocks, URL- and file-moniker
+# classids, and the trailing-GUID strip on URL monikers. The encoder
+# exists so fixtures/tests can synthesize real records (the reference
+# only reads).
+
+HL_HAS_MONIKER = 0x001
+HL_HAS_LOCATION = 0x008
+HL_HAS_DISPLAY = 0x010
+HL_HAS_FRAME = 0x080
+HL_MONIKER_AS_STR = 0x100
+
+URL_MONIKER_CLSID = bytes(
+    [0xE0, 0xC9, 0xEA, 0x79, 0xF9, 0xBA, 0xCE, 0x11,
+     0x8C, 0x82, 0x00, 0xAA, 0x00, 0x4B, 0xA9, 0x0B]
+)
+FILE_MONIKER_CLSID = bytes(
+    [0x03, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+     0xC0, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x46]
+)
+
+_HL_TRIM = " \v\f\t\r\n\x00"
+
+
+def _hl_string(raw: memoryview, pos: int) -> tuple[str, int]:
+    """HyperlinkString: u32 char count + that many UTF-16LE code units."""
+    import struct
+
+    (n,) = struct.unpack_from("<I", raw, pos)
+    pos += 4
+    s = bytes(raw[pos : pos + 2 * n]).decode("utf-16-le")
+    return s, pos + 2 * n
+
+
+def decode_hyperlink(raw: bytes) -> tuple[str, str]:
+    """(display, link) out of one HLINK payload (the bytes AFTER the
+    8-byte range header) — hyperlinks.go:11-74 plus both moniker kinds
+    (parseHyperlinkMoniker, :76-133)."""
+    import struct
+
+    mv = memoryview(raw)
+    pos = 16  # classid
+    (version,) = struct.unpack_from("<I", mv, pos)
+    if version != 2:
+        raise ValueError("unknown hyperlink version")
+    (flags,) = struct.unpack_from("<I", mv, pos + 4)
+    pos += 8
+    display = link = ""
+    if flags & HL_HAS_DISPLAY:
+        display, pos = _hl_string(mv, pos)
+    if flags & HL_HAS_FRAME:
+        (n,) = struct.unpack_from("<I", mv, pos)
+        pos += 4 + 2 * n
+    if flags & HL_HAS_MONIKER:
+        if flags & HL_MONIKER_AS_STR:
+            link, pos = _hl_string(mv, pos)
+        else:
+            clsid = bytes(mv[pos : pos + 16])
+            pos += 16
+            if clsid == URL_MONIKER_CLSID:
+                (nbytes,) = struct.unpack_from("<I", mv, pos)
+                pos += 4
+                units = bytes(mv[pos : pos + nbytes])
+                pos += nbytes
+                n = nbytes // 2
+                buf = units
+                # strip the trailing serialGUID+version+flags block when
+                # the terminator marks it (hyperlinks.go:103-105)
+                if n > 12 and units[2 * (n - 13)] == 0 and units[2 * (n - 13) + 1] == 0:
+                    buf = units[: 2 * (n - 12)]
+                link = buf.decode("utf-16-le")
+            elif clsid == FILE_MONIKER_CLSID:
+                (alen,) = struct.unpack_from("<I", mv, pos + 2)  # skip cAnti
+                pos += 6
+                ansi = bytes(mv[pos : pos + alen])
+                pos += alen + 24  # misc fixed properties
+                (ulen,) = struct.unpack_from("<I", mv, pos)
+                pos += 4
+                if ulen > 0:
+                    pos += 6
+                    ulen -= 6
+                    link = bytes(mv[pos : pos + ulen]).decode("utf-16-le")
+                    pos += ulen
+                else:
+                    link = ansi.decode("latin-1")
+            else:
+                raise ValueError("unknown moniker classid")
+    if flags & HL_HAS_LOCATION:
+        link, pos = _hl_string(mv, pos)
+    return display.strip(_HL_TRIM), link.strip(_HL_TRIM)
+
+
+def encode_hyperlink(
+    display: str, url: str, kind: str = "url_moniker"
+) -> bytes:
+    """Synthesize a decodable HLINK payload. ``kind``: ``url_moniker``
+    (classid + UTF-16 + NUL + 24-byte GUID tail), ``moniker_str``
+    (hlstmfMonikerSavedAsStr HyperlinkString) or ``location``
+    (no moniker; hlstmfHasLocationStr carries the target)."""
+    import struct
+
+    def hl_string(s: str) -> bytes:
+        u = s.encode("utf-16-le")
+        return struct.pack("<I", len(u) // 2) + u
+
+    flags = HL_HAS_DISPLAY
+    body = b""
+    if kind == "url_moniker":
+        flags |= HL_HAS_MONIKER
+        u = url.encode("utf-16-le") + b"\x00\x00" + b"\xAA" * 24
+        body = URL_MONIKER_CLSID + struct.pack("<I", len(u)) + u
+    elif kind == "moniker_str":
+        flags |= HL_HAS_MONIKER | HL_MONIKER_AS_STR
+        body = hl_string(url)
+    elif kind == "location":
+        flags |= HL_HAS_LOCATION
+        body = hl_string(url)
+    else:
+        raise ValueError(f"unknown hyperlink kind {kind!r}")
+    return (
+        b"\x00" * 16
+        + struct.pack("<II", 2, flags)
+        + hl_string(display)
+        + body
+    )
+
+
 def fingerprint64(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Deterministic 64-bit document fingerprint: the low 8 md5 digest
     bytes, little-endian — bit-identical to DuckDB's

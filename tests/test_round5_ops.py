@@ -1,0 +1,198 @@
+"""Round-5 kernels vs naive references: HLINK binary decode (all moniker
+branches), hyperlink range fill, auto-width LSH sizing, CSR triangle
+counting."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# --- HLINK decode (T15 full parity, hyperlinks.go:11-146) ------------------
+
+
+def test_hyperlink_roundtrip_all_kinds():
+    from grate_ray.functions.text import decode_hyperlink, encode_hyperlink
+
+    for kind in ("url_moniker", "moniker_str", "location"):
+        d, u = decode_hyperlink(
+            encode_hyperlink("Quarterly report", "https://x.example/a?b=1", kind)
+        )
+        assert (d, u) == ("Quarterly report", "https://x.example/a?b=1"), kind
+
+
+def test_hyperlink_trims_reference_charset():
+    from grate_ray.functions.text import decode_hyperlink, encode_hyperlink
+
+    d, u = decode_hyperlink(
+        encode_hyperlink("  padded \t", "https://x.example/ \r\n", "moniker_str")
+    )
+    assert d == "padded"
+    assert u == "https://x.example/"
+
+
+def test_hyperlink_url_moniker_guid_tail_stripped():
+    # hand-build the URL-moniker block: utf16 url + NUL + 24-byte tail;
+    # the decoder must strip the tail via the terminator check
+    from grate_ray.functions.text import (
+        HL_HAS_DISPLAY,
+        HL_HAS_MONIKER,
+        URL_MONIKER_CLSID,
+        decode_hyperlink,
+    )
+
+    url = "http://e.example/zz"
+    u = url.encode("utf-16-le") + b"\x00\x00" + b"\x77" * 24
+    raw = (
+        b"\x00" * 16
+        + struct.pack("<II", 2, HL_HAS_DISPLAY | HL_HAS_MONIKER)
+        + struct.pack("<I", 1) + "D".encode("utf-16-le")
+        + URL_MONIKER_CLSID
+        + struct.pack("<I", len(u))
+        + u
+    )
+    d, link = decode_hyperlink(raw)
+    assert (d, link) == ("D", url)
+
+
+def test_hyperlink_file_moniker_ansi_and_unicode():
+    from grate_ray.functions.text import (
+        FILE_MONIKER_CLSID,
+        HL_HAS_MONIKER,
+        decode_hyperlink,
+    )
+
+    def file_moniker(ansi: bytes, unicode_path: str | None) -> bytes:
+        blk = FILE_MONIKER_CLSID
+        blk += struct.pack("<H", 0)  # cAnti
+        blk += struct.pack("<I", len(ansi)) + ansi
+        blk += b"\x00" * 24  # misc fixed properties
+        if unicode_path is None:
+            blk += struct.pack("<I", 0)
+        else:
+            up = unicode_path.encode("utf-16-le")
+            blk += struct.pack("<I", len(up) + 6) + b"\x00" * 6 + up
+        return b"\x00" * 16 + struct.pack("<II", 2, HL_HAS_MONIKER) + blk
+
+    _, link = decode_hyperlink(file_moniker(b"C:\\docs\\a.xls", None))
+    assert link == "C:\\docs\\a.xls"
+    _, link = decode_hyperlink(file_moniker(b"ignored", "D:\\b\\c.xls"))
+    assert link == "D:\\b\\c.xls"
+
+
+def test_hyperlink_unknown_version_and_moniker_raise():
+    from grate_ray.functions.text import (
+        HL_HAS_MONIKER,
+        decode_hyperlink,
+        encode_hyperlink,
+    )
+
+    bad_ver = bytearray(encode_hyperlink("d", "u", "moniker_str"))
+    bad_ver[16:20] = struct.pack("<I", 3)
+    with pytest.raises(ValueError):
+        decode_hyperlink(bytes(bad_ver))
+    bad_clsid = (
+        b"\x00" * 16 + struct.pack("<II", 2, HL_HAS_MONIKER) + b"\xEE" * 16
+    )
+    with pytest.raises(ValueError):
+        decode_hyperlink(bad_clsid)
+
+
+def test_hyperlink_range_fill_sentinels():
+    from grate_ray.stages.expand import (
+        CONTINUE_ROW_MERGED,
+        END_ROW_MERGED,
+        expand_hyperlink_range,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "span": pa.array([1, 2, 3], pa.int64()),
+            "display": pa.array(["a", "b", "c"]),
+            "url": pa.array(["u1", "u2", "u3"]),
+        }
+    )
+    out = expand_hyperlink_range(t)
+    assert out["cell"].to_pylist() == [
+        "a <u1>",
+        "b <u2>", END_ROW_MERGED,
+        "c <u3>", CONTINUE_ROW_MERGED, END_ROW_MERGED,
+    ]
+    assert out["row_off"].to_pylist() == [0, 0, 1, 0, 1, 2]
+
+
+# --- auto-width LSH sizing ---------------------------------------------------
+
+
+def test_auto_nbits_matches_float_rule_and_sql_formula():
+    from grate_ray.functions.ann import PLANE_PREFIX_WIDTH, auto_nbits
+
+    for n in [1, 2, 23, 24, 25, 48, 49, 100, 1000, 24 * 2**10, 24 * 2**10 + 1,
+              10**6, 10**9, 10**12]:
+        want = int(np.clip(np.ceil(np.log2(max(n, 2) / 24)), 8,
+                           PLANE_PREFIX_WIDTH))
+        assert auto_nbits(n) == want, n
+        # the SQL mirror: least(greatest(length(bin((n+23)//24 max 2 - 1)),8),24)
+        m = max(-(-n // 24), 2)
+        sql = min(max(len(bin(m - 1)[2:]), 8), PLANE_PREFIX_WIDTH)
+        assert auto_nbits(n) == sql, n
+
+
+def test_hyperplanes_prefix_stable():
+    from grate_ray.functions.ann import PLANE_PREFIX_WIDTH, hyperplanes
+
+    full = hyperplanes(64, PLANE_PREFIX_WIDTH, 5)
+    for nbits in (4, 8, 16):
+        np.testing.assert_array_equal(hyperplanes(64, nbits, 5),
+                                      full[:, :nbits])
+
+
+# --- CSR triangle counter ----------------------------------------------------
+
+
+def _naive_triangles(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    count = 0
+    for i, a in enumerate(nodes):
+        for b in adj[a]:
+            if b <= a:
+                continue
+            count += sum(1 for c in adj[a] & adj[b] if c > b)
+    return count
+
+
+def test_triangle_counter_csr_vs_naive(ray_session):
+    import ray
+    import ray.data
+
+    from grate_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 40, 400)
+    b = rng.integers(0, 40, 400)
+    keep = a != b
+    lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+    # include duplicate edges on purpose: the counter must dedup
+    t = pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+    got = triangle_count(ray.data.from_arrow(t)).to_pandas()
+    want = _naive_triangles(set(zip(lo.tolist(), hi.tolist())))
+    assert got["n_triangles"].iloc[0] == want
+
+
+def test_triangle_counter_empty_and_cap(ray_session):
+    import ray.data
+
+    from grate_ray.functions.graph import triangle_count
+
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = triangle_count(ray.data.from_arrow(empty)).to_pandas()
+    assert out["n_triangles"].iloc[0] == 0
+    t = pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array([2, 3], pa.int64())})
+    with pytest.raises(ValueError):
+        triangle_count(ray.data.from_arrow(t), max_edges=1)
