@@ -2716,6 +2716,38 @@ def q_cdc_compact(sf_dir: str):
     return read_lake(out)
 
 
+# queries a driver CORRECTNESS round (r1-r4) has already verified —
+# pushed to the back of the queries() ordering so never-sampled entries
+# get driver coverage first
+_DRIVER_SAMPLED_R1_R4 = frozenset([
+    'above_avg_orders', 'agg_pushdown', 'ann_bruteforce', 'ann_ivf',
+    'ann_lsh', 'anti_join_segment', 'approx_distinct_texts', 'asof_join',
+    'broadcast_join', 'cdc_apply', 'cdc_apply_salted', 'cdc_branch_diff',
+    'cdc_changefeed', 'cdc_consume_changes', 'cdc_content_lookup', 'cdc_conv_stats',
+    'cdc_expire', 'cdc_export_roundtrip', 'cdc_filtered_read', 'cdc_global_rank',
+    'cdc_incremental_index', 'cdc_incremental_view', 'cdc_ingest_lake', 'cdc_ingest_metrics',
+    'cdc_merge_into', 'cdc_merged_ranges', 'cdc_multi_source', 'cdc_op_counts',
+    'cdc_point_lookup', 'cdc_repartition', 'cdc_scd2', 'cdc_schema_evolution',
+    'cdc_schema_rename', 'cdc_timetravel', 'cell_formats', 'cell_types',
+    'cfb_container', 'contrastive_triplets', 'deadletter_counts', 'decode_roundtrip_customer',
+    'decode_roundtrip_nation', 'decode_sniff_counts', 'dedup_embedding', 'dedup_embedding_lsh',
+    'dedup_exact', 'dedup_minhash', 'dedup_ngram_jaccard', 'dedup_simhash',
+    'dialog_pairs', 'distinct_event_types', 'doc_fingerprint', 'event_funnel',
+    'event_transitions', 'extract_links', 'graph_pagerank', 'group_entropy',
+    'grouped_median', 'grouped_mode', 'grouped_p90_cont', 'hashed_embed_search',
+    'heavy_hitters', 'knn_classify', 'max_qty_shipment', 'multimodal_bmp',
+    'multimodal_features', 'ntile_stats', 'orders_by_region', 'per_stratum_sample',
+    'pipeline_lake_sft', 'range_join', 'rc4_decrypt', 'render_datetime',
+    'retention_cohorts', 'rk_decode', 'rolling_mean', 'rollup_counts',
+    'running_total', 'sample_documents', 'scan_strict', 'sessionize',
+    'table_diff', 'text_langid', 'text_normalize', 'text_quality',
+    'token_counts', 'topk_orders', 'transcript_turn_counts', 'uniform_sample',
+    'user_type_pivot', 'value_histogram', 'window_approx_distinct', 'window_distinct_exact',
+    'window_hopping', 'window_lag_features', 'window_rolling_distinct', 'window_top_types',
+    'window_tumbling', 'workbook_get', 'workbook_list',
+])
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_apply": q_cdc_apply,
     "cdc_apply_salted": q_cdc_apply_salted,
@@ -6266,7 +6298,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return run
 
-    return {name: wrapped(fn) for name, fn in QUERIES.items()}
+    # lead with queries no driver CORRECTNESS round has ever sampled
+    # (rounds cap at ~50/round and pick from the front): never-sampled
+    # entries first, then the cumulative r1-r4 driver-green tail — this
+    # closes the structural 119-of-218-never-driver-checked gap fastest
+    items = sorted(
+        QUERIES.items(), key=lambda kv: (kv[0] in _DRIVER_SAMPLED_R1_R4, )
+    )
+    return {name: wrapped(fn) for name, fn in items}
 
 
 _JPEG_COLOR_CHAIN_SQL = """

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 import pyarrow as pa
 
 import ray
@@ -150,35 +152,42 @@ def synthesize_container_dir(
 
         hfinal = BasicRC4(filepass).verify(pw)
 
-    def build(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key_col)
-        grp = int(g["grp"].iloc[0])
+    def build(t: pa.Table) -> pa.Table:
+        from .extract import join_lines
+
+        t = t.sort_by(key_col)
+        grp = int(t["grp"][0].as_py())
+        lines = join_lines(t, cols)
+        nm = t[name_col].to_numpy(zero_copy_only=False).astype("U")
         streams: dict[str, bytes] = {}
-        for name in sorted(g[name_col].astype(str).unique()):
-            rows = g[g[name_col].astype(str) == name]
-            text = "\n".join(rows[cols].astype(str).agg("\t".join, axis=1))
-            data = text.encode("utf-8")
+        for name in sorted(np.unique(nm).tolist()):
+            idx = np.flatnonzero(nm == name)
+            data = "\n".join(lines[idx].tolist()).encode("utf-8")
             if hfinal is not None:
                 data = crypt_stream(hfinal, data)
-            streams[str(name)] = data
+            streams[name] = data
         if filepass is not None:
             streams[FILEPASS] = filepass
         blob = write_cfb(streams, version=version)
         path = os.path.join(staging, f"c{grp:04d}.cfb")
         with open(path, "wb") as f:
             f.write(blob)
-        return pd.DataFrame({"grp": [grp], "bytes": [len(blob)]})
+        return pa.table(
+            {
+                "grp": pa.array([grp], pa.int64()),
+                "bytes": pa.array([len(blob)], pa.int64()),
+            }
+        )
 
-    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[cols].copy()
-        df["grp"] = (df[key_col] % group_mod).astype("int64")
-        return df
+    from .extract import _add_grp_arrow
 
     (
         ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
-        .map_batches(add_grp, batch_format="pandas")
+        .map_batches(
+            _add_grp_arrow(cols, key_col, group_mod), batch_format="pyarrow"
+        )
         .groupby("grp")
-        .map_groups(build, batch_format="pandas")
+        .map_groups(build, batch_format="pyarrow")
         .materialize()
     )
     open(os.path.join(staging, "_OK"), "w").write("ok")

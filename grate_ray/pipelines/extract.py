@@ -9,12 +9,58 @@ oracle is simply the original table.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
 from ..stages.decode import PayloadDecoder
+
+
+def _add_grp_arrow(cols: list[str], key_col: str, group_mod: int):
+    """Arrow-native grouping-key stage: select + one numpy mod, no pandas
+    conversion."""
+
+    def add_grp(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.select(cols).append_column("grp", pa.array(key % group_mod))
+
+    return add_grp
+
+
+def join_lines(
+    t: pa.Table,
+    cols: list[str],
+    sep: str = "\t",
+    override: dict[str, "np.ndarray"] | None = None,
+) -> "np.ndarray":
+    """Vectorized str()-compatible row rendering: each row becomes one
+    sep-joined line (numpy shortest-roundtrip float repr == Python
+    ``str``, so payloads parse back to identical doubles and keep their
+    inferred cell types). ``override`` substitutes a pre-rendered column
+    (e.g. SST ``@idx`` references). Auto-width unicode only — no
+    truncating fixed-width casts."""
+    parts = []
+    for c in cols:
+        if override and c in override:
+            parts.append(np.asarray(override[c], dtype="U"))
+            continue
+        col = t[c]
+        ty = col.type
+        v = col.to_numpy(zero_copy_only=False)
+        if pa.types.is_floating(ty):
+            parts.append(v.astype("U32"))
+        elif pa.types.is_integer(ty):
+            parts.append(v.astype("U21"))
+        elif pa.types.is_boolean(ty):
+            parts.append(np.where(v, "True", "False"))
+        else:
+            parts.append(v.astype("U"))
+    line = parts[0]
+    for p in parts[1:]:
+        line = np.char.add(np.char.add(line, sep), p)
+    return line
 
 
 def frame_rows(
@@ -28,22 +74,22 @@ def frame_rows(
     group, each a sep-joined text grid (≅ writing a .tsv file per shard,
     /root/reference/cmd/grate2tsv/main.go:231-259)."""
 
-    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[cols].copy()
-        df["grp"] = (df[key_col] % group_mod).astype("int64")
-        return df
-
-    def frame(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key_col)
-        lines = g[cols].astype(str).agg(sep.join, axis=1)
-        return pd.DataFrame(
-            {"payload_id": [int(g["grp"].iloc[0])], "payload": ["\n".join(lines)]}
+    def frame(t: pa.Table) -> pa.Table:
+        t = t.sort_by(key_col)
+        lines = join_lines(t, cols, sep)
+        return pa.table(
+            {
+                "payload_id": pa.array([int(t["grp"][0].as_py())], pa.int64()),
+                "payload": pa.array(["\n".join(lines.tolist())], pa.string()),
+            }
         )
 
     return (
-        ds.map_batches(add_grp, batch_format="pandas")
+        ds.map_batches(
+            _add_grp_arrow(cols, key_col, group_mod), batch_format="pyarrow"
+        )
         .groupby("grp")
-        .map_groups(frame, batch_format="pandas")
+        .map_groups(frame, batch_format="pyarrow")
     )
 
 
@@ -160,29 +206,31 @@ def frame_books(
     ``hidden_names`` are marked hidden (S11)."""
     from ..sources.workbook import encode_book
 
-    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[cols].copy()
-        df["grp"] = (df[key_col] % group_mod).astype("int64")
-        return df
-
-    def frame(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key_col)
+    def frame(t: pa.Table) -> pa.Table:
+        t = t.sort_by(key_col)
+        lines = join_lines(t, cols)
+        nm = t[name_col].to_numpy(zero_copy_only=False).astype("U")
         sections = []
-        for name in sorted(g[name_col].unique()):
-            rows = g[g[name_col] == name]
-            lines = rows[cols].astype(str).agg("\t".join, axis=1).tolist()
-            sections.append((str(name), str(name) in hidden_names, lines))
-        return pd.DataFrame(
+        for name in sorted(np.unique(nm).tolist()):
+            idx = np.flatnonzero(nm == name)
+            sections.append(
+                (name, name in hidden_names, lines[idx].tolist())
+            )
+        return pa.table(
             {
-                "payload_id": [int(g["grp"].iloc[0])],
-                "payload": [encode_book(sections, styles=styles)],
+                "payload_id": pa.array([int(t["grp"][0].as_py())], pa.int64()),
+                "payload": pa.array(
+                    [encode_book(sections, styles=styles)], pa.string()
+                ),
             }
         )
 
     return (
-        ds.map_batches(add_grp, batch_format="pandas")
+        ds.map_batches(
+            _add_grp_arrow(cols, key_col, group_mod), batch_format="pyarrow"
+        )
         .groupby("grp")
-        .map_groups(frame, batch_format="pandas")
+        .map_groups(frame, batch_format="pyarrow")
     )
 
 
@@ -201,33 +249,36 @@ def frame_sst_books(
     /root/reference/xls/sheets.go:307-322)."""
     from ..sources.sst import encode_sst_book
 
-    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[cols].copy()
-        df["grp"] = (df[key_col] % group_mod).astype("int64")
-        return df
-
-    def frame(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key_col)
-        strings = sorted(g[dict_col].astype(str).unique())
-        ref = {s: f"@{i}" for i, s in enumerate(strings)}
-        enc = g.copy()
-        enc[dict_col] = enc[dict_col].astype(str).map(ref)
+    def frame(t: pa.Table) -> pa.Table:
+        t = t.sort_by(key_col)
+        vals = t[dict_col].to_numpy(zero_copy_only=False).astype("U")
+        strings_arr = np.unique(vals)  # sorted — deterministic
+        # vectorized @idx reference encoding via searchsorted
+        refs = np.char.add(
+            "@", np.searchsorted(strings_arr, vals).astype("U10")
+        )
+        lines = join_lines(t, cols, override={dict_col: refs})
+        nm = t[name_col].to_numpy(zero_copy_only=False).astype("U")
         sections = []
-        for name in sorted(g[name_col].unique()):
-            rows = enc[g[name_col].to_numpy() == name]
-            lines = rows[cols].astype(str).agg("\t".join, axis=1).tolist()
-            sections.append((str(name), False, lines))
-        return pd.DataFrame(
+        for name in sorted(np.unique(nm).tolist()):
+            idx = np.flatnonzero(nm == name)
+            sections.append((name, False, lines[idx].tolist()))
+        return pa.table(
             {
-                "payload_id": [int(g["grp"].iloc[0])],
-                "payload": [encode_sst_book(strings, sections)],
+                "payload_id": pa.array([int(t["grp"][0].as_py())], pa.int64()),
+                "payload": pa.array(
+                    [encode_sst_book(strings_arr.tolist(), sections)],
+                    pa.string(),
+                ),
             }
         )
 
     return (
-        ds.map_batches(add_grp, batch_format="pandas")
+        ds.map_batches(
+            _add_grp_arrow(cols, key_col, group_mod), batch_format="pyarrow"
+        )
         .groupby("grp")
-        .map_groups(frame, batch_format="pandas")
+        .map_groups(frame, batch_format="pyarrow")
     )
 
 

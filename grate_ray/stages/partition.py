@@ -228,17 +228,28 @@ def heavy_hitters(
         return pa.table({col: vc.field("values"),
                          "n": vc.field("counts").cast(pa.int64())})
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({col: pd.Series([], dtype="object"),
-                                 "n_events": pd.Series([], dtype="int64")})
-        g = df.groupby(col, sort=False)["n"].sum().reset_index(name="n_events")
-        g = g[g["n_events"] >= threshold_frac * total].reset_index(drop=True)
-        g["n_events"] = g["n_events"].astype("int64")
-        return g
+    out_schema = pa.schema(
+        [pa.field(col, pa.string()), pa.field("n_events", pa.int64())]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        vals = t[col].to_numpy(zero_copy_only=False).astype(object)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        sums = np.bincount(inv, weights=n).astype(np.int64)
+        keep = sums >= threshold_frac * total
+        return pa.table(
+            {
+                col: pa.array(uniq[keep], pa.string()),
+                "n_events": pa.array(sums[keep]),
+            },
+            schema=out_schema,
+        )
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
         .repartition(8, keys=[col])
-        .map_batches(final, batch_format="pandas", batch_size=None)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
