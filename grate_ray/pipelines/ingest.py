@@ -109,21 +109,49 @@ class PartitionMerger:
     SNAPSHOT_EVERY = 8  # delta commits between full snapshots
     MAX_CACHE_ROWS = 4_000_000  # per-actor merge-buffer bound (SURVEY §4)
 
-    def __init__(self, lake_dir: str, lsn_lo: int, lsn_hi: int):
+    def __init__(
+        self,
+        lake_dir: str,
+        lsn_lo: int,
+        lsn_hi: int,
+        max_cache_rows: int | None = None,
+    ):
         self.lake_dir = lake_dir
         self.lsn_lo = lsn_lo
         self.lsn_hi = lsn_hi
+        self.max_cache_rows = max_cache_rows or self.MAX_CACHE_ROWS
         self.state_cache: dict[int, pa.Table] = {}
 
     def _cache_put(self, part: int, state: pa.Table) -> None:
         """Bounded merge-buffer cache: partition states are re-derivable
         from (snapshot + deltas) on disk, so when cached rows exceed the
         bound we evict everything but the newest entry rather than let
-        actor memory grow with the number of partitions served."""
+        actor memory grow with the number of partitions served. Each
+        eviction drops a tiny diagnostic marker under ``_diag/`` so
+        stress tests (and operators) can ASSERT the path ran and that
+        post-eviction residency respects the bound."""
         self.state_cache[part] = state
         total = sum(t.num_rows for t in self.state_cache.values())
-        if total > self.MAX_CACHE_ROWS:
+        if total > self.max_cache_rows:
             self.state_cache = {part: state}
+            self._log_eviction(total, state.num_rows)
+
+    def _log_eviction(self, rows_before: int, rows_after: int) -> None:
+        import json
+        import uuid
+
+        d = os.path.join(self.lake_dir, "_diag")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"evict-{uuid.uuid4().hex[:12]}.json"), "w") as f:
+            json.dump(
+                {
+                    "pid": os.getpid(),
+                    "bound": self.max_cache_rows,
+                    "cached_rows_before": rows_before,
+                    "cached_rows_after": rows_after,
+                },
+                f,
+            )
 
     def _metrics_row(self, part: int, counts: dict | None, live: int, skipped: bool) -> pa.Table:
         counts = counts or {}
@@ -306,6 +334,7 @@ def _ingest_impl(
     auto_salt: bool = False,
     auto_salt_threshold: float = 0.05,
     row_filter=None,
+    merge_cache_rows: int | None = None,
 ) -> pa.Table:
     """Tail the binlog into the lake; returns the metrics table (one row per
     partition commit across all micro-batches run).
@@ -517,7 +546,7 @@ def _ingest_impl(
 
         metrics_ds = ds.groupby("part").map_groups(
             PartitionMerger,
-            fn_constructor_args=(lake_dir, lsn_lo, lsn_hi),
+            fn_constructor_args=(lake_dir, lsn_lo, lsn_hi, merge_cache_rows),
             batch_format="pyarrow",
             concurrency=merger_concurrency,
         )

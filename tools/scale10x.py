@@ -64,9 +64,25 @@ def main() -> None:
     out = "/tmp/graft_bench/lake_sf1"
     shutil.rmtree(out, ignore_errors=True)
     log("phase: 300M ingest")
+    # GRAFT_MERGE_CACHE_ROWS (or --merge-cache-rows N) pins the per-actor
+    # merge-buffer bound so the 10x run PROVES the eviction path under
+    # real key cardinality instead of merely having it available
+    cache_rows = None
+    if "--merge-cache-rows" in sys.argv:
+        cache_rows = int(sys.argv[sys.argv.index("--merge-cache-rows") + 1])
+    elif os.environ.get("GRAFT_MERGE_CACHE_ROWS"):
+        cache_rows = int(os.environ["GRAFT_MERGE_CACHE_ROWS"])
     t0 = time.perf_counter()
-    metrics = ingest(binlog_dir, out, num_partitions=128, files_per_microbatch=None)
+    metrics = ingest(
+        binlog_dir, out, num_partitions=128, files_per_microbatch=None,
+        merge_cache_rows=cache_rows,
+    )
     dt = time.perf_counter() - t0
+    n_evictions = (
+        len(os.listdir(os.path.join(out, "_diag")))
+        if os.path.isdir(os.path.join(out, "_diag"))
+        else 0
+    )
     applied = sum(
         n
         for n, s in zip(
@@ -94,6 +110,8 @@ def main() -> None:
                 "headline_30m_events_per_sec": round(r1),
                 "per_event_rate_ratio_10x_vs_1x": round(r10 / r1, 3),
                 "num_partitions": 128,
+                "merge_cache_rows": cache_rows,
+                "n_cache_evictions": n_evictions,
                 "weather": weather,
             }
         )
