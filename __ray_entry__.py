@@ -1477,6 +1477,123 @@ def q_hyperlink_range_fill(sf_dir: str):
     )
 
 
+def q_doc_topk_per_lang(sf_dir: str, k: int = 5):
+    """Grouped top-k (the per-category leaderboard): k longest documents
+    per language. Per-batch per-lang local prune (each batch emits at
+    most |langs| x k rows), ONE lang-keyed hop, block-local rank — no
+    global sort."""
+    import ray.data
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(object)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, -nc, lang))
+        lang, did, nc = lang[order], did[order], nc[order]
+        new = np.empty(len(lang), dtype=bool)
+        new[0] = True
+        new[1:] = lang[1:] != lang[:-1]
+        pos = np.arange(len(lang)) - np.repeat(
+            np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), len(lang)))
+        )
+        keep = pos < k
+        return pa.table(
+            {
+                "lang": pa.array(lang[keep], pa.string()),
+                "doc_id": pa.array(did[keep]),
+                "n_chars": pa.array(nc[keep]),
+            }
+        )
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        out = local_topk(t)
+        if out.num_rows == 0:
+            return out.append_column("rank", pa.array([], pa.int64()))
+        lang = out["lang"].to_numpy(zero_copy_only=False).astype(object)
+        new = np.empty(len(lang), dtype=bool)
+        new[0] = True
+        new[1:] = lang[1:] != lang[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(lang)) - np.repeat(
+            starts, np.diff(np.append(starts, len(lang)))
+        ) + 1
+        return out.append_column("rank", pa.array(rank.astype(np.int64)))
+
+    from grate_ray.context import join_partitions
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        .map_batches(local_topk, batch_format="pyarrow")
+        .repartition(join_partitions(8), keys=["lang"])
+        .map_batches(final_rank, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def q_lsh_pair_audit(sf_dir: str):
+    """ANN-quality audit: precision/recall of the LSH near-dup pair
+    relation against the exact all-pairs relation over the same planted
+    corpus. Both relations are BOUNDED by construction (threshold +
+    bucket caps), so the final set comparison runs on the driver over
+    a few hundred composite keys — the audit itself is a diagnostic,
+    not a data-path stage."""
+    from grate_ray.functions.ann import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+    import pyarrow.parquet as pq
+    import ray.data
+
+    u = _embeddings_with_perturbed(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+    mat2 = mat.copy()
+    mat2[:, -1] = 0.0
+    all_ids = np.concatenate([ids, ids + 1_000_000])
+    all_mat = np.vstack([mat, mat2])
+    exact = cosine_neardup_pairs(u, all_ids, all_mat, threshold=0.9)
+    lsh = cosine_neardup_pairs_lsh(
+        _embeddings_with_perturbed(sf_dir), threshold=0.9, nbits=None
+    )
+
+    def pair_keys(ds) -> np.ndarray:
+        blocks = [ray.get(r) for r in ds.select_columns(["a", "b"]).to_arrow_refs()]
+        blocks = [b for b in blocks if b.num_rows]
+        if not blocks:
+            return np.empty(0, dtype=np.int64)
+        tt = pa.concat_tables(blocks)
+        a = tt["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tt["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.unique(a * 10_000_000 + b)
+
+    e = pair_keys(exact)
+    l = pair_keys(lsh)
+    common = np.intersect1d(e, l, assume_unique=True)
+    prec = len(common) / max(len(l), 1)
+    rec = len(common) / max(len(e), 1)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_exact": pa.array([len(e)], pa.int64()),
+                "n_lsh": pa.array([len(l)], pa.int64()),
+                "n_common": pa.array([len(common)], pa.int64()),
+                "prec": pa.array([round(prec, 6)]),
+                "recall": pa.array([round(rec, 6)]),
+            }
+        )
+    )
+
+
 def q_window_hopping(sf_dir: str):
     """Hopping (overlapping) event-time windows: 60-min windows every
     15 min — the 1→N flat-map applied to windowed aggregation."""
@@ -2912,6 +3029,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
     "dedup_embedding": q_dedup_embedding,
+    "doc_topk_per_lang": q_doc_topk_per_lang,
+    "lsh_pair_audit": q_lsh_pair_audit,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_features": q_multimodal_features,
     "multimodal_bmp": q_multimodal_bmp,
@@ -3110,6 +3229,30 @@ QUERIES: dict[str, Callable[[str], Any]] = {
         "grate_ray.pipelines.cdc", fromlist=["x"]
     ).partition_balance(_binlog(sf), num_buckets=64, num_partitions=16),
     "cdc_split_tables": q_cdc_split_tables,
+    "returned_items": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).returned_items(sf),
+    "small_qty_revenue": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).small_qty_revenue(sf),
+    "disjunct_revenue": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).disjunct_revenue(sf),
+    "idle_customers": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).idle_customers(sf),
+    "nation_profit": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).nation_profit(sf),
+    "session_windows": lambda sf: __import__(
+        "grate_ray.pipelines.behavior", fromlist=["x"]
+    ).session_windows(sf),
+    "retention_cohorts": lambda sf: __import__(
+        "grate_ray.pipelines.behavior", fromlist=["x"]
+    ).retention_cohorts(sf),
+    "funnel_conversion": lambda sf: __import__(
+        "grate_ray.pipelines.behavior", fromlist=["x"]
+    ).funnel_conversion(sf),
     "pricing_summary": lambda sf: __import__(
         "grate_ray.pipelines.olap", fromlist=["x"]
     ).pricing_summary(sf),
@@ -4120,6 +4263,43 @@ WITH e AS (
 )
 SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def _lsh_pair_audit_sql(threshold: float = 0.9) -> str:
+    """Audit oracle: exact pairs vs the auto-width LSH pairs (both CTEs
+    reuse the registered relations' SQL verbatim), counted + jaccarded
+    into one precision/recall row."""
+    lsh = _embedding_lsh_auto_sql(threshold=threshold)
+    return f"""
+WITH exact AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               CAST(embedding[1:63] || [CAST(0 AS FLOAT)] AS DOUBLE[])
+        FROM embeddings) a
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               CAST(embedding[1:63] || [CAST(0 AS FLOAT)] AS DOUBLE[])
+        FROM embeddings) b
+    ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6)
+        >= {threshold}
+), lsh AS (
+  SELECT a, b FROM ({lsh})
+), common AS (
+  SELECT a, b FROM exact INTERSECT SELECT a, b FROM lsh
+)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM lsh) AS n_lsh,
+       (SELECT count(*) FROM common) AS n_common,
+       round((SELECT count(*) FROM common)
+             / CAST(greatest((SELECT count(*) FROM lsh), 1) AS DOUBLE), 6)
+         AS prec,
+       round((SELECT count(*) FROM common)
+             / CAST(greatest((SELECT count(*) FROM exact), 1) AS DOUBLE), 6)
+         AS recall"""
 
 
 def _embedding_lsh_auto_sql(
@@ -5588,6 +5768,13 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""",
         "dedup_embedding_lsh": _embedding_lsh_auto_sql(threshold=0.9),
+        "doc_topk_per_lang": """
+SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents) WHERE rank <= 5""",
+        "lsh_pair_audit": _lsh_pair_audit_sql(),
         "multimodal_features": """
 SELECT doc_id,
        octet_length(CAST(text AS BLOB)) + 4 AS n_bytes,
@@ -5977,6 +6164,106 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "returned_items": """
+WITH rev AS (
+  SELECT o_custkey AS c_custkey,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1
+), top AS (
+  SELECT c_custkey, revenue
+  FROM rev ORDER BY round(revenue, 2) DESC, c_custkey LIMIT 20
+)
+SELECT t.c_custkey, c.c_name, c.c_acctbal, round(t.revenue, 2) AS revenue
+FROM top t JOIN customer c USING (c_custkey)""",
+        "small_qty_revenue": """
+WITH m AS (SELECT l_partkey, round(0.5 * avg(l_quantity), 6) AS th
+           FROM lineitem GROUP BY 1)
+SELECT count(*) AS n_items,
+       round(coalesce(sum(l_extendedprice), 0) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN m USING (l_partkey)
+WHERE l_quantity < th""",
+        "disjunct_revenue": """
+WITH f AS (
+  SELECT l_extendedprice, l_discount
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         AND l_quantity BETWEEN 20 AND 30)
+)
+SELECT count(*) AS n_items,
+       round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2)
+         AS revenue
+FROM f""",
+        "idle_customers": """
+WITH avg_bal AS (
+  SELECT round(avg(c_acctbal), 6) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT a FROM avg_bal)
+  AND c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY 1""",
+        "nation_profit": """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2""",
+        "session_windows": """
+WITH s AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events,
+       round(count(*) / CAST(sum(new_sess) AS DOUBLE), 6)
+         AS events_per_session
+FROM s GROUP BY user_id""",
+        "retention_cohorts": """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+), c AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort
+  FROM uw
+)
+SELECT CAST(cohort AS BIGINT) AS cohort_week,
+       CAST(week - cohort AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM c GROUP BY 1, 2""",
+        "funnel_conversion": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+counts AS (
+  SELECT 0 AS step, 'view' AS event_type,
+         (SELECT count(*) FROM s1) AS n_users
+  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT CAST(step AS INTEGER) AS step, event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(n_users / CAST((SELECT n_users FROM counts WHERE step = 0)
+                            AS DOUBLE), 6) AS conversion
+FROM counts""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

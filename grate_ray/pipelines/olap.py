@@ -719,3 +719,498 @@ def shipping_delay_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def returned_items(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """TPC-H Q10 shape (returned-item report): revenue lost to returned
+    lineitems per customer, top-k by revenue. The returnflag filter is
+    pushed into the lineitem read; lineitem⋈orders is a DISTRIBUTED
+    fact⋈fact hash join; the customer attributes probe from ONE
+    broadcast copy (dimension-sized at bench scale); per-batch partial
+    sums key by custkey so the final exchange moves one row per
+    (block, customer). Top-k finish = block prune → single-block rank."""
+    import pyarrow.dataset as pads
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust_ref = _broadcast_table(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_name", "c_acctbal"]
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(32),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("c_custkey", pa.int64()),
+            pa.field("revenue", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        uniq, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(uniq),
+                "revenue": pa.array(np.bincount(inv, weights=rev)),
+            },
+            schema=part_schema,
+        )
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = t["revenue"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        sums = np.bincount(inv, weights=rv)
+        order = np.lexsort((uniq, -np.round(sums, 2)))[:k]
+        return pa.table(
+            {
+                "c_custkey": pa.array(uniq[order]),
+                "revenue": pa.array(sums[order]),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("c_custkey", pa.int64()),
+            pa.field("c_name", pa.string()),
+            pa.field("c_acctbal", pa.float64()),
+            pa.field("revenue", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = merge_topk(t)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cust = ray.get(cust_ref)
+        idx = pc.index_in(
+            t["c_custkey"].combine_chunks(),
+            value_set=cust["c_custkey"].combine_chunks(),
+        )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": cust["c_name"].take(idx),
+                "c_acctbal": cust["c_acctbal"].take(idx),
+                "revenue": sql_round(t["revenue"], 2),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(16), keys=["c_custkey"])
+        .map_batches(merge_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def small_qty_revenue(sf_dir: str, frac: float = 0.5) -> ray.data.Dataset:
+    """TPC-H Q17 shape (small-quantity-order revenue): yearly-equivalent
+    revenue of lineitems whose quantity is below ``frac`` x their part's
+    average. Pass 1 is a combiner-first per-part mean (exchange:
+    one (block, part) row); the per-part thresholds come back as ONE
+    broadcast (parts are dimension-sized); pass 2 re-scans lineitem and
+    filters against the broadcast — no join shuffle anywhere."""
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(16)
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    part_schema = pa.schema(
+        [
+            pa.field("l_partkey", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("s", pa.float64()),
+        ]
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uniq),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "s": pa.array(np.bincount(inv, weights=q)),
+            },
+            schema=part_schema,
+        )
+
+    means = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    blocks = [ray.get(r) for r in means.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]  # empties carry no schema
+    mt = pa.concat_tables(blocks).combine_chunks()
+    pk = mt["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    thresh = frac * (
+        mt["s"].to_numpy(zero_copy_only=False)
+        / mt["n"].to_numpy(zero_copy_only=False)
+    )
+    order = np.argsort(pk)
+    thresh_ref = ray.put((pk[order], np.round(thresh[order], 6)))
+
+    out_schema = pa.schema(
+        [pa.field("n_items", pa.int64()), pa.field("avg_yearly", pa.float64())]
+    )
+
+    def below(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()), "s": pa.array([0.0])}
+            )
+        keys, th = ray.get(thresh_ref)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        hit = q < th[np.searchsorted(keys, p)]
+        return pa.table(
+            {
+                "n": pa.array([int(hit.sum())], pa.int64()),
+                "s": pa.array([float(e[hit].sum())]),
+            }
+        )
+
+    totals = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+        .map_batches(below, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n_items": pa.array(
+                        [int(pc.sum(t["n"]).as_py() or 0)], pa.int64()
+                    ),
+                    # 2dp: the sum is ~1e9-scale, so float summation
+                    # order costs ~1e-5 — 6dp would be order-dependent
+                    "avg_yearly": sql_round(
+                        pa.array([float(pc.sum(t["s"]).as_py() or 0.0) / 7.0]), 2
+                    ),
+                },
+                schema=out_schema,
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return totals
+
+
+def disjunct_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q19 shape (disjunctive predicate revenue): revenue of
+    lineitems matching ANY of three (brand, size-range, qty-range)
+    clauses. Part attributes probe from ONE broadcast copy; the OR-of-
+    ANDs evaluates as three vectorized boolean masks per batch; each
+    batch collapses to one (n, sum) scalar row — the exchange moves
+    O(blocks) rows."""
+    from ..context import configure_shuffle
+
+    configure_shuffle(8)
+    part_ref = _broadcast_table(
+        f"{sf_dir}/part.parquet", ["p_partkey", "p_brand", "p_size"]
+    )
+
+    out_schema = pa.schema(
+        [pa.field("n_items", pa.int64()), pa.field("revenue", pa.float64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()), "s": pa.array([0.0])}
+            )
+        part = ray.get(part_ref)
+        idx = pc.index_in(
+            t["l_partkey"].combine_chunks(),
+            value_set=part["p_partkey"].combine_chunks(),
+        ).to_numpy(zero_copy_only=False)
+        brand = part["p_brand"].to_numpy(zero_copy_only=False)[idx]
+        size = part["p_size"].to_numpy(zero_copy_only=False)[idx]
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        hit = (
+            ((brand == "Brand#1") & (size >= 1) & (size <= 15) & (q >= 1) & (q <= 11))
+            | ((brand == "Brand#2") & (size >= 1) & (size <= 25) & (q >= 10) & (q <= 20))
+            | ((brand == "Brand#3") & (size >= 1) & (size <= 35) & (q >= 20) & (q <= 30))
+        )
+        rev = e[hit] * (1.0 - d[hit])
+        return pa.table(
+            {
+                "n": pa.array([int(hit.sum())], pa.int64()),
+                "s": pa.array([float(rev.sum())]),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n_items": pa.array(
+                        [int(pc.sum(t["n"]).as_py() or 0)], pa.int64()
+                    ),
+                    "revenue": sql_round(
+                        pa.array([float(pc.sum(t["s"]).as_py() or 0.0)]), 2
+                    ),
+                },
+                schema=out_schema,
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+
+def idle_customers(sf_dir: str, big_order: float = 400_000.0) -> ray.data.Dataset:
+    """TPC-H Q22 shape (global-average filter + anti join): per market
+    segment, the count and total balance of customers whose balance
+    beats the positive-balance average AND who never placed a
+    large (> ``big_order``) order. The global average is one
+    combiner-first scalar pass; the large-order custkey set ships as
+    ONE broadcast distinct relation (bounded by |customers|,
+    dimension-sized here) probed with a sorted-membership search — the
+    anti join never shuffles the fact; the totalprice predicate is
+    pushed into the orders read."""
+    import pyarrow.dataset as pads
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(8)
+    cust_cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+
+    # pass 1: positive-balance average (tiny combiner relation)
+    def bal_partial(t: pa.Table) -> pa.Table:
+        b = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        b = b[b > 0.0]
+        return pa.table(
+            {"n": pa.array([len(b)], pa.int64()), "s": pa.array([float(b.sum())])}
+        )
+
+    parts = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_acctbal"]
+            )
+            .map_batches(bal_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        ]
+    )
+    n = int(pc.sum(parts["n"]).as_py() or 0)
+    avg = round(float(pc.sum(parts["s"]).as_py() or 0.0) / max(n, 1), 6)
+
+    # pass 2: distinct ordering customers, broadcast once
+    def distinct_cust(t: pa.Table) -> pa.Table:
+        u = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"c": pa.array(u.astype(np.int64))})
+
+    ordered = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey"],
+                filter=pads.field("o_totalprice") > big_order,
+            )
+            .map_batches(distinct_cust, batch_format="pyarrow")
+            .to_arrow_refs()
+        ]
+    )
+    ordered_ref = ray.put(
+        np.unique(ordered["c"].to_numpy(zero_copy_only=False))
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("c_mktsegment", pa.string()),
+            pa.field("n_cust", pa.int64()),
+            pa.field("total_bal", pa.float64()),
+        ]
+    )
+
+    def segment_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        have = ray.get(ordered_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        seg = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(have, ck)
+        in_orders = (pos < len(have)) & (have[np.minimum(pos, len(have) - 1)] == ck)
+        keep = (bal > avg) & ~in_orders
+        if not keep.any():
+            return part_schema.empty_table()
+        seg, bal = seg[keep], bal[keep]
+        uniq, inv = np.unique(seg, return_inverse=True)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(uniq, pa.string()),
+                "n_cust": pa.array(np.bincount(inv).astype(np.int64)),
+                "total_bal": pa.array(np.bincount(inv, weights=bal)),
+            },
+            schema=part_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cust_cols)
+        .map_batches(segment_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("total_bal", alias_name="total_bal"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_cust": t["n_cust"].cast(pa.int64()),
+                "total_bal": sql_round(t["total_bal"], 2),
+            },
+            schema=part_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def nation_profit(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q9 shape (profit by supplier nation x order year, sans
+    partsupp): revenue = extendedprice x (1 - discount) of each lineitem,
+    attributed to its supplier's nation and its order's year. The
+    lineitem⋈orders edge is the one DISTRIBUTED fact⋈fact hash join;
+    supplier→nation attributes probe from a broadcast; per-batch
+    partials key by (nation, year) so the final exchange is
+    dimension-bounded."""
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    supp_ref = _broadcast_table(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"]
+    )
+    nation_ref = _broadcast_table(
+        f"{sf_dir}/nation.parquet", ["n_nationkey", "n_name"]
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(32),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("nation", pa.string()),
+            pa.field("o_year", pa.int32()),
+            pa.field("profit", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        supp = ray.get(supp_ref)
+        nat = ray.get(nation_ref)
+        sidx = pc.index_in(
+            t["l_suppkey"].combine_chunks(),
+            value_set=supp["s_suppkey"].combine_chunks(),
+        ).to_numpy(zero_copy_only=False)
+        snat = supp["s_nationkey"].to_numpy(zero_copy_only=False)[sidx]
+        nidx = pc.index_in(
+            pa.array(snat), value_set=nat["n_nationkey"].combine_chunks()
+        ).to_numpy(zero_copy_only=False)
+        names = nat["n_name"].to_numpy(zero_copy_only=False).astype(object)[nidx]
+        year = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        ).astype(np.int64)
+        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        # factorize (nation, year) without truncating string casts
+        ns, ni = np.unique(names, return_inverse=True)
+        ys, yi = np.unique(year, return_inverse=True)
+        ny = len(ys)
+        uniq, inv = np.unique(ni * ny + yi, return_inverse=True)
+        return pa.table(
+            {
+                "nation": pa.array(ns[uniq // ny], pa.string()),
+                "o_year": pa.array((ys[uniq % ny]).astype(np.int32)),
+                "profit": pa.array(np.bincount(inv, weights=rev)),
+            },
+            schema=part_schema,
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nation", "o_year"])
+        .aggregate(Sum("profit", alias_name="profit"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "nation": t["nation"],
+                "o_year": t["o_year"].cast(pa.int32()),
+                "profit": sql_round(t["profit"], 2),
+            },
+            schema=part_schema,
+        ),
+        batch_format="pyarrow",
+    )

@@ -196,3 +196,124 @@ def test_triangle_counter_empty_and_cap(ray_session):
     t = pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array([2, 3], pa.int64())})
     with pytest.raises(ValueError):
         triangle_count(ray.data.from_arrow(t), max_edges=1)
+
+
+# --- behavior kernels vs naive references ------------------------------------
+
+
+def _naive_sessions(rows, gap_us):
+    # rows: (user, ts, eid) — sorted per user by (ts, eid)
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, ts, eid in rows:
+        per[u].append((ts, eid))
+    out = {}
+    for u, evs in per.items():
+        evs.sort()
+        sessions = 1
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            if b - a > gap_us:
+                sessions += 1
+        out[u] = (sessions, len(evs))
+    return out
+
+
+def test_session_windows_vs_naive(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from grate_ray.pipelines.behavior import session_windows
+
+    rng = np.random.default_rng(11)
+    n = 3_000
+    u = rng.integers(0, 25, n)
+    ts = np.sort(rng.integers(0, 10**10, n))
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "user_id": pa.array(u.astype(np.int64)),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(np.zeros(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    d = tmp_path / "events.parquet"
+    pq.write_table(t, d)
+    got = session_windows(str(tmp_path), gap_minutes=30).to_pandas()
+    want = _naive_sessions(
+        list(zip(u.tolist(), ts.tolist(), range(n))), 30 * 60 * 1_000_000
+    )
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        s, e = want[r["user_id"]]
+        assert (r["n_sessions"], r["n_events"]) == (s, e), r["user_id"]
+
+
+def test_funnel_conversion_chaining(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from grate_ray.pipelines.behavior import funnel_conversion
+
+    # user 1: view->click->purchase in order (reaches all 3)
+    # user 2: click before view (click after? no) -> only view
+    # user 3: view, purchase, click (purchase before click: stops at click? view->click yes, purchase BEFORE click: not counted)
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        (2, 10, "click"), (2, 20, "view"),
+        (3, 10, "view"), (3, 20, "purchase"), (3, 30, "click"),
+        (4, 10, "purchase"), (4, 20, "signup"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype=np.int64) * 1_000_000
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array(np.zeros(len(rows))),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = funnel_conversion(str(tmp_path)).to_pandas().sort_values("step")
+    # step0: users 1,2,3 viewed; step1: 1 and 3 clicked after view;
+    # step2: only 1 purchased after its click
+    assert got["n_users"].tolist() == [3, 2, 1]
+    assert got["conversion"].tolist() == [1.0, round(2 / 3, 6), round(1 / 3, 6)]
+
+
+def test_retention_cohorts_dedup(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from grate_ray.pipelines.behavior import retention_cohorts
+
+    wk = 7 * 24 * 3600 * 1_000_000
+    # user 1: weeks 0,0,1 (dup in week 0); user 2: weeks 1,3
+    rows = [(1, 0), (1, wk // 2), (1, wk + 5), (2, wk), (2, 3 * wk)]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype=np.int64)
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array(np.zeros(len(rows))),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        retention_cohorts(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    # cohort 0 (user 1): offsets 0 and 1; cohort 1 (user 2): offsets 0 and 2
+    cells = set(
+        zip(got["cohort_week"], got["week_offset"], got["n_users"])
+    )
+    assert cells == {(0, 0, 1), (0, 1, 1), (1, 0, 1), (1, 2, 1)}
