@@ -27,6 +27,13 @@ DEFAULT = [
     "bpe_merges",
 ]
 
+# round-5 coverage: the remaining heavy dedup/graph family (VERDICT r4 #6)
+ROUND5 = [
+    "dedup_cluster_sizes",
+    "dedup_containment",
+    "graph_triangles",
+]
+
 SF1 = os.environ.get("GRAFT_SF1_DIR", "/tmp/sf1")
 SF01 = "/root/testdata/sf0.1"
 
@@ -105,4 +112,7 @@ def run(names: list[str]) -> None:
 
 
 if __name__ == "__main__":
-    run(sys.argv[1:] or DEFAULT)
+    args = sys.argv[1:]
+    if args == ["--round5"]:
+        args = ROUND5
+    run(args or DEFAULT)
