@@ -3229,6 +3229,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
         "grate_ray.pipelines.cdc", fromlist=["x"]
     ).partition_balance(_binlog(sf), num_buckets=64, num_partitions=16),
     "cdc_split_tables": q_cdc_split_tables,
+    "market_basket": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).market_basket(sf),
+    "cdc_longest_gap": lambda sf: (
+        lambda cdc: cdc.conv_longest_gap(
+            cdc.apply_binlog(_binlog(sf), num_partitions=16)
+        )
+    )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
     "returned_items": lambda sf: __import__(
         "grate_ray.pipelines.olap", fromlist=["x"]
     ).returned_items(sf),
@@ -4473,6 +4481,15 @@ WHERE w.op <> 'D' GROUP BY 1""",
         "conv_role_path": f"""
 SELECT conv_id, string_agg(role, '>' ORDER BY turn_idx) AS role_path
 FROM ({lww}) s GROUP BY conv_id""",
+        "cdc_longest_gap": f"""
+WITH l AS (SELECT conv_id, turn_idx, ts FROM ({lww}) s),
+g AS (SELECT conv_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx)) AS gap
+      FROM l)
+SELECT conv_id, count(*) AS n_turns,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g GROUP BY conv_id HAVING count(*) >= 2""",
         "cdc_conv_text_stats": f"""
 SELECT conv_id, count(*) AS n_turns,
        CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
@@ -6164,6 +6181,16 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "market_basket": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_orders
+FROM pairs GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
         "returned_items": """
 WITH rev AS (
   SELECT o_custkey AS c_custkey,

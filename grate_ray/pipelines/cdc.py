@@ -1288,3 +1288,61 @@ def dup_turns(state: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Dat
         ).filter(pc.greater(t["n_dups"].cast(pa.int64()), 1))
 
     return agg.map_batches(having, batch_format="pyarrow")
+
+
+def conv_longest_gap(
+    state: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Per-conversation longest inter-turn timestamp gap over the LWW
+    final state (turn order, not ts order — LWW updates can reorder
+    wall-clock time, and that inversion is exactly what this audit
+    surfaces as a negative-gap floor). Conversations with a single live
+    turn are excluded. One conv-keyed hop; gaps resolve per block with
+    a segment-masked diff."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    out_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("n_turns", pa.int64()),
+            pa.field("max_gap_us", pa.int64()),
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, conv))
+        conv, ts = conv[order], ts[order]
+        same = np.empty(len(conv), dtype=bool)
+        same[0] = False
+        same[1:] = conv[1:] == conv[:-1]
+        gaps = np.empty(len(conv), dtype=np.int64)
+        gaps[0] = np.iinfo(np.int64).min
+        gaps[1:] = ts[1:] - ts[:-1]
+        gaps[~same] = np.iinfo(np.int64).min  # segment boundaries
+        starts = np.flatnonzero(~same)
+        lens = np.diff(np.append(starts, len(conv)))
+        keep = lens >= 2
+        if not keep.any():
+            return out_schema.empty_table()
+        mx = np.maximum.reduceat(gaps, starts)  # boundary gap is -inf
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts[keep]], pa.string()),
+                "n_turns": pa.array(lens[keep].astype(np.int64)),
+                "max_gap_us": pa.array(mx[keep]),
+            },
+            schema=out_schema,
+        )
+
+    return state.repartition(
+        join_partitions(num_partitions), keys=["conv_id"]
+    ).map_batches(per_block, batch_format="pyarrow", batch_size=None)

@@ -1214,3 +1214,113 @@ def nation_profit(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def market_basket(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Pairwise frequent-itemset mining over orders (the market-basket
+    co-occurrence report): the k part pairs bought together in the most
+    orders. Per-batch (order, part) dedup → ONE order-keyed hop (each
+    order's items land whole) → per-block triangular pair expansion
+    (orders hold a handful of items, so pairs grow linearly in rows) →
+    a pair-keyed count hop → block-pruned top-k. No global sort; the
+    pair relation is the only fact-sized exchange and it is
+    support-ordered only at the final single block."""
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    op_schema = pa.schema(
+        [pa.field("l_orderkey", pa.int64()), pa.field("l_partkey", pa.int64())]
+    )
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return op_schema.empty_table()
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pu, pi = np.unique(p, return_inverse=True)
+        _, first = np.unique(o * len(pu) + pi, return_index=True)
+        return pa.table(
+            {"l_orderkey": pa.array(o[first]), "l_partkey": pa.array(p[first])},
+            schema=op_schema,
+        )
+
+    pair_schema = pa.schema(
+        [
+            pa.field("part_a", pa.int64()),
+            pa.field("part_b", pa.int64()),
+            pa.field("n_orders", pa.int64()),
+        ]
+    )
+
+    def pairs_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        # block-level re-dedup (same (order, part) may arrive from many
+        # source batches)
+        keep = np.empty(len(o), dtype=bool)
+        keep[0] = True
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        new = np.empty(len(o), dtype=bool)
+        new[0] = True
+        new[1:] = o[1:] != o[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(o)))
+        pa_, pb_ = [], []
+        for s, ln in zip(starts, lens):  # ln is items-per-order: tiny
+            if ln < 2:
+                continue
+            ii, jj = np.triu_indices(ln, k=1)
+            pa_.append(p[s + ii])
+            pb_.append(p[s + jj])
+        if not pa_:
+            return pair_schema.empty_table()
+        aa = np.concatenate(pa_)
+        bb = np.concatenate(pb_)
+        big = int(max(aa.max(), bb.max())) + 1
+        uniq, inv = np.unique(aa * big + bb, return_inverse=True)
+        return pa.table(
+            {
+                "part_a": pa.array(uniq // big),
+                "part_b": pa.array(uniq % big),
+                "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
+            },
+            schema=pair_schema,
+        )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a, -n))[:k]
+        return pa.table(
+            {
+                "part_a": pa.array(a[order]),
+                "part_b": pa.array(b[order]),
+                "n_orders": pa.array(n[order]),
+            },
+            schema=pair_schema,
+        )
+
+    return (
+        ds.map_batches(dedup_batch, batch_format="pyarrow")
+        .repartition(join_partitions(32), keys=["l_orderkey"])
+        .map_batches(pairs_block, batch_format="pyarrow", batch_size=None)
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .map_batches(topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )
