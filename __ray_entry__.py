@@ -1594,6 +1594,37 @@ def q_lsh_pair_audit(sf_dir: str):
     )
 
 
+def q_a1_refs(sf_dir: str):
+    """T17 literal kernel (VERDICT r4 Missing #3): synthesize an A1 cell
+    address per document (column = doc_id % 702 spans the 1- and
+    2-letter ranges, row = doc_id), then parse it back with the
+    reference-mirrored ref kernel (xlsx/types.go:46-80). The oracle
+    recomputes ref and indexes with pure SQL base-26 arithmetic, so the
+    round trip is what is checked."""
+    import ray.data
+    from grate_ray.functions.refs import int2col, refs_to_indexes
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        refs = np.array(
+            [int2col(int(i) % 702) + str(int(i) + 1) for i in ids],
+            dtype=object,
+        )
+        cols, rows = refs_to_indexes(refs)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "ref": pa.array(refs, pa.string()),
+                "col_idx": pa.array(cols),
+                "row_idx": pa.array(rows),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
 def q_window_hopping(sf_dir: str):
     """Hopping (overlapping) event-time windows: 60-min windows every
     15 min — the 1→N flat-map applied to windowed aggregation."""
@@ -2995,6 +3026,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_counts": q_token_counts,
     "extract_links": q_extract_links,
     "hyperlink_range_fill": q_hyperlink_range_fill,
+    "a1_refs": q_a1_refs,
     "window_hopping": q_window_hopping,
     "doc_fingerprint": q_doc_fingerprint,
     "pipeline_llm_prep": q_pipeline_llm_prep,
@@ -5626,6 +5658,16 @@ SELECT doc_id,
        substr(t0, 1, 10) || ' <' || regexp_extract(p, 'https?://[^ ]+') || '>'
          AS display
 FROM planted""",
+        "a1_refs": """
+SELECT doc_id,
+       CASE WHEN doc_id % 702 < 26
+            THEN chr(CAST(65 + doc_id % 702 AS INTEGER))
+            ELSE chr(CAST(64 + (doc_id % 702) // 26 AS INTEGER))
+                 || chr(CAST(65 + (doc_id % 702) % 26 AS INTEGER)) END
+         || CAST(doc_id + 1 AS VARCHAR) AS ref,
+       doc_id % 702 AS col_idx,
+       doc_id AS row_idx
+FROM documents""",
         "hyperlink_range_fill": """
 WITH base AS (
   SELECT doc_id,

@@ -317,3 +317,46 @@ def test_retention_cohorts_dedup(ray_session, tmp_path):
         zip(got["cohort_week"], got["week_offset"], got["n_users"])
     )
     assert cells == {(0, 0, 1), (0, 1, 1), (1, 0, 1), (1, 2, 1)}
+
+
+# --- A1/R1C1 ref kernel (types.go:46-80 parity) -------------------------------
+
+
+def test_col2int_reference_goldens():
+    from grate_ray.functions.refs import col2int, int2col
+
+    # the reference's own doc examples: "A"=0, "B"=1, "AA"=26, "BB"=53
+    for s, want in (("A", 0), ("B", 1), ("Z", 25), ("AA", 26), ("BB", 53)):
+        assert col2int(s) == want, s
+        assert int2col(want) == s, want
+    for i in range(0, 20_000, 137):
+        assert col2int(int2col(i)) == i
+
+
+def test_ref_to_indexes_modes():
+    from grate_ray.functions.refs import ref_to_indexes
+
+    assert ref_to_indexes("A1") == (0, 0)
+    assert ref_to_indexes("BB54") == (53, 53)
+    assert ref_to_indexes("AA27") == (26, 26)
+    # R1C1 (offset quirk resolved — see refs.py docstring)
+    assert ref_to_indexes("R3C7") == (7, 2)
+    # malformed → (-1, -1), the reference's contract
+    for bad in ("", "A", "1A", "7", "R3C", "ABC"):
+        assert ref_to_indexes(bad) == (-1, -1), bad
+
+
+def test_refs_to_indexes_vectorized_matches_scalar():
+    import numpy as np
+
+    from grate_ray.functions.refs import int2col, ref_to_indexes, refs_to_indexes
+
+    refs = np.array(
+        [int2col(i % 800) + str(i + 1) for i in range(0, 4000, 7)]
+        + ["R2C9", "bogus", None],
+        dtype=object,
+    )
+    cols, rows = refs_to_indexes(refs)
+    for i, r in enumerate(refs):
+        want = ref_to_indexes(r) if isinstance(r, str) else (-1, -1)
+        assert (cols[i], rows[i]) == want, r
