@@ -3261,6 +3261,17 @@ QUERIES: dict[str, Callable[[str], Any]] = {
         "grate_ray.pipelines.cdc", fromlist=["x"]
     ).partition_balance(_binlog(sf), num_buckets=64, num_partitions=16),
     "cdc_split_tables": q_cdc_split_tables,
+    "orders_rfm": lambda sf: __import__(
+        "grate_ray.pipelines.olap", fromlist=["x"]
+    ).orders_rfm(sf),
+    "lang_embedding_norms": lambda sf: __import__(
+        "grate_ray.functions.embed", fromlist=["x"]
+    ).lang_embedding_norms(sf),
+    "cdc_tool_usage": lambda sf: (
+        lambda cdc: cdc.tool_usage(
+            cdc.apply_binlog(_binlog(sf), num_partitions=16)
+        )
+    )(__import__("grate_ray.pipelines.cdc", fromlist=["x"])),
     "market_basket": lambda sf: __import__(
         "grate_ray.pipelines.olap", fromlist=["x"]
     ).market_basket(sf),
@@ -4513,6 +4524,9 @@ WHERE w.op <> 'D' GROUP BY 1""",
         "conv_role_path": f"""
 SELECT conv_id, string_agg(role, '>' ORDER BY turn_idx) AS role_path
 FROM ({lww}) s GROUP BY conv_id""",
+        "cdc_tool_usage": f"""
+SELECT tool, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns
+FROM ({lww}) s WHERE tool IS NOT NULL GROUP BY tool""",
         "cdc_longest_gap": f"""
 WITH l AS (SELECT conv_id, turn_idx, ts FROM ({lww}) s),
 g AS (SELECT conv_id,
@@ -6223,6 +6237,30 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "orders_rfm": """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total,
+         max(o_orderdate) AS last_d
+  FROM orders GROUP BY 1
+), banded AS (
+  SELECT
+    CASE WHEN date_diff('day', last_d, DATE '2001-12-31') <= 365 THEN 0
+         WHEN date_diff('day', last_d, DATE '2001-12-31') <= 1095 THEN 1
+         ELSE 2 END AS r_band,
+    CASE WHEN n >= 12 THEN 0 WHEN n >= 9 THEN 1 ELSE 2 END AS f_band,
+    CASE WHEN total >= 2900000 THEN 0
+         WHEN total >= 2100000 THEN 1 ELSE 2 END AS m_band
+  FROM per_cust
+)
+SELECT CAST(r_band AS INTEGER) AS r_band, CAST(f_band AS INTEGER) AS f_band,
+       CAST(m_band AS INTEGER) AS m_band, count(*) AS n_customers
+FROM banded GROUP BY 1, 2, 3""",
+        "lang_embedding_norms": """
+SELECT d.lang, count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS mean_norm
+FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+GROUP BY 1""",
         "market_basket": """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (

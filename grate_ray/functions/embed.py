@@ -297,3 +297,100 @@ def label_cohesion(sf_dir: str, n_parts: int = 8) -> ray.data.Dataset:
         .repartition(join_partitions(n_parts), keys=["label"])
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def lang_embedding_norms(sf_dir: str) -> ray.data.Dataset:
+    """Cross-table enrichment: per-LANGUAGE mean embedding norm — the
+    embeddings fact keyed by an attribute that lives in the documents
+    table (vec_id aligns with doc_id). The documents side broadcasts
+    ONCE as a (doc_id → lang) map (dimension-sized relative to the
+    vector fact at scale: ids+codes only, no text) and probes
+    vectorized inside each batch; the norm kernel is the same zero-copy
+    offset-segmented reduceat as :func:`embedding_norms`."""
+    import ray
+
+    from ..context import configure_shuffle
+    from .num import sql_round
+
+    configure_shuffle(8)
+
+    import pyarrow.compute as pc
+
+    lang_t = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+            ).to_arrow_refs()
+            if ray.get(r).num_rows
+        ]
+    ).combine_chunks()
+    lang_ref = ray.put(lang_t)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("lang", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("s_norm", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        lt = ray.get(lang_ref)
+        idx = pc.index_in(
+            t["vec_id"].combine_chunks(), value_set=lt["doc_id"].combine_chunks()
+        ).to_numpy(zero_copy_only=False)
+        langs = lt["lang"].to_numpy(zero_copy_only=False).astype(object)[idx]
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        norms = np.sqrt(np.add.reduceat(flat * flat, offsets[:-1]))
+        norms = np.where(np.diff(offsets) > 0, norms, 0.0)
+        keys, inv = np.unique(langs, return_inverse=True)
+        return pa.table(
+            {
+                "lang": pa.array(keys, pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "s_norm": pa.array(np.bincount(inv, weights=norms)),
+            },
+            schema=part_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    out_schema = pa.schema(
+        [
+            pa.field("lang", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("mean_norm", pa.float64()),
+        ]
+    )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("s_norm", alias_name="s_norm"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": t["lang"],
+                    "n": t["n"].cast(pa.int64()),
+                    "mean_norm": sql_round(
+                        pa.array(
+                            t["s_norm"].to_numpy(zero_copy_only=False)
+                            / t["n"].to_numpy(zero_copy_only=False)
+                        ),
+                        6,
+                    ),
+                },
+                schema=out_schema,
+            ),
+            batch_format="pyarrow",
+        )
+    )

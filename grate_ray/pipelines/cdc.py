@@ -1346,3 +1346,89 @@ def conv_longest_gap(
     return state.repartition(
         join_partitions(num_partitions), keys=["conv_id"]
     ).map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def tool_usage(state: ray.data.Dataset, num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-tool adoption over the LWW final state: live turns carrying
+    the tool and DISTINCT conversations using it. Per-batch partials
+    bound the exchange by distinct (tool, conv) per block; the
+    conversation count finishes exactly after the keyed hop (each
+    tool's (tool, conv) partials land whole)."""
+    import numpy as np
+
+    from ..context import configure_shuffle, join_partitions
+
+    configure_shuffle(num_partitions)
+
+    pair_schema = pa.schema(
+        [
+            pa.field("tool", pa.string()),
+            pa.field("conv_id", pa.string()),
+            pa.field("n_turns", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t["tool"]))
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        tool = t["tool"].to_numpy(zero_copy_only=False).astype(object)
+        conv = t["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+        tu, ti = np.unique(tool, return_inverse=True)
+        cu, ci = np.unique(conv, return_inverse=True)
+        nc = len(cu)
+        uniq, inv = np.unique(ti * nc + ci, return_inverse=True)
+        return pa.table(
+            {
+                "tool": pa.array(tu[uniq // nc], pa.string()),
+                "conv_id": pa.array(cu[uniq % nc], pa.string()),
+                "n_turns": pa.array(np.bincount(inv).astype(np.int64)),
+            },
+            schema=pair_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("tool", pa.string()),
+            pa.field("n_convs", pa.int64()),
+            pa.field("n_turns", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        import numpy as np
+
+        tool = t["tool"].to_numpy(zero_copy_only=False).astype(object)
+        conv = t["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+        n = t["n_turns"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # (tool, conv) partials may repeat across source blocks: collapse
+        tu, ti = np.unique(tool, return_inverse=True)
+        cu, ci = np.unique(conv, return_inverse=True)
+        nc = len(cu)
+        uniq, inv = np.unique(ti * nc + ci, return_inverse=True)
+        turns = np.bincount(inv, weights=n).astype(np.int64)
+        tool_of_pair = (uniq // nc).astype(np.int64)
+        n_convs = np.bincount(tool_of_pair, minlength=len(tu)).astype(np.int64)
+        n_turns = np.bincount(
+            tool_of_pair, weights=turns, minlength=len(tu)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "tool": pa.array(tu, pa.string()),
+                "n_convs": pa.array(n_convs),
+                "n_turns": pa.array(n_turns),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        state.map_batches(partial, batch_format="pyarrow")
+        .repartition(join_partitions(num_partitions), keys=["tool"])
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )

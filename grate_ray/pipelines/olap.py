@@ -1324,3 +1324,120 @@ def market_basket(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+def orders_rfm(
+    sf_dir: str,
+    asof: str = "2001-12-31",
+    recency_cut_days: tuple[int, int] = (365, 1095),
+    freq_cuts: tuple[int, int] = (9, 12),
+    money_cuts: tuple[float, float] = (2_100_000.0, 2_900_000.0),
+) -> ray.data.Dataset:
+    """RFM segmentation (fixed cuts, deterministic): each customer's
+    recency (days from last order to ``asof``), frequency (order count)
+    and monetary total bucket into 3 bands each; output counts per
+    R/F/M cell. Per-batch partials key by custkey (one row per
+    (block, customer)), ONE customer-keyed hop resolves the triple,
+    and the final cell count hop is 27-row-bounded."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..context import configure_shuffle
+
+    configure_shuffle(16)
+    asof_us = np.datetime64(asof).astype("datetime64[us]").astype(np.int64)
+    day_us = 24 * 3600 * 1_000_000
+
+    part_schema = pa.schema(
+        [
+            pa.field("o_custkey", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("total", pa.float64()),
+            pa.field("last_us", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, od)
+        return pa.table(
+            {
+                "o_custkey": pa.array(uniq),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "total": pa.array(np.bincount(inv, weights=tp)),
+                "last_us": pa.array(mx),
+            },
+            schema=part_schema,
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice", "o_orderdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("total", alias_name="total"),
+            Max("last_us", alias_name="last_us"),
+        )
+    )
+
+    cell_schema = pa.schema(
+        [
+            pa.field("r_band", pa.int32()),
+            pa.field("f_band", pa.int32()),
+            pa.field("m_band", pa.int32()),
+            pa.field("n_customers", pa.int64()),
+        ]
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cell_schema.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = t["total"].to_numpy(zero_copy_only=False)
+        last = t["last_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rec_days = (asof_us - last) // day_us
+        r = np.where(rec_days <= recency_cut_days[0], 0,
+                     np.where(rec_days <= recency_cut_days[1], 1, 2))
+        f = np.where(n >= freq_cuts[1], 0, np.where(n >= freq_cuts[0], 1, 2))
+        m = np.where(total >= money_cuts[1], 0,
+                     np.where(total >= money_cuts[0], 1, 2))
+        key = r * 9 + f * 3 + m
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "r_band": pa.array((uniq // 9).astype(np.int32)),
+                "f_band": pa.array(((uniq // 3) % 3).astype(np.int32)),
+                "m_band": pa.array((uniq % 3).astype(np.int32)),
+                "n_customers": pa.array(np.bincount(inv).astype(np.int64)),
+            },
+            schema=cell_schema,
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        agg.map_batches(cells, batch_format="pyarrow")
+        .groupby(["r_band", "f_band", "m_band"])
+        .aggregate(_Sum("n_customers", alias_name="n_customers"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "r_band": t["r_band"].cast(pa.int32()),
+                    "f_band": t["f_band"].cast(pa.int32()),
+                    "m_band": t["m_band"].cast(pa.int32()),
+                    "n_customers": t["n_customers"].cast(pa.int64()),
+                },
+                schema=cell_schema,
+            ),
+            batch_format="pyarrow",
+        )
+    )
