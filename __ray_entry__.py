@@ -982,6 +982,57 @@ def q_rc4_decrypt(sf_dir: str):
     return rc4_orders_roundtrip(sf_dir)
 
 
+def q_decode_roundtrip_fixedwidth(sf_dir: str):
+    """S1-S4 family, fixed-width format: supplier framed as space-aligned
+    columnar text (the mainframe-report layout), registry-sniffed
+    (fixedw @ priority 12 — tsv's tab requirement rejects it first),
+    decoded and typed-scanned back. Oracle is the original table."""
+    import ray.data
+    from grate_ray.pipelines.extract import (
+        _add_grp_arrow,
+        decode_payloads,
+        scan_typed,
+    )
+
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+
+    def frame(t: pa.Table) -> pa.Table:
+        t = t.sort_by("s_suppkey")
+        arrs = []
+        for c in cols:
+            col = t[c]
+            v = col.to_numpy(zero_copy_only=False)
+            if pa.types.is_floating(col.type):
+                arrs.append(v.astype("U32"))
+            elif pa.types.is_integer(col.type):
+                arrs.append(v.astype("U21"))
+            else:
+                arrs.append(v.astype("U"))
+        line = None
+        for u in arrs[:-1]:
+            w = int(np.char.str_len(u).max()) + 2
+            padded = np.char.ljust(u, w)
+            line = padded if line is None else np.char.add(line, padded)
+        line = np.char.add(line, arrs[-1])
+        return pa.table(
+            {
+                "payload_id": pa.array([int(t["grp"][0].as_py())], pa.int64()),
+                "payload": pa.array(["\n".join(line.tolist())], pa.string()),
+            }
+        )
+
+    payloads = (
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=cols)
+        .map_batches(_add_grp_arrow(cols, "s_suppkey", 8), batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(frame, batch_format="pyarrow")
+    )
+    decoded = decode_payloads(payloads, ncols=len(cols))
+    return scan_typed(
+        decoded, cols, [pa.int64(), pa.string(), pa.int32(), pa.float64()]
+    )
+
+
 def q_decode_sniff_counts(sf_dir: str):
     """Mixed tsv/csv/malformed corpus → per-detected-format counts;
     malformed payloads dead-letter, never crash."""
@@ -3005,6 +3056,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decode_roundtrip_nation": q_decode_roundtrip_nation,
     "decode_roundtrip_customer": q_decode_roundtrip_customer,
     "decode_sniff_counts": q_decode_sniff_counts,
+    "decode_roundtrip_fixedwidth": q_decode_roundtrip_fixedwidth,
     "cfb_container": q_cfb_container,
     "cfb_container_v4": q_cfb_container_v4,
     "rc4_decrypt": q_rc4_decrypt,
@@ -5539,6 +5591,9 @@ FROM ({lww}) lake GROUP BY conv_id, role""",
         "decode_roundtrip_nation": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "decode_roundtrip_customer": (
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+        ),
+        "decode_roundtrip_fixedwidth": (
+            "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
         ),
         "cfb_container": (
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"

@@ -64,12 +64,14 @@ def open_payload(payload: str) -> tuple[str, pa.Table]:
 
 
 def _install_builtins() -> None:
-    from .textual import decode_csv, decode_jsonl, decode_tsv
+    from .textual import decode_csv, decode_fixedwidth, decode_jsonl, decode_tsv
 
     if "jsonl" not in registered():
         register("jsonl", 5, decode_jsonl)
     if "tsv" not in registered():
         register("tsv", 10, decode_tsv)
+    if "fixedw" not in registered():
+        register("fixedw", 12, decode_fixedwidth)
     if "csv" not in registered():
         register("csv", 15, decode_csv)
     from . import workbook  # noqa: F401  (self-registers "book" @ 3)

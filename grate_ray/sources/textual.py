@@ -104,3 +104,36 @@ def decode_csv(payload: str) -> pa.Table:
     except _csv.Error as e:  # parse error → not this format (csv.go:36-45)
         raise NotInFormat(str(e)) from e
     return _to_table(rows)
+
+
+def decode_fixedwidth(payload: str) -> pa.Table:
+    """Fixed-width columnar text decoder (registry priority 12 — after
+    tsv, before csv): the classic space-aligned report/mainframe-dump
+    layout. Sniff-by-parse: the payload must contain NO tabs, and >80%
+    of non-blank lines must split on runs of ≥2 spaces into the SAME
+    column count ≥ 2 (the same acceptance fraction as the tsv/csv
+    heuristics, /root/reference/simple/simple.go's 80% rule). Cells are
+    the stripped segments; rows that split differently become
+    single-cell rows (the shared lenient-grid convention)."""
+    import re
+
+    if "\t" in payload:
+        raise NotInFormat("tabs present: not fixed-width")
+    lines = [ln.rstrip() for ln in payload.split("\n")]
+    if lines and lines[-1] == "":
+        lines.pop()
+    lines = [ln for ln in lines if ln.strip()]
+    if not lines:
+        raise NotInFormat("empty payload")
+    splitter = re.compile(r" {2,}")
+    split = [splitter.split(ln) for ln in lines]
+    counts = [len(s) for s in split]
+    from collections import Counter
+
+    (mode, n_mode), = Counter(counts).most_common(1)
+    if mode < 2:
+        raise NotInFormat("needs >=2 fixed-width columns")
+    if n_mode / len(lines) <= MIN_ACCEPT_FRAC:
+        raise NotInFormat(f"{n_mode}/{len(lines)} lines at width {mode}")
+    rows = [s if len(s) == mode else [lines[i]] for i, s in enumerate(split)]
+    return _to_table(rows)

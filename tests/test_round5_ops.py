@@ -360,3 +360,37 @@ def test_refs_to_indexes_vectorized_matches_scalar():
     for i, r in enumerate(refs):
         want = ref_to_indexes(r) if isinstance(r, str) else (-1, -1)
         assert (cols[i], rows[i]) == want, r
+
+
+# --- fixed-width decoder sniffing ---------------------------------------------
+
+
+def test_fixedwidth_decoder_accepts_aligned_and_rejects_others():
+    from grate_ray.sources.registry import open_payload
+    from grate_ray.sources.textual import decode_fixedwidth
+
+    good = "1    alpha   2.5\n23   beta    4.0\n456  gamma  10.25"
+    name, t = open_payload(good)
+    assert name == "fixedw"
+    assert t.num_rows == 3 and t.num_columns == 4  # row_idx + c0..c2
+    assert t["c1"].to_pylist() == ["alpha", "beta", "gamma"]
+
+    import pytest as _pytest
+
+    from grate_ray.sources.registry import NotInFormat
+
+    with _pytest.raises(NotInFormat):
+        decode_fixedwidth("a\tb\nc\td")  # tabs → not fixed-width
+    with _pytest.raises(NotInFormat):
+        decode_fixedwidth("single-column\nlines\nonly")
+    # <80% consistent column counts
+    with _pytest.raises(NotInFormat):
+        decode_fixedwidth("a  b\nc  d  e\nf  g  h\ni  j  k  l\nm  n  o  p  q")
+
+
+def test_fixedwidth_single_spaces_stay_in_cell():
+    from grate_ray.sources.textual import decode_fixedwidth
+
+    t = decode_fixedwidth("New York  10\nSan Francisco  20")
+    assert t["c0"].to_pylist() == ["New York", "San Francisco"]
+    assert t["c1"].to_pylist() == ["10", "20"]
