@@ -1676,6 +1676,129 @@ def q_a1_refs(sf_dir: str):
     ).map_batches(fn, batch_format="pyarrow")
 
 
+def q_sample_quantile_error(sf_dir: str):
+    """Sketch-quality audit: exact k-th-smallest quantiles of
+    events.value (distributed histogram refinement — never a global
+    sort) vs the same statistic over the deterministic 1% md5 sample,
+    with the absolute error per quantile. Both sides run the SAME
+    scale-safe machinery; the oracle recomputes both with ORDER
+    BY/LIMIT k-th-smallest arithmetic (no quantile_disc ambiguity)."""
+    import ray.data
+    from grate_ray.functions.dedup import _md5_lower64
+    from grate_ray.pipelines.relational import exact_quantiles
+
+    qs = (0.5, 0.9)
+
+    def drop_nulls(t: pa.Table) -> pa.Table:
+        return pa.table({"value": t["value"].drop_null()})
+
+    full = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    ).map_batches(drop_nulls, batch_format="pyarrow")
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _md5_lower64(ids.astype("U21")) % 100 == 0
+        return pa.table(
+            {"value": t["value"].filter(pa.array(keep)).drop_null()}
+        )
+
+    samp = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(sample_batch, batch_format="pyarrow")
+
+    ex = exact_quantiles(sf_dir, qs=qs, ds=full, col="value")
+    se = exact_quantiles(sf_dir, qs=qs, ds=samp, col="value")
+    exact_of = dict(zip(ex["q"].to_pylist(), ex["value"].to_pylist()))
+    est_of = dict(zip(se["q"].to_pylist(), se["value"].to_pylist()))
+    names = sorted(exact_of)
+    return pa.table(
+        {
+            "q": pa.array(names, pa.string()),
+            "exact": pa.array([round(exact_of[n], 6) for n in names]),
+            "sample_est": pa.array([round(est_of[n], 6) for n in names]),
+            "abs_err": pa.array(
+                [round(abs(exact_of[n] - est_of[n]), 6) for n in names]
+            ),
+        }
+    )
+
+
+def q_bloom_filter_probe(sf_dir: str, m: int = 65_536, k: int = 4):
+    """Broadcast Bloom filter as the scale alternative to shipping a key
+    set: the customer-key filter (k md5-salted bit positions in an
+    m-bit space) broadcasts ONCE; each orders batch probes a synthetic
+    key stream (o_orderkey % 3000 — half members, half negatives at
+    bench scale) with vectorized sorted-membership tests. Output: probe
+    count, ground-truth members, bloom passes, false positives and the
+    FP rate. The oracle mirrors the exact bit arithmetic
+    (md5_number_lower(key || ':' || salt) % m)."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+    from grate_ray.functions.dedup import _md5_lower64
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    salted_bits = []
+    for s in range(k):
+        keys = np.array([f"{c}:{s}" for c in cust], dtype=object)
+        salted_bits.append(_md5_lower64(keys) % m)
+    bloom_bits = np.unique(np.concatenate(salted_bits))
+    truth = np.unique(cust)
+    bref = ray.put((bloom_bits, truth))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits, members = ray.get(bref)
+        pk = (
+            t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % 3000
+        )
+        ok = np.ones(len(pk), dtype=bool)
+        for s in range(k):
+            h = _md5_lower64(
+                np.array([f"{v}:{s}" for v in pk], dtype=object)
+            ) % m
+            pos = np.searchsorted(bits, h)
+            ok &= (pos < len(bits)) & (
+                bits[np.minimum(pos, len(bits) - 1)] == h
+            )
+        tpos = np.searchsorted(truth, pk)
+        is_member = (tpos < len(truth)) & (
+            truth[np.minimum(tpos, len(truth) - 1)] == pk
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(pk)], pa.int64()),
+                "n_true": pa.array([int(is_member.sum())], pa.int64()),
+                "n_pass": pa.array([int(ok.sum())], pa.int64()),
+                "n_fp": pa.array([int((ok & ~is_member).sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    n_true = int(parts["n_true"].sum())
+    n_pass = int(parts["n_pass"].sum())
+    n_fp = int(parts["n_fp"].sum())
+    return pa.table(
+        {
+            "n_probes": pa.array([n], pa.int64()),
+            "n_true": pa.array([n_true], pa.int64()),
+            "n_pass": pa.array([n_pass], pa.int64()),
+            "n_false_pos": pa.array([n_fp], pa.int64()),
+            "fp_rate": pa.array(
+                [round(n_fp / max(n - n_true, 1), 6)], pa.float64()
+            ),
+        }
+    )
+
+
 def q_window_hopping(sf_dir: str):
     """Hopping (overlapping) event-time windows: 60-min windows every
     15 min — the 1→N flat-map applied to windowed aggregation."""
@@ -3078,6 +3201,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_counts": q_token_counts,
     "extract_links": q_extract_links,
     "hyperlink_range_fill": q_hyperlink_range_fill,
+    "sample_quantile_error": q_sample_quantile_error,
+    "bloom_filter_probe": q_bloom_filter_probe,
     "a1_refs": q_a1_refs,
     "window_hopping": q_window_hopping,
     "doc_fingerprint": q_doc_fingerprint,
@@ -5737,6 +5862,48 @@ SELECT doc_id,
        doc_id % 702 AS col_idx,
        doc_id AS row_idx
 FROM documents""",
+        "sample_quantile_error": """
+WITH vals AS (SELECT value FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS c FROM vals),
+s AS (SELECT value FROM events WHERE value IS NOT NULL
+      AND md5_number_lower(CAST(event_id AS VARCHAR)) % 100 = 0),
+ns AS (SELECT count(*) AS c FROM s)
+SELECT 'p50' AS q, round((SELECT max(value) FROM (SELECT value FROM vals ORDER BY value LIMIT (SELECT CAST(ceil(0.5 * c) AS BIGINT) FROM n))), 6) AS exact,
+       round((SELECT max(value) FROM (SELECT value FROM s ORDER BY value LIMIT (SELECT CAST(ceil(0.5 * c) AS BIGINT) FROM ns))), 6) AS sample_est,
+       round(abs((SELECT max(value) FROM (SELECT value FROM vals ORDER BY value LIMIT (SELECT CAST(ceil(0.5 * c) AS BIGINT) FROM n))) - (SELECT max(value) FROM (SELECT value FROM s ORDER BY value LIMIT (SELECT CAST(ceil(0.5 * c) AS BIGINT) FROM ns)))), 6) AS abs_err
+UNION ALL
+SELECT 'p90' AS q, round((SELECT max(value) FROM (SELECT value FROM vals ORDER BY value LIMIT (SELECT CAST(ceil(0.9 * c) AS BIGINT) FROM n))), 6) AS exact,
+       round((SELECT max(value) FROM (SELECT value FROM s ORDER BY value LIMIT (SELECT CAST(ceil(0.9 * c) AS BIGINT) FROM ns))), 6) AS sample_est,
+       round(abs((SELECT max(value) FROM (SELECT value FROM vals ORDER BY value LIMIT (SELECT CAST(ceil(0.9 * c) AS BIGINT) FROM n))) - (SELECT max(value) FROM (SELECT value FROM s ORDER BY value LIMIT (SELECT CAST(ceil(0.9 * c) AS BIGINT) FROM ns)))), 6) AS abs_err""",
+        "bloom_filter_probe": """
+WITH salts AS (SELECT unnest(range(4)) AS s),
+bloom AS (
+  SELECT DISTINCT md5_number_lower(CAST(c_custkey AS VARCHAR) || ':'
+                  || CAST(s AS VARCHAR)) % 65536 AS bit
+  FROM customer CROSS JOIN salts
+),
+probe AS (SELECT o_orderkey, o_orderkey % 3000 AS pk FROM orders),
+chk AS (
+  SELECT p.o_orderkey, p.pk,
+         count(*) FILTER (
+           md5_number_lower(CAST(p.pk AS VARCHAR) || ':'
+           || CAST(s.s AS VARCHAR)) % 65536
+           IN (SELECT bit FROM bloom)) AS nhit
+  FROM probe p CROSS JOIN salts s GROUP BY 1, 2
+),
+fin AS (
+  SELECT pk, nhit = 4 AS pass,
+         pk IN (SELECT c_custkey FROM customer) AS member
+  FROM chk
+)
+SELECT count(*) AS n_probes,
+       CAST(count(*) FILTER (member) AS BIGINT) AS n_true,
+       CAST(count(*) FILTER (pass) AS BIGINT) AS n_pass,
+       CAST(count(*) FILTER (pass AND NOT member) AS BIGINT) AS n_false_pos,
+       round(count(*) FILTER (pass AND NOT member) * 1.0
+             / greatest(count(*) - count(*) FILTER (member), 1), 6)
+         AS fp_rate
+FROM fin""",
         "hyperlink_range_fill": """
 WITH base AS (
   SELECT doc_id,

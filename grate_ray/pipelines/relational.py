@@ -390,6 +390,9 @@ def exact_quantiles(
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     nbins: int = 4096,
     max_pull: int = 200_000,
+    ds: "ray.data.Dataset | None" = None,
+    col: str = "o_totalprice",
+    prefix: str = "p",
 ) -> pa.Table:
     """EXACT distributed quantiles (k-th smallest, k = ceil(q·n)) by
     iterative histogram refinement — the classic scale shape for exact
@@ -412,14 +415,15 @@ def exact_quantiles(
     import numpy as np
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    col = "o_totalprice"
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=[col])
+    if ds is None:
+        ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=[col])
+    ds = ds.materialize()  # 4 refinement passes re-read the same input
 
     stats = ds.aggregate(Min(col), Max(col), Count())
     lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
     n = int(stats["count()"])
     # target ranks (1-based, global): k-th smallest
-    want = {f"p{int(q * 100)}": math.ceil(q * n) for q in qs}
+    want = {f"{prefix}{int(q * 100)}": math.ceil(q * n) for q in qs}
 
     # candidate value range per quantile; narrowing only — the exact rank
     # is recomputed globally at the pull, so float bin-edge jitter can
