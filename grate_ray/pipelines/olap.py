@@ -1314,12 +1314,32 @@ def market_basket(sf_dir: str, k: int = 20) -> ray.data.Dataset:
             schema=pair_schema,
         )
 
+    def pair_reduce(t: pa.Table) -> pa.Table:
+        # ~1.2M distinct pairs at sf0.1: the generic hash aggregator is
+        # 3-4x slower than a keyed repartition + one vectorized block
+        # reduce above ~100k groups (BASELINE.md guidance) — reduce here
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        big = int(max(a.max(), b.max())) + 1
+        uniq, inv = np.unique(a * big + b, return_inverse=True)
+        return pa.table(
+            {
+                "part_a": pa.array(uniq // big),
+                "part_b": pa.array(uniq % big),
+                "n_orders": pa.array(np.bincount(inv, weights=n).astype(np.int64)),
+            },
+            schema=pair_schema,
+        )
+
     return (
         ds.map_batches(dedup_batch, batch_format="pyarrow")
         .repartition(join_partitions(32), keys=["l_orderkey"])
         .map_batches(pairs_block, batch_format="pyarrow", batch_size=None)
-        .groupby(["part_a", "part_b"])
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .repartition(join_partitions(32), keys=["part_a", "part_b"])
+        .map_batches(pair_reduce, batch_format="pyarrow", batch_size=None)
         .map_batches(topk, batch_format="pyarrow")
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow", batch_size=None)
