@@ -394,3 +394,42 @@ def test_fixedwidth_single_spaces_stay_in_cell():
     t = decode_fixedwidth("New York  10\nSan Francisco  20")
     assert t["c0"].to_pylist() == ["New York", "San Francisco"]
     assert t["c1"].to_pylist() == ["10", "20"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cell = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N"), max_codepoint=0x2FF
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(_cell, min_size=2, max_size=5),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fixedwidth_property_roundtrip(rows):
+    # normalize to a rectangle (fixed-width layouts are rectangular)
+    from grate_ray.sources.textual import decode_fixedwidth
+
+    ncols = min(len(r) for r in rows)
+    rows = [r[:ncols] for r in rows]
+    widths = [max(len(r[j]) for r in rows) + 2 for j in range(ncols)]
+    lines = [
+        "".join(
+            r[j].ljust(widths[j]) if j < ncols - 1 else r[j]
+            for j in range(ncols)
+        )
+        for r in rows
+    ]
+    t = decode_fixedwidth("\n".join(lines))
+    for j in range(ncols):
+        assert t[f"c{j}"].to_pylist() == [r[j] for r in rows]
